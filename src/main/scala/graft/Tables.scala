@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated test tables (TESTDATA.md).
+  *
+  * All relational queries in the engine take a `dir` (scale-factor
+  * directory) and read the parquet tables lazily — filters/projections
+  * are pushed into the parquet scan by Catalyst, which is the same
+  * access path a production deployment would use against a large
+  * partitioned table.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as
+    // a nanos-since-epoch LONG (spark.sql.legacy.parquet.nanosAsLong,
+    // set in Verify/Bench/test sessions). Truncate to micros — the
+    // same coercion DuckDB applies, so the oracle agrees.
+    if (name == "events" &&
+        df.schema.fields.exists(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType))
+      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+    else df
+  }
+
+  def region(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
+  def events(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Register every table (plus the derived wallet_txs fixture) as a
+    * temp view so SQL-text entry points (subqueries, CTEs) can run. */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    Fixtures.walletTxs(spark, dir).createOrReplaceTempView("wallet_txs")
+  }
+}

@@ -1,0 +1,125 @@
+package graft.queries
+
+import graft.{Canon, Fixtures, Tables}
+import org.apache.spark.sql.functions._
+
+/** Q16–Q20 + Q35: aggregation family — hash agg, full agg-function
+  * sweep, distinct, rollup/cube, having, approx-distinct.
+  */
+object Aggregates {
+
+  val q16 = QueryDef("q16_agg_hash",
+    Fixtures.cte +
+      s"""SELECT token_symbol, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |  ${Canon.sql.dsum("quantity")} AS qty_sum,
+         |  ${Canon.sql.davg("quantity")} AS qty_avg
+         |FROM wallet_txs GROUP BY token_symbol ORDER BY token_symbol""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Fixtures.walletTxs(s, dir)
+      .groupBy("token_symbol")
+      .agg(count(lit(1)).as("cnt"), Canon.dsum($"quantity").as("qty_sum"),
+        Canon.davg($"quantity").as("qty_avg"))
+      .orderBy("token_symbol")
+  }
+
+  /** Full aggregate-function sweep; stddev/var derived from exact
+    * decimal sums so both engines run identical IEEE arithmetic. */
+  val q17 = QueryDef("q17_agg_functions",
+    s"""SELECT l_returnflag,
+       |  min(l_quantity) AS min_q, max(l_quantity) AS max_q,
+       |  ${Canon.sql.dsum("l_quantity")} AS sum_q,
+       |  ${Canon.sql.davg("l_quantity")} AS avg_q,
+       |  CAST(COUNT(*) AS BIGINT) AS cnt,
+       |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS nparts,
+       |  ${Canon.sql.dstddevSamp("l_quantity")} AS std_q,
+       |  ${Canon.sql.dvarSamp("l_quantity")} AS var_q,
+       |  strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S') AS first_ship
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        min($"l_quantity").as("min_q"), max($"l_quantity").as("max_q"),
+        Canon.dsum($"l_quantity").as("sum_q"), Canon.davg($"l_quantity").as("avg_q"),
+        count(lit(1)).as("cnt"), countDistinct($"l_partkey").as("nparts"),
+        Canon.dstddevSamp($"l_quantity").as("std_q"),
+        Canon.dvarSamp($"l_quantity").as("var_q"),
+        Canon.tsStr(min($"l_shipdate")).as("first_ship"))
+      .orderBy("l_returnflag")
+  }
+
+  val q18 = QueryDef("q18_distinct",
+    Fixtures.cte +
+      """SELECT DISTINCT token_contract, token_symbol FROM wallet_txs
+        |ORDER BY token_contract, token_symbol""".stripMargin) { (s, dir) =>
+    Fixtures.walletTxs(s, dir)
+      .select("token_contract", "token_symbol").distinct()
+      .orderBy("token_contract", "token_symbol")
+  }
+
+  val q19 = QueryDef("q19_rollup",
+    """SELECT r_name, n_name,
+      |  GROUPING(r_name) AS gr, GROUPING(n_name) AS gn,
+      |  CAST(COUNT(*) AS BIGINT) AS cnt
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |              JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY gr, gn, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables.customer(s, dir)
+      .join(Tables.nation(s, dir), $"c_nationkey" === $"n_nationkey")
+      .join(Tables.region(s, dir), $"n_regionkey" === $"r_regionkey")
+      .rollup($"r_name", $"n_name")
+      .agg(grouping($"r_name").as("gr"), grouping($"n_name").as("gn"),
+        count(lit(1)).as("cnt"))
+      .orderBy($"gr", $"gn", $"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+  }
+
+  val q19b = QueryDef("q19b_cube",
+    s"""SELECT o_orderstatus, o_orderpriority,
+       |  GROUPING(o_orderstatus) AS gs, GROUPING(o_orderpriority) AS gp,
+       |  CAST(COUNT(*) AS BIGINT) AS cnt, ${Canon.sql.dsum("o_totalprice")} AS total
+       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+       |ORDER BY gs, gp, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables.orders(s, dir)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(grouping($"o_orderstatus").as("gs"), grouping($"o_orderpriority").as("gp"),
+        count(lit(1)).as("cnt"), Canon.dsum($"o_totalprice").as("total"))
+      .orderBy($"gs", $"gp", $"o_orderstatus".asc_nulls_first,
+        $"o_orderpriority".asc_nulls_first)
+  }
+
+  val q20 = QueryDef("q20_having",
+    Fixtures.cte +
+      """SELECT wallet_address, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM wallet_txs GROUP BY wallet_address
+        |HAVING COUNT(*) > 5 ORDER BY wallet_address""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Fixtures.walletTxs(s, dir)
+      .groupBy("wallet_address").agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" > 5)
+      .orderBy("wallet_address")
+  }
+
+  /** HLL++ approx distinct beside its exact twin; the approx value is
+    * asserted within 5% Spark-side (engines' sketches differ), the
+    * oracle checks the exact value and the tolerance verdict. */
+  val q35 = QueryDef("q35_approx_distinct",
+    Fixtures.cte +
+      """SELECT CAST(COUNT(DISTINCT token_contract) AS BIGINT) AS exact_contracts,
+        |  CAST(COUNT(DISTINCT from_address) AS BIGINT) AS exact_senders,
+        |  TRUE AS approx_ok""".stripMargin + "\nFROM wallet_txs") { (s, dir) =>
+    import s.implicits._
+    Fixtures.walletTxs(s, dir)
+      .agg(countDistinct($"token_contract").as("exact_contracts"),
+        countDistinct($"from_address").as("exact_senders"),
+        approx_count_distinct($"token_contract", 0.01).as("apx_c"),
+        approx_count_distinct($"from_address", 0.01).as("apx_s"))
+      .select($"exact_contracts", $"exact_senders",
+        (abs($"apx_c" - $"exact_contracts") <= $"exact_contracts" * 0.05 &&
+          abs($"apx_s" - $"exact_senders") <= $"exact_senders" * 0.05).as("approx_ok"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(q16, q17, q18, q19, q19b, q20, q35)
+}

@@ -1,0 +1,75 @@
+package graft.queries
+
+import graft.{Fixtures, Tables}
+
+/** SQL-text entry points (SURVEY.md §2.2 requires both API styles):
+  * range frames (Q23b), subqueries (Q33a/b/c), CTEs (Q34). The Spark
+  * text runs over temp views; the oracle text is identical except
+  * wallet_txs comes from the deterministic CTE (Fixtures.cte).
+  */
+object SqlQueries {
+
+  /** Build a QueryDef whose Spark side is `spark.sql(text)` over the
+    * registered views. `needsWalletCte` prepends the wallet_txs
+    * derivation on the DuckDB side only. */
+  private def sqlQ(name: String, text: String, needsWalletCte: Boolean,
+      oracleText: Option[String] = None): QueryDef = {
+    val duck =
+      if (!needsWalletCte) oracleText.getOrElse(text)
+      else {
+        val t = oracleText.getOrElse(text)
+        // merge WITH clauses: our CTE first, then the query's own
+        if (t.trim.toUpperCase.startsWith("WITH"))
+          Fixtures.cte.stripSuffix("\n") + ", " + t.trim.drop(4)
+        else Fixtures.cte + t
+      }
+    QueryDef(name, duck) { (s, dir) =>
+      Tables.registerViews(s, dir)
+      s.sql(text)
+    }
+  }
+
+  /** Sliding RANGE frame keyed on a numeric (double) column. */
+  val q23b = sqlQ("q23b_range_frame",
+    """SELECT o_orderkey,
+      |  CAST(COUNT(*) OVER w AS BIGINT) AS cnt_in_range,
+      |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER w AS DOUBLE), 6) AS sum_in_range
+      |FROM orders
+      |WINDOW w AS (ORDER BY o_totalprice RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_orderkey""".stripMargin,
+    needsWalletCte = false)
+
+  /** Scalar subquery over an aggregate of the same CTE. */
+  val q33a = sqlQ("q33a_scalar_subquery",
+    """WITH g AS (SELECT wallet_address, CAST(COUNT(*) AS BIGINT) AS cnt
+      |           FROM wallet_txs GROUP BY wallet_address)
+      |SELECT wallet_address, cnt FROM g
+      |WHERE cnt > (SELECT AVG(cnt) FROM g)
+      |ORDER BY wallet_address""".stripMargin,
+    needsWalletCte = true)
+
+  val q33b = sqlQ("q33b_in_subquery",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+      |ORDER BY c_custkey""".stripMargin,
+    needsWalletCte = false)
+
+  val q33c = sqlQ("q33c_exists_correlated",
+    """SELECT wallet_address, CAST(COUNT(*) AS BIGINT) AS cnt
+      |FROM wallet_txs w1
+      |WHERE EXISTS (SELECT 1 FROM wallet_txs w2
+      |              WHERE w2.wallet_address = w1.wallet_address
+      |                AND w2.quantity > 990)
+      |GROUP BY wallet_address ORDER BY wallet_address""".stripMargin,
+    needsWalletCte = true)
+
+  val q34 = sqlQ("q34_cte_selfjoin",
+    """WITH t AS (SELECT token_symbol, CAST(COUNT(*) AS BIGINT) AS cnt
+      |           FROM wallet_txs GROUP BY token_symbol)
+      |SELECT a.token_symbol AS s1, b.token_symbol AS s2, a.cnt
+      |FROM t a JOIN t b ON a.cnt = b.cnt AND a.token_symbol < b.token_symbol
+      |ORDER BY s1, s2""".stripMargin,
+    needsWalletCte = true)
+
+  val defs: Seq[QueryDef] = Seq(q23b, q33a, q33b, q33c, q34)
+}
