@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (SURVEY.md Q41
+  * + the north-star ops): exact, MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * Scale notes (100 TB): every variant is a constant number of
+  * shuffles keyed on content-derived values — no driver collects, no
+  * quadratic candidate sets. MinHash/LSH shuffles signatures (H longs
+  * per doc, not the text); banding bounds bucket sizes; rare-shingle
+  * blocking bounds the Jaccard join fan-out.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content hash, keep the smallest id.
+    * One shuffle on the 256-bit hash — at 100 TB the text itself never
+    * shuffles, only (hash, id). */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(sha2(col(textCol), 256)).orderBy(col(idCol))
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Word-level shingles (distinct), the unit for MinHash / Jaccard:
+    * positions 1..n-k+1 (1-based), k consecutive tokens each. */
+  def wordShingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val tokens = split(lower(col(textCol)), "\\s+")
+    val shingles = when(size(tokens) >= k,
+      transform(sequence(lit(1), size(tokens) - k + 1),
+        i => concat_ws(" ", slice(tokens, i, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol).as("doc"), explode(array_distinct(shingles)).as("shingle"))
+      .filter(col("shingle") =!= "")
+  }
+
+  /** MinHash signatures: H independent permutations approximated by
+    * xxhash64 with distinct salts; signature = per-doc min of each.
+    * Computed as ONE aggregation (H partial mins combine map-side). */
+  def minHashSignatures(shingles: DataFrame, numHashes: Int): DataFrame = {
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
+    shingles.groupBy("doc").agg(mins.head, mins.tail: _*)
+      .select(col("doc"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** LSH banding: split the signature into `bands` bands of `rowsPer`
+    * values; docs sharing any band-hash become candidates; candidates
+    * are verified by estimated Jaccard (fraction of equal minhashes).
+    * Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b. */
+  def minHashNearDups(sigs: DataFrame, bands: Int, rowsPer: Int,
+      threshold: Double): DataFrame = {
+    val banded = sigs.select(col("doc"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPer + 1, lit(rowsPer))), b)))
+        .as(Seq("band", "bhash")))
+    val a = banded.as("a"); val b = banded.as("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
+        col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+    cand
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / size(col("sig_a")))
+      .filter(col("est_jaccard") >= threshold)
+      .select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  /** 64-bit SimHash over word tokens: per-bit majority vote of token
+    * hashes. Pure column expressions (no UDF): bit b of the simhash is
+    * the sign of Σ_tokens (2·bit_b(hash)-1), folded into a long. */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc"),
+      explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("h", xxhash64(col("tok")))
+    // per-bit votes: shiftright(h, b) & 1 → ±1, summed per doc
+    val votes = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
+    toks.groupBy("doc").agg(votes.head, votes.tail: _*)
+      .select(col("doc"),
+        (0 until 64).map(b => when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
+          .reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
+  /** Hamming distance between two simhash longs (popcount via bin()). */
+  def hamming(a: Column, b: Column): Column =
+    length(regexp_replace(bin(a.bitwiseXOR(b)), "0", ""))
+
+  /** SimHash near-dups: block on 16-bit chunks (a ≤3-bit-different
+    * pair must share at least one of 4 chunks — pigeonhole), verify by
+    * full Hamming distance. Bounded fan-out: 4 buckets per doc. */
+  def simHashNearDups(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    val chunked = hashes.select(col("doc"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("chunk", "ckey")))
+    val a = chunked.as("a"); val b = chunked.as("b")
+    a.join(b, col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
+        col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("dist", hamming(col("sh_a"), col("sh_b")).cast("int"))
+      .filter(col("dist") <= maxHamming)
+      .select("doc_a", "doc_b", "dist")
+  }
+}

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (SURVEY.md Q43
+  * + north-star ops): language-ID, quality scoring, token counting,
+  * document fingerprinting. All pure column expressions — codegen'd,
+  * no UDFs, embarrassingly parallel (no shuffle except final aggs).
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword profiles (top function words). The
+    * heuristic is the classic stopword-ratio vote — fully relational,
+    * so the DuckDB oracle can replicate it verbatim. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "on", "for"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "du"),
+    "es" -> Seq("el", "los", "de", "y", "en", "para", "que", "con"),
+    "de" -> Seq("der", "die", "und", "das", "ein", "mit", "ist", "zu"),
+    "zh" -> Seq("的", "是", "在", "了", "我", "有", "和", "人"))
+
+  /** Per-language stopword-hit ratio columns + argmax prediction.
+    * Ties break alphabetically (deterministic). */
+  def languageId(df: DataFrame, textCol: String): DataFrame = {
+    val toks = split(lower(col(textCol)), "\\s+")
+    val n = greatest(size(toks), lit(1)).cast("double")
+    val langs = stopwords.keys.toSeq.sorted
+    val scored = langs.foldLeft(df) { (acc, l) =>
+      acc.withColumn(s"score_$l",
+        size(filter(toks, t => t.isin(stopwords(l): _*))).cast("double") / n)
+    }
+    val best = langs.map(l => struct(col(s"score_$l").as("s"), lit(l).as("l")))
+      .reduce((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
+    scored.withColumn("pred_lang", best.getField("l"))
+  }
+
+  /** Heuristic quality score from length / punctuation / stopword /
+    * word-length signals (the usual pre-training filters). */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = split(lower(t), "\\s+")
+    val nTok = size(toks).cast("double")
+    val nChar = length(t).cast("double")
+    val punct = (nChar - length(regexp_replace(t, "[^a-zA-Z0-9\\s]", ""))).cast("double")
+    val stopHits = size(filter(toks, x => x.isin(stopwords("en"): _*))).cast("double")
+    df.withColumn("n_tokens", size(toks))
+      .withColumn("avg_word_len", round(nChar / greatest(nTok, lit(1.0)), 6))
+      .withColumn("punct_ratio", round(punct / greatest(nChar, lit(1.0)), 6))
+      .withColumn("stopword_ratio", round(stopHits / greatest(nTok, lit(1.0)), 6))
+      .withColumn("quality",
+        round(least(nTok / 100.0, lit(1.0)) * 0.4 +
+          (lit(1.0) - punct / greatest(nChar, lit(1.0))) * 0.3 +
+          least(stopHits / greatest(nTok, lit(1.0)) * 5.0, lit(1.0)) * 0.3, 6))
+  }
+
+  /** Token counts: whitespace tokens and a BPE-ish subword estimate
+    * (word chunks of ≤4 chars — the usual ~chars/4 heuristic, but
+    * computed per word so it tracks word boundaries). */
+  def tokenCounts(df: DataFrame, textCol: String): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    df.withColumn("ws_tokens", size(toks))
+      .withColumn("bpe_tokens",
+        aggregate(toks, lit(0),
+          (acc, w) => acc + ceil(length(w).cast("double") / 4.0).cast("int")))
+  }
+
+  /** 64-bit rolling polynomial fingerprint of normalized text
+    * (base-31 Horner fold over characters, wrapping long arithmetic).
+    * Pure HOF fold — deterministic, no UDF. */
+  def fingerprint(textCol: Column): Column =
+    aggregate(
+      transform(split(lower(trim(textCol)), ""), c => ascii(c).cast("long")),
+      lit(1125899906842597L),
+      (acc, x) => acc * 31L + x)
+
+  /** Winnowing-style document sketch: min rolling-hash over each
+    * k-token window, distinct — robust to small edits. */
+  def winnowSketch(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val sh = Dedup.wordShingles(df, idCol, textCol, k)
+    sh.withColumn("whash", xxhash64(col("shingle")))
+      .groupBy("doc")
+      .agg(min("whash").as("min_hash"),
+        countDistinct("whash").as("n_windows"))
+  }
+}

@@ -1,0 +1,281 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Q41–Q44 + training-data pipeline ops: dedup family, similarity
+  * search, text analysis, multimodal plumbing. Oracle-checked where
+  * the semantics are portably SQL-expressible; hash-based variants
+  * (minhash/simhash/LSH — xxhash64 has no DuckDB twin) are rows-only
+  * here and asserted in specs instead.
+  */
+object NorthStar {
+
+  /** documents ∪ shifted copies of every 10th doc — a deterministic
+    * corpus WITH duplicates (the driver tables have none). */
+  private val dupDocsSql =
+    """(SELECT doc_id, text, lang FROM documents
+      | UNION ALL
+      | SELECT doc_id + 1000000 AS doc_id, text, lang FROM documents
+      | WHERE doc_id % 10 = 0)""".stripMargin
+
+  val q41a = QueryDef("q41a_dedup_exact",
+    s"""SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper,
+       |  CAST(COUNT(*) AS BIGINT) AS copies
+       |FROM $dupDocsSql
+       |GROUP BY md5(text) HAVING COUNT(*) > 1
+       |ORDER BY content_hash""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val d = Tables.documents(s, dir).select("doc_id", "text", "lang")
+    val dup = d.unionByName(
+      d.filter($"doc_id" % 10 === 0)
+        .withColumn("doc_id", $"doc_id" + 1000000))
+    dup.groupBy(md5($"text").as("content_hash"))
+      .agg(min($"doc_id").as("keeper"), count(lit(1)).as("copies"))
+      .filter($"copies" > 1)
+      .orderBy("content_hash")
+  }
+
+  /** MinHash+LSH near-dup pairs over the duplicated corpus: shingle →
+    * minhash → band → bucket-join → verify. xxhash64-based → rows-only
+    * (exactness asserted in DedupSpec against true duplicates). */
+  val q41b = QueryDef.rowsOnly("q41b_dedup_minhash") { (s, dir) =>
+    import s.implicits._
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    val dup = d.unionByName(
+      d.filter($"doc_id" % 10 === 0).withColumn("doc_id", $"doc_id" + 1000000))
+    val sigs = Dedup.minHashSignatures(
+      Dedup.wordShingles(dup, "doc_id", "text", 2), numHashes = 32)
+    Dedup.minHashNearDups(sigs, bands = 8, rowsPer = 4, threshold = 0.8)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash near-dup pairs (≤3 bits apart, 16-bit chunk blocking). */
+  val q41c = QueryDef.rowsOnly("q41c_dedup_simhash") { (s, dir) =>
+    import s.implicits._
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    val dup = d.unionByName(
+      d.filter($"doc_id" % 10 === 0).withColumn("doc_id", $"doc_id" + 1000000))
+    Dedup.simHashNearDups(Dedup.simHash(dup, "doc_id", "text"), maxHamming = 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact n-gram (word-bigram) Jaccard near-dups with rare-shingle
+    * blocking — identical relational program on both engines. */
+  val q41d = QueryDef("q41d_dedup_ngram_jaccard",
+    """WITH toks AS (
+      |  SELECT doc_id AS doc, string_split_regex(lower(text), '\s+') AS l
+      |  FROM documents),
+      |shingles AS (
+      |  SELECT DISTINCT doc,
+      |    UNNEST(list_transform(generate_series(1, len(l) - 1),
+      |      i -> l[i] || ' ' || l[i + 1])) AS shingle
+      |  FROM toks),
+      |df AS (SELECT shingle, COUNT(*) AS c FROM shingles GROUP BY shingle),
+      |rare AS (SELECT s.doc, s.shingle FROM shingles s JOIN df USING (shingle)
+      |         WHERE df.c <= 20),
+      |cand AS (SELECT DISTINCT a.doc AS da, b.doc AS db
+      |         FROM rare a JOIN rare b USING (shingle) WHERE a.doc < b.doc),
+      |sizes AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS n FROM shingles GROUP BY doc),
+      |common AS (SELECT c.da, c.db, CAST(COUNT(*) AS BIGINT) AS cm
+      |           FROM cand c
+      |           JOIN shingles s1 ON s1.doc = c.da
+      |           JOIN shingles s2 ON s2.doc = c.db AND s2.shingle = s1.shingle
+      |           GROUP BY c.da, c.db)
+      |SELECT da, db,
+      |  ROUND(CAST(cm AS DOUBLE) / (na.n + nb.n - cm), 6) AS jaccard
+      |FROM common JOIN sizes na ON na.doc = da JOIN sizes nb ON nb.doc = db
+      |WHERE CAST(cm AS DOUBLE) / (na.n + nb.n - cm) >= 0.2
+      |ORDER BY da, db""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val sh = Dedup.wordShingles(
+      Tables.documents(s, dir), "doc_id", "text", 2).cache()
+    val docFreq = sh.groupBy("shingle").agg(count(lit(1)).as("c"))
+    val rare = sh.join(docFreq.filter($"c" <= 20), "shingle")
+    val cand = rare.as("a").join(rare.as("b"), $"a.shingle" === $"b.shingle" &&
+        $"a.doc" < $"b.doc")
+      .select($"a.doc".as("da"), $"b.doc".as("db")).distinct()
+    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n"))
+    val common = cand
+      .join(sh.as("s1"), $"s1.doc" === $"da")
+      .join(sh.as("s2"), $"s2.doc" === $"db" && $"s2.shingle" === $"s1.shingle")
+      .groupBy("da", "db").agg(count(lit(1)).as("cm"))
+    common
+      .join(sizes.as("na"), $"na.doc" === $"da")
+      .join(sizes.as("nb"), $"nb.doc" === $"db")
+      .withColumn("j", $"cm".cast("double") / ($"na.n" + $"nb.n" - $"cm"))
+      .filter($"j" >= 0.2)
+      .select($"da", $"db", round($"j", 6).as("jaccard"))
+      .orderBy("da", "db")
+  }
+
+  /** Brute-force cosine top-k (exact baseline), decimal-exact dots. */
+  val q42 = QueryDef("q42_similarity_bruteforce",
+    """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
+      |norms AS (
+      |  SELECT vec_id, CAST(list_sum(list_transform(embedding,
+      |    x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(22,15)))) AS DOUBLE) AS nrm
+      |  FROM embeddings),
+      |pairs AS (
+      |  SELECT q.vec_id AS qid, e.vec_id AS vid,
+      |    CAST(list_sum(list_transform(generate_series(1, len(q.embedding)),
+      |      i -> CAST(CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+      |           AS DECIMAL(22,15)))) AS DOUBLE) AS dot
+      |  FROM q, embeddings e WHERE e.vec_id <> q.vec_id),
+      |scored AS (
+      |  SELECT qid, vid, dot / sqrt(nq.nrm * ne.nrm) AS cosine
+      |  FROM pairs JOIN norms nq ON nq.vec_id = qid JOIN norms ne ON ne.vec_id = vid)
+      |SELECT qid, vid, CAST(rk AS INTEGER) AS rk, ROUND(cosine, 6) AS cosine FROM (
+      |  SELECT qid, vid, cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vid) AS rk
+      |  FROM scored) WHERE rk <= 5
+      |ORDER BY qid, rk""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    Similarity.cosineTopK(emb, emb.filter($"vec_id" % 100 === 0), k = 5)
+      .orderBy("qid", "rk")
+  }
+
+  /** LSH-bucketed ANN top-k (the 100 TB path; recall vs. q42 asserted
+    * in SimilaritySpec). xxhash64 planes → rows-only. */
+  val q42b = QueryDef.rowsOnly("q42b_similarity_ann_lsh") { (s, dir) =>
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    Similarity.annTopK(emb, emb.filter($"vec_id" % 100 === 0), k = 5, planes = 4)
+      .orderBy("qid", "rk")
+  }
+
+  /** Embedding-cosine near-duplicate pairs (LSH blocked). */
+  val q42c = QueryDef.rowsOnly("q42c_dedup_embedding_cosine") { (s, dir) =>
+    Similarity.cosineNearDups(Tables.embeddings(s, dir), planes = 4, threshold = 0.5)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Token frequency top-100 (split → explode → count). */
+  val q43a = QueryDef("q43a_token_counts",
+    """SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+      |FROM (SELECT UNNEST(string_split_regex(lower(text), '\s+')) AS token
+      |      FROM documents)
+      |WHERE token <> ''
+      |GROUP BY token ORDER BY cnt DESC, token LIMIT 100""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(explode(split(lower($"text"), "\\s+")).as("token"))
+      .filter($"token" =!= "")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"token").limit(100)
+  }
+
+  /** Language-ID: stopword-ratio vote, identical relational heuristic
+    * on both engines (argmax, alphabetical tie-break). */
+  val q43b = QueryDef("q43b_language_id", {
+    val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+    def lst(l: String) =
+      TextAnalysis.stopwords(l).map(w => s"'$w'").mkString("[", ", ", "]")
+    val scoreCols = langs.map(l =>
+      s"ROUND(CAST(len(list_filter(toks, t -> list_contains(${lst(l)}, t))) AS DOUBLE) / greatest(len(toks), 1), 6) AS score_$l")
+      .mkString(",\n  ")
+    // argmax with earliest-alphabetical tie-break: lang i wins iff its
+    // score strictly exceeds the max of all earlier langs and no later
+    // lang strictly exceeds the running max (mirrors the Scala fold).
+    val pred = langs.tail.reverse.zipWithIndex.map { case (l, _) =>
+      val earlier = langs.takeWhile(_ != l).map(e => s"score_$e").mkString(", ")
+      s"WHEN score_$l > greatest($earlier) THEN '$l'"
+    }.mkString("CASE ", " ", s" ELSE '${langs.head}' END")
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang,
+       |  $scoreCols
+       |  FROM (SELECT doc_id, lang,
+       |          string_split_regex(lower(text), '\\s+') AS toks
+       |        FROM documents))
+       |SELECT doc_id, lang, ${langs.map(l => s"score_$l").mkString(", ")},
+       |  $pred AS pred_lang
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }) { (s, dir) =>
+    import s.implicits._
+    val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+    val out = TextAnalysis.languageId(Tables.documents(s, dir), "text")
+    out.select((Seq($"doc_id", $"lang") ++
+      langs.map(l => round(col(s"score_$l"), 6).as(s"score_$l")) :+
+      $"pred_lang"): _*)
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: length/punct/stopword signals, shared formula. */
+  val q43c = QueryDef("q43c_quality_score",
+    """SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, avg_word_len,
+      |  punct_ratio, stopword_ratio, quality FROM (
+      |  SELECT doc_id,
+      |    len(toks) AS n_tokens,
+      |    ROUND(nchar / greatest(CAST(len(toks) AS DOUBLE), 1.0), 6) AS avg_word_len,
+      |    ROUND(punct / greatest(nchar, 1.0), 6) AS punct_ratio,
+      |    ROUND(stop_hits / greatest(CAST(len(toks) AS DOUBLE), 1.0), 6) AS stopword_ratio,
+      |    ROUND(least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4 +
+      |      (1.0 - punct / greatest(nchar, 1.0)) * 0.3 +
+      |      least(stop_hits / greatest(CAST(len(toks) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.3, 6) AS quality
+      |  FROM (
+      |    SELECT doc_id,
+      |      string_split_regex(lower(text), '\s+') AS toks,
+      |      CAST(length(text) AS DOUBLE) AS nchar,
+      |      CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) AS punct,
+      |      CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+      |        t -> list_contains(['the','of','and','to','in','is','on','for'], t))) AS DOUBLE) AS stop_hits
+      |    FROM documents))
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    TextAnalysis.qualityScore(Tables.documents(s, dir), "text")
+      .select("doc_id", "n_tokens", "avg_word_len", "punct_ratio",
+        "stopword_ratio", "quality")
+      .orderBy("doc_id")
+  }
+
+  /** Token counting (whitespace + BPE-ish estimate) + rolling-hash
+    * fingerprint — identical modular Horner fold on both engines. */
+  val q43d = QueryDef("q43d_tokens_fingerprint",
+    """SELECT doc_id,
+      |  CAST(ws_tokens AS INTEGER) AS ws_tokens,
+      |  CAST(bpe_tokens AS INTEGER) AS bpe_tokens,
+      |  list_reduce(
+      |    [CAST(7 AS BIGINT)] ||
+      |    list_transform(list_filter(string_split(lower(trim(text)), ''), c -> c <> ''),
+      |      c -> CAST(ascii(c) AS BIGINT)),
+      |    (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+      |FROM (
+      |  SELECT doc_id, text,
+      |    len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+      |    list_reduce([CAST(0 AS BIGINT)] ||
+      |      list_transform(string_split_regex(trim(text), '\s+'),
+      |        w -> CAST(ceil(CAST(length(w) AS DOUBLE) / 4.0) AS BIGINT)),
+      |      (a, b) -> a + b) AS bpe_tokens
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val codes = transform(
+      filter(split(lower(trim($"text")), ""), c => c =!= ""),
+      c => ascii(c).cast("long"))
+    TextAnalysis.tokenCounts(Tables.documents(s, dir), "text")
+      .withColumn("fingerprint",
+        aggregate(codes, lit(7L), (acc, x) => (acc * 31 + x) % 1000000007L))
+      .select("doc_id", "ws_tokens", "bpe_tokens", "fingerprint")
+      .orderBy("doc_id")
+  }
+
+  /** Multimodal plumbing: binary payload column → typed partition-wise
+    * feature extraction (decode stubbed; schema/batching real). */
+  val q44 = QueryDef("q44_multimodal_features",
+    """SELECT doc_id AS media_id, 'img_' || lang AS kind,
+      |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+      |  CAST(64 + octet_length(encode(text)) % 640 AS INTEGER) AS width,
+      |  CAST(64 + octet_length(encode(text)) % 480 AS INTEGER) AS height
+      |FROM documents ORDER BY media_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val media = Multimodal.fromDocuments(s, Tables.documents(s, dir))
+    Multimodal.extractFeatures(media).toDF()
+      .select("media_id", "kind", "n_bytes", "width", "height")
+      .orderBy("media_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(q41a, q41b, q41c, q41d, q42, q42b, q42c,
+    q43a, q43b, q43c, q43d, q44)
+}

@@ -1,0 +1,126 @@
+package graft.queries
+
+import graft.Canon
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.LongType
+
+/** Q36–Q39: Structured Streaming — tumbling / sliding+watermark /
+  * session windows and stateful dedup, run as real readStream →
+  * memory-sink pipelines with Trigger.AvailableNow. Correctness is
+  * batch-equivalence (SURVEY.md §5.2-3): the oracle SQL computes the
+  * same aggregation over the same events, and the final streaming
+  * state must match it.
+  *
+  * At scale the same pipelines run unchanged over a file/Kafka source
+  * with RocksDB state and real watermark eviction; AvailableNow here
+  * exercises the identical operators and state machinery.
+  */
+object Streaming {
+
+  private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Streaming scan of the events table (schema from the batch read;
+    * TIMESTAMP(NANOS) arrives as LONG under nanosAsLong — truncate to
+    * micros exactly like Tables.load). */
+  private def streamEvents(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val sch = s.read.parquet(path).schema
+    // the streaming file source wants a directory — stage a symlink
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"), java.nio.file.Paths.get(path))
+    val raw = s.readStream.schema(sch).parquet(streamDir.toString)
+    if (sch.fields.exists(f => f.name == "ts" && f.dataType == LongType))
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  /** Run a streaming DF to a memory sink, return the final table. */
+  private def runToTable(s: SparkSession, df: DataFrame, mode: String): DataFrame = {
+    val qn = s"graft_sink_${counter.incrementAndGet()}"
+    val q = df.writeStream.format("memory").queryName(qn)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(qn)
+  }
+
+  val q36 = QueryDef("q36_stream_tumbling",
+    s"""SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS ws,
+       |  event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+       |  ${Canon.sql.dsum("value")} AS val_sum
+       |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val agg = streamEvents(s, dir)
+      .groupBy(window($"ts", "10 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("cnt"), Canon.dsum($"value").as("val_sum"))
+      .select(Canon.tsStr($"w.start").as("ws"), $"event_type", $"cnt", $"val_sum")
+    runToTable(s, agg, "complete").orderBy("ws", "event_type")
+  }
+
+  val q37 = QueryDef("q37_stream_sliding_watermark",
+    s"""SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS ws,
+       |  CAST(COUNT(*) AS BIGINT) AS cnt, ${Canon.sql.dsum("value")} AS val_sum
+       |FROM (SELECT value,
+       |        UNNEST([time_bucket(INTERVAL '5 minutes', ts),
+       |                time_bucket(INTERVAL '5 minutes', ts) - INTERVAL 5 MINUTES]) AS ws
+       |      FROM events)
+       |GROUP BY ws ORDER BY ws""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val agg = streamEvents(s, dir)
+      .withWatermark("ts", "15 minutes")
+      .groupBy(window($"ts", "10 minutes", "5 minutes").as("w"))
+      .agg(count(lit(1)).as("cnt"), Canon.dsum($"value").as("val_sum"))
+      .select(Canon.tsStr($"w.start").as("ws"), $"cnt", $"val_sum")
+    runToTable(s, agg, "complete").orderBy("ws")
+  }
+
+  /** Session windows (5-minute gap) per user. Spark sessions span
+    * [first_ts, last_ts + gap); the oracle reproduces them with the
+    * gaps-and-islands formulation. */
+  val q38 = QueryDef("q38_stream_session_window",
+    """SELECT user_id,
+      |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  strftime(MAX(ts) + INTERVAL 5 MINUTES, '%Y-%m-%d %H:%M:%S') AS session_end,
+      |  CAST(COUNT(*) AS BIGINT) AS cnt
+      |FROM (
+      |  SELECT user_id, ts,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM (
+      |    SELECT user_id, ts, event_id,
+      |      CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |                >= INTERVAL 5 MINUTES OR
+      |                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |           THEN 1 ELSE 0 END AS is_new
+      |    FROM events)
+      |) GROUP BY user_id, session_id
+      |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val agg = streamEvents(s, dir)
+      .groupBy(session_window($"ts", "5 minutes").as("w"), $"user_id")
+      .agg(count(lit(1)).as("cnt"))
+      .select($"user_id", Canon.tsStr($"w.start").as("session_start"),
+        Canon.tsStr($"w.end").as("session_end"), $"cnt")
+    runToTable(s, agg, "complete").orderBy("user_id", "session_start")
+  }
+
+  /** Stateful streaming dedup: every event duplicated 3×, then
+    * dropDuplicatesWithinWatermark on event_id must restore exactly-once. */
+  val q39 = QueryDef("q39_stream_dedup",
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val deduped = streamEvents(s, dir)
+      .withColumn("dup", explode(array(lit(1), lit(2), lit(3))))
+      .drop("dup")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val sink = runToTable(s, deduped, "append")
+    sink.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+      .orderBy("event_type")
+  }
+
+  val defs: Seq[QueryDef] = Seq(q36, q37, q38, q39)
+}
