@@ -65,14 +65,15 @@ object TextAnalysis {
           (acc, w) => acc + ceil(length(w).cast("double") / 4.0).cast("int")))
   }
 
-  /** 64-bit rolling polynomial fingerprint of normalized text
-    * (base-31 Horner fold over characters, wrapping long arithmetic).
-    * Pure HOF fold — deterministic, no UDF. */
+  /** Rolling polynomial fingerprint of normalized text: base-31 Horner
+    * fold over character codes, mod 1e9+7 (modular — ANSI-safe and
+    * reproducible in any engine). Pure HOF fold, no UDF. */
   def fingerprint(textCol: Column): Column =
     aggregate(
-      transform(split(lower(trim(textCol)), ""), c => ascii(c).cast("long")),
-      lit(1125899906842597L),
-      (acc, x) => acc * 31L + x)
+      transform(filter(split(lower(trim(textCol)), ""), c => c =!= ""),
+        c => ascii(c).cast("long")),
+      lit(7L),
+      (acc, x) => (acc * 31L + x) % 1000000007L)
 
   /** Winnowing-style document sketch: min rolling-hash over each
     * k-token window, distinct — robust to small edits. */

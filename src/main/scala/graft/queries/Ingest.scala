@@ -1,0 +1,65 @@
+package graft.queries
+
+import graft.{Canon, Fixtures}
+import org.apache.spark.sql.functions._
+
+/** Q45/Q46: the ingestion surface end-to-end — the polygonscan DSv2
+  * connector (R1: partition-per-wallet paginated scan, block-range
+  * pushdown) and the full-refresh overwrite load (R14–R16).
+  * The fixture transport is deterministic arithmetic, so the DuckDB
+  * oracle reproduces the ENTIRE ingest pipeline from generate_series.
+  */
+object Ingest {
+
+  val q45 = QueryDef("q45_polygonscan_scan",
+    """SELECT '0xw' || CAST(wi AS VARCHAR) AS wallet_address,
+      |  '0xh' || CAST(wi AS VARCHAR) || '_' || CAST(b AS VARCHAR) AS hash,
+      |  b AS block_number,
+      |  1700000000 + b * 60 AS time_stamp,
+      |  '0xf' || CAST((b * 31 + wi) % 1000 AS VARCHAR) AS from_address,
+      |  '0xt' || CAST((b * 17 + wi) % 1000 AS VARCHAR) AS to_address,
+      |  '0xc' || CAST(b % 25 AS VARCHAR) AS contract_address,
+      |  'Token' || CAST(b % 25 AS VARCHAR) AS token_name,
+      |  'TK' || CAST(b % 25 AS VARCHAR) AS token_symbol,
+      |  CAST(CASE b % 4 WHEN 0 THEN 6 WHEN 1 THEN 8 WHEN 2 THEN 18 ELSE 0 END AS INTEGER) AS token_decimal,
+      |  CAST((b % 9 + 1) * 1000000 + wi AS VARCHAR) AS value,
+      |  CAST((b % 9 + 1) * 1000000 + wi AS DOUBLE) /
+      |    power(10, CASE b % 4 WHEN 0 THEN 6 WHEN 1 THEN 8 WHEN 2 THEN 18 ELSE 0 END) AS quantity
+      |FROM generate_series(0, 4) AS w(wi), generate_series(0, 400) AS t(b)
+      |WHERE b < (wi % 3 + 1) * 100 + (wi * 7919) % 100
+      |  AND b BETWEEN 50 AND 180
+      |ORDER BY wallet_address, block_number""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    graft.functions.WeiToToken.register(s)
+    s.read.format("polygonscan")
+      .option("wallets", (0 to 4).map(w => s"0xw$w").mkString(","))
+      .option("pageSize", "100")
+      .option("source", "fixture")
+      .load()
+      .filter($"block_number" >= 50 && $"block_number" <= 180) // → pushdown
+      .withColumn("quantity",
+        expr("wei_to_token(CAST(value AS BIGINT), token_decimal)"))
+      .orderBy("wallet_address", "block_number")
+  }
+
+  /** Full-refresh load (R14–R16): the reference's upload→TRUNCATE→COPY
+    * becomes one atomic SaveMode.Overwrite; read back and aggregate. */
+  val q46 = QueryDef("q46_full_refresh_load",
+    Fixtures.cte +
+      s"""SELECT token_symbol, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |  ${Canon.sql.dsum("quantity")} AS qty
+         |FROM wallet_txs GROUP BY token_symbol ORDER BY token_symbol""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_load").toString + "/wallet_txs"
+    // load twice: the second overwrite must fully replace the first
+    // (no duplicates — resources/redshift.py:124's contract)
+    Fixtures.walletTxs(s, dir).limit(10).write.mode("overwrite").parquet(tmp)
+    Fixtures.walletTxs(s, dir).write.mode("overwrite").parquet(tmp)
+    s.read.parquet(tmp)
+      .groupBy("token_symbol")
+      .agg(count(lit(1)).as("cnt"), Canon.dsum($"quantity").as("qty"))
+      .orderBy("token_symbol")
+  }
+
+  val defs: Seq[QueryDef] = Seq(q45, q46)
+}

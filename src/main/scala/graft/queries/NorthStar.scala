@@ -251,12 +251,8 @@ object NorthStar {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     import s.implicits._
-    val codes = transform(
-      filter(split(lower(trim($"text")), ""), c => c =!= ""),
-      c => ascii(c).cast("long"))
     TextAnalysis.tokenCounts(Tables.documents(s, dir), "text")
-      .withColumn("fingerprint",
-        aggregate(codes, lit(7L), (acc, x) => (acc * 31 + x) % 1000000007L))
+      .withColumn("fingerprint", TextAnalysis.fingerprint($"text"))
       .select("doc_id", "ws_tokens", "bpe_tokens", "fingerprint")
       .orderBy("doc_id")
   }

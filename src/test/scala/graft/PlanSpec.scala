@@ -1,0 +1,47 @@
+package graft
+
+import graft.queries.{Joins, Scans}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+
+/** Physical-plan assertions (SURVEY.md §4): the declarative programs
+  * must compile to the plans we'd want at 100 TB — broadcast joins for
+  * small dims, filters and projection pushed into the parquet scan. */
+class PlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q12 small-dim join picks BroadcastHashJoin") {
+    val plan = Joins.q12.fn(spark, sf).queryExecution.executedPlan
+    def hasBhj(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.isInstanceOf[BroadcastHashJoinExec] || p.children.exists(hasBhj) ||
+        (p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            hasBhj(a.executedPlan)
+          case _ => false
+        })
+    assert(hasBhj(plan), plan.toString)
+  }
+
+  test("filters push into the parquet scan") {
+    val df = Tables.lineitem(spark, sf).filter($"l_quantity" > 30.0)
+      .select("l_orderkey")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"), scan)
+  }
+
+  test("column pruning: 2-column projection reads a 2-column schema") {
+    val df = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), scan)
+  }
+
+  test("whole-stage codegen covers the scan-filter-project pipeline") {
+    val df = Tables.lineitem(spark, sf).filter($"l_quantity" > 30.0)
+      .select(($"l_extendedprice" * ($"l_quantity" - 1)).as("x"))
+    def hasWscg(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec] ||
+        p.children.exists(hasWscg)
+    assert(hasWscg(df.queryExecution.executedPlan),
+      df.queryExecution.executedPlan.toString)
+  }
+}

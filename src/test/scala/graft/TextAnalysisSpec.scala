@@ -1,0 +1,45 @@
+package graft
+
+import graft.ops.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counts on a known string") {
+    val df = Seq((1L, "the cat sat on the extraordinary mat")).toDF("id", "text")
+    val out = TextAnalysis.tokenCounts(df, "text")
+      .select("ws_tokens", "bpe_tokens").as[(Int, Int)].collect()(0)
+    assert(out._1 == 7)
+    // ceil(3/4)+ceil(3/4)+ceil(3/4)+ceil(2/4)+ceil(3/4)+ceil(13/4)+ceil(3/4)
+    assert(out._2 == 1 + 1 + 1 + 1 + 1 + 4 + 1)
+  }
+
+  test("fingerprint: deterministic, order-sensitive, edit-sensitive") {
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "c b a")).toDF("id", "text")
+      .withColumn("fp", TextAnalysis.fingerprint($"text"))
+    val fps = df.select("id", "fp").as[(Long, Long)].collect().toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("languageId predicts the language of stopword-bearing text") {
+    val df = Seq(
+      (1L, "the quick fox and the lazy dog of the farm is on for a walk in town"),
+      (2L, "le chat et la souris du jardin les des un une")).toDF("id", "text")
+    val out = TextAnalysis.languageId(df, "text")
+      .select("id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "fr")
+  }
+
+  test("quality score is in [0,1] and penalizes punctuation soup") {
+    val df = Seq(
+      (1L, "the ordinary sentence of reasonable length and the usual words for a test"),
+      (2L, "!!! ### $$$ %%% ^^^ &&&")).toDF("id", "text")
+    val out = TextAnalysis.qualityScore(df, "text")
+      .select("id", "quality").as[(Long, Double)].collect().toMap
+    assert(out.values.forall(q => q >= 0.0 && q <= 1.0))
+    assert(out(1L) > out(2L))
+  }
+}
