@@ -28,6 +28,13 @@ object Similarity {
   /** Exact decimal squared norm. */
   def normSqDecimal(a: Column): Column = dotDecimal(a, a)
 
+  /** Double-fold dot product: sequential HOF fold → deterministic for
+    * a fixed element order (cheaper than the decimal path; used by the
+    * ANN/near-dup variants where no cross-engine oracle is involved). */
+  def dotDouble(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
   /** Brute-force cosine top-k: broadcast the (small) query set against
     * the corpus — one pass over the corpus, no shuffle of the corpus
     * itself; per-query top-k via window. At 100 TB the corpus side
@@ -75,7 +82,7 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("qid") =!= col("vid"))
       .withColumn("cosine",
-        dotDecimal(col("qe"), col("ce")) / sqrt(col("qnorm") * col("cnorm")))
+        dotDouble(col("qe"), col("ce")) / sqrt(col("qnorm") * col("cnorm")))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vid"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("qid"), col("vid"), col("rk"), round(col("cosine"), 6).as("cosine"))
@@ -91,7 +98,7 @@ object Similarity {
     a.join(b, col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))
       .withColumn("cosine",
-        dotDecimal(col("a.embedding"), col("b.embedding")) /
+        dotDouble(col("a.embedding"), col("b.embedding")) /
           sqrt(col("a.nrm") * col("b.nrm")))
       .filter(col("cosine") >= threshold)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),

@@ -148,7 +148,7 @@ object NorthStar {
 
   /** Embedding-cosine near-duplicate pairs (LSH blocked). */
   val q42c = QueryDef.rowsOnly("q42c_dedup_embedding_cosine") { (s, dir) =>
-    Similarity.cosineNearDups(Tables.embeddings(s, dir), planes = 4, threshold = 0.5)
+    Similarity.cosineNearDups(Tables.embeddings(s, dir), planes = 6, threshold = 0.5)
       .orderBy("vec_a", "vec_b")
   }
 
