@@ -122,5 +122,35 @@ object Streaming {
       .orderBy("event_type")
   }
 
-  val defs: Seq[QueryDef] = Seq(q36, q37, q38, q39)
+  /** Incremental resume cursor (R1's `startblock` watermark,
+    * walletDataConsumer.py:51): per-wallet max-block state maintained
+    * with flatMapGroupsWithState — the cursor a restarted ingest would
+    * resume from. Final state must equal the batch max. */
+  val q39b = QueryDef("q39b_stream_resume_cursor",
+    """SELECT user_id % 29 AS wallet_key,
+      |  MAX(event_id * 7 + user_id) AS resume_block
+      |FROM events GROUP BY user_id % 29 ORDER BY wallet_key""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val cursors = streamEvents(s, dir)
+      .select(($"user_id" % 29).as("wallet_key"),
+        ($"event_id" * 7 + $"user_id").as("block"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) => {
+          val sofar = state.getOption.getOrElse(Long.MinValue)
+          val hi = rows.map(_._2).foldLeft(sofar)(_ max _)
+          state.update(hi)
+          Iterator((key, hi))
+        })
+      .toDF("wallet_key", "cursor")
+    // update-mode sink appends each state revision; the resume point
+    // is the last (max) cursor per wallet
+    runToTable(s, cursors, "update")
+      .groupBy("wallet_key").agg(max($"cursor").as("resume_block"))
+      .orderBy("wallet_key")
+  }
+
+  val defs: Seq[QueryDef] = Seq(q36, q37, q38, q39, q39b)
 }

@@ -1,0 +1,45 @@
+package graft
+
+import graft.sources.polygonscan.FixturePageSource
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based laws (SURVEY.md §5.2-4): pagination completeness,
+  * wei-rescale precision vs the BigDecimal model. */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("pagination covers the block range exactly once, any page size") {
+    check(Prop.forAll(Gen.choose(0, 20), Gen.choose(1, 250),
+        Gen.choose(0L, 400L), Gen.choose(0L, 400L)) { (w, offset, a, b) =>
+      val (lo, hi) = (a.min(b), a.max(b))
+      val n = FixturePageSource.totalTxs(w, offset)
+      val got = Iterator.from(1)
+        .map(p => FixturePageSource.fetch(s"0xw$w", lo, hi, p, offset))
+        .takeWhile(_.nonEmpty)
+        .flatten.map(_.blockNumber).toVector
+      val expected = (lo.max(0) to hi.min(n - 1)).toVector
+      got == expected && got.distinct.size == got.size
+    })
+  }
+
+  test("wei rescale: double path within 1e-15 relative of exact rational") {
+    check(Prop.forAll(Gen.choose(1L, 9006999999999999999L),
+        Gen.oneOf(0, 6, 8, 18)) { (v, d) =>
+      val got = v.toDouble / math.pow(10.0, d.toDouble)
+      val exact = BigDecimal(v) / BigDecimal(10).pow(d)
+      (BigDecimal(got) - exact).abs <= exact * 1e-15
+    })
+  }
+
+  test("union-all accumulation (R8) is associative on row multisets") {
+    check(Prop.forAll(Gen.listOf(Gen.choose(0, 100)), Gen.listOf(Gen.choose(0, 100)),
+        Gen.listOf(Gen.choose(0, 100))) { (a, b, c) =>
+      ((a ++ b) ++ c).sorted == (a ++ (b ++ c)).sorted
+    })
+  }
+}
