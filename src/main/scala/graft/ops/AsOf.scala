@@ -52,4 +52,26 @@ object AsOf {
       rightCols.map(c => col(s"_match.$c").as(s"asof_$c"))
     matched.select(out: _*)
   }
+
+  /** Native-operator variant: plans [[graft.plans.AsOfJoinPlan]], which
+    * [[graft.plans.AsOfJoinStrategy]] (via GraftExtensions) executes as
+    * a co-partitioned sort-merge — one shuffle per side, O(n+m) merge,
+    * constant memory. Same declared semantics as [[join]]. */
+  def joinNative(
+      left: DataFrame, leftKey: String, leftTime: String,
+      right: DataFrame, rightKey: String, rightTime: String,
+      rightCols: Seq[String], tieBreak: String): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val lp = GraftBridge.analyzed(left)
+    val rp = GraftBridge.analyzed(right)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n)
+        .getOrElse(throw new IllegalArgumentException(s"no column $n"))
+    val df = GraftBridge.ofRows(left.sparkSession,
+      graft.plans.AsOfJoinPlan(lp, rp,
+        attr(lp, leftKey), attr(rp, rightKey),
+        attr(lp, leftTime), attr(rp, rightTime),
+        rightCols.map(c => attr(rp, c)), attr(rp, tieBreak)))
+    df.toDF(left.columns ++ rightCols.map(c => s"asof_$c"): _*)
+  }
 }

@@ -140,6 +140,21 @@ object Joins {
       .orderBy("o_orderkey")
   }
 
+  /** Same as-of semantics through the NATIVE custom operator
+    * (AsOfJoinPlan → AsOfJoinExec sort-merge via GraftExtensions);
+    * shares q14's oracle. */
+  val q14b = QueryDef("q14b_join_asof_native",
+    q14.oracle.get) { (s, dir) =>
+    import s.implicits._
+    val o = Tables.orders(s, dir).withColumn("k", $"o_custkey" % 20)
+    val e = Tables.events(s, dir).withColumn("k", $"user_id" % 20)
+    AsOf.joinNative(o, "k", "o_orderdate", e, "k", "ts",
+        Seq("event_id", "ts"), "event_id")
+      .select($"o_orderkey", $"asof_event_id",
+        Canon.tsStr($"asof_ts").as("asof_ts"))
+      .orderBy("o_orderkey")
+  }
+
   val q15 = QueryDef("q15_join_cross",
     """SELECT r_name, n_name FROM region CROSS JOIN nation
       |ORDER BY r_name, n_name""".stripMargin) { (s, dir) =>
@@ -147,5 +162,5 @@ object Joins {
       .select("r_name", "n_name").orderBy("r_name", "n_name")
   }
 
-  val defs: Seq[QueryDef] = Seq(q08, q09, q10, q10b, q11, q12, q13, q14, q15)
+  val defs: Seq[QueryDef] = Seq(q08, q09, q10, q10b, q11, q12, q13, q14, q14b, q15)
 }

@@ -28,6 +28,19 @@ class AsOfSpec extends SparkSpec {
     assert(merged.exceptAll(brute).isEmpty && brute.exceptAll(merged).isEmpty)
   }
 
+  test("native sort-merge operator agrees with the window formulation") {
+    val left = Tables.orders(spark, sf).withColumn("k", $"o_custkey" % 20)
+    val right = Tables.events(spark, sf).withColumn("k", $"user_id" % 20)
+    val window = AsOf.join(left, "k", "o_orderdate", right, "k", "ts",
+      Seq("event_id"), "event_id").select("o_orderkey", "asof_event_id")
+    val native = AsOf.joinNative(left, "k", "o_orderdate", right, "k", "ts",
+      Seq("event_id"), "event_id").select("o_orderkey", "asof_event_id")
+    assert(native.exceptAll(window).isEmpty && window.exceptAll(native).isEmpty)
+    // and the physical plan really is the custom operator
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+  }
+
   test("left rows with no prior right row get null") {
     val l = Seq((1L, "2024-01-01 00:00:00"), (2L, "2024-03-01 00:00:00"))
       .toDF("id", "t").withColumn("t", $"t".cast("timestamp")).withColumn("k", lit(1))
