@@ -127,7 +127,10 @@ object SetsFuncs {
       |  round(CAST(list_sum(list_transform(embedding,
       |    x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(22,15)))) AS DOUBLE), 6) AS sumsq,
       |  len(list_filter(embedding, x -> x > 0.1)) AS n_big,
-      |  embedding[5] AS e5
+      |  embedding[5] AS e5,
+      |  round(CAST(list_sum(list_transform(embedding[1:3],
+      |    x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(22,15)))) AS DOUBLE), 6) AS s3,
+      |  list_contains(embedding, 0.0) AS has_zero
       |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, dir) =>
     import s.implicits._
     Tables.embeddings(s, dir).select(
@@ -139,7 +142,13 @@ object SetsFuncs {
           .cast(DecimalType(38, 15)))
         .cast(DoubleType), 6).as("sumsq"),
       size(filter($"embedding", x => x > 0.1)).as("n_big"),
-      element_at($"embedding", 5).as("e5"))
+      element_at($"embedding", 5).as("e5"),
+      round(aggregate(slice($"embedding", 1, 3),
+        lit(BigDecimal(0)).cast(DecimalType(38, 15)),
+        (acc, x) => (acc + x.cast(DoubleType).cast(DecimalType(22, 15)))
+          .cast(DecimalType(38, 15)))
+        .cast(DoubleType), 6).as("s3"),
+      array_contains($"embedding", 0.0f).as("has_zero"))
       .orderBy("vec_id")
   }
 
@@ -148,7 +157,8 @@ object SetsFuncs {
     """SELECT event_id,
       |  array_to_string(json_keys(props), ',') AS keys,
       |  CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
-      |  CAST(len(json_keys(props)) AS INTEGER) AS n_keys
+      |  CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+      |  CAST(json_extract(props, '$.k') AS BIGINT) AS v1
       |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
     import s.implicits._
     Tables.events(s, dir)
@@ -157,7 +167,8 @@ object SetsFuncs {
         $"event_id",
         array_join(map_keys($"m"), ",").as("keys"),
         element_at($"m", "k").as("k_val"),
-        size(map_keys($"m")).as("n_keys"))
+        size(map_keys($"m")).as("n_keys"),
+        element_at(map_values($"m"), 1).as("v1"))
       .orderBy("event_id")
   }
 
