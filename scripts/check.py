@@ -48,6 +48,13 @@ def main():
             duck_df = canon(con.sql(oracle[name]).df())
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {e}");  n_bad += 1;  continue
+        # surface dtype drift (a stricter driver may compare schemas)
+        for c in set(spark_df.columns) & set(duck_df.columns):
+            a, d = str(spark_df[c].dtype), str(duck_df[c].dtype)
+            norm = lambda t: {"float32": "float64", "int32": "int64", "int8": "int64",
+                              "uint32": "int64"}.get(t, t)
+            if norm(a) != norm(d):
+                print(f"WARN {name}.{c}: spark dtype {a} vs duck {d}")
         if list(spark_df.columns) != list(duck_df.columns):
             print(f"FAIL {name}: columns {list(spark_df.columns)} vs {list(duck_df.columns)}")
             n_bad += 1;  continue

@@ -59,7 +59,7 @@ object Aggregates {
 
   val q19 = QueryDef("q19_rollup",
     """SELECT r_name, n_name,
-      |  GROUPING(r_name) AS gr, GROUPING(n_name) AS gn,
+      |  CAST(GROUPING(r_name) AS INTEGER) AS gr, CAST(GROUPING(n_name) AS INTEGER) AS gn,
       |  CAST(COUNT(*) AS BIGINT) AS cnt
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |              JOIN region ON n_regionkey = r_regionkey
@@ -70,21 +70,23 @@ object Aggregates {
       .join(Tables.nation(s, dir), $"c_nationkey" === $"n_nationkey")
       .join(Tables.region(s, dir), $"n_regionkey" === $"r_regionkey")
       .rollup($"r_name", $"n_name")
-      .agg(grouping($"r_name").as("gr"), grouping($"n_name").as("gn"),
+      .agg(grouping($"r_name").cast("int").as("gr"),
+        grouping($"n_name").cast("int").as("gn"),
         count(lit(1)).as("cnt"))
       .orderBy($"gr", $"gn", $"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
   }
 
   val q19b = QueryDef("q19b_cube",
     s"""SELECT o_orderstatus, o_orderpriority,
-       |  GROUPING(o_orderstatus) AS gs, GROUPING(o_orderpriority) AS gp,
+       |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS gs, CAST(GROUPING(o_orderpriority) AS INTEGER) AS gp,
        |  CAST(COUNT(*) AS BIGINT) AS cnt, ${Canon.sql.dsum("o_totalprice")} AS total
        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
        |ORDER BY gs, gp, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, dir) =>
     import s.implicits._
     Tables.orders(s, dir)
       .cube($"o_orderstatus", $"o_orderpriority")
-      .agg(grouping($"o_orderstatus").as("gs"), grouping($"o_orderpriority").as("gp"),
+      .agg(grouping($"o_orderstatus").cast("int").as("gs"),
+        grouping($"o_orderpriority").cast("int").as("gp"),
         count(lit(1)).as("cnt"), Canon.dsum($"o_totalprice").as("total"))
       .orderBy($"gs", $"gp", $"o_orderstatus".asc_nulls_first,
         $"o_orderpriority".asc_nulls_first)

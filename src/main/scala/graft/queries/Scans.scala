@@ -91,11 +91,11 @@ object Scans {
 
   val q03 = QueryDef("q03_scan_json_pages",
     """SELECT * FROM (VALUES
-      |  ('0xw1','0xh001',CAST(100 AS BIGINT),'2021-01-01 00:00:00','0xfa','0xta','0xc1','TokenA','TKA',CAST(6 AS INTEGER),1.5),
-      |  ('0xw1','0xh002',CAST(101 AS BIGINT),'2021-01-01 01:00:00','0xfb','0xtb','0xc2','TokenB','TKB',CAST(18 AS INTEGER),2.0),
-      |  ('0xw1','0xh003',CAST(102 AS BIGINT),'2021-01-01 02:00:00','0xfc','0xtc','0xc1','TokenA','TKA',CAST(0 AS INTEGER),42.0),
-      |  ('0xw1','0xh004',CAST(200 AS BIGINT),'2021-02-01 00:00:00','0xfd','0xtd','0xc3','TokenC','TKC',CAST(8 AS INTEGER),1.23456789),
-      |  ('0xw1','0xh005',CAST(201 AS BIGINT),'2021-02-01 01:00:00','0xfe','0xte','0xc1','TokenA','TKA',CAST(6 AS INTEGER),1.000001)
+      |  ('0xw1','0xh001',CAST(100 AS BIGINT),'2021-01-01 00:00:00','0xfa','0xta','0xc1','TokenA','TKA',CAST(6 AS INTEGER),CAST(1.5 AS DOUBLE)),
+      |  ('0xw1','0xh002',CAST(101 AS BIGINT),'2021-01-01 01:00:00','0xfb','0xtb','0xc2','TokenB','TKB',CAST(18 AS INTEGER),CAST(2.0 AS DOUBLE)),
+      |  ('0xw1','0xh003',CAST(102 AS BIGINT),'2021-01-01 02:00:00','0xfc','0xtc','0xc1','TokenA','TKA',CAST(0 AS INTEGER),CAST(42.0 AS DOUBLE)),
+      |  ('0xw1','0xh004',CAST(200 AS BIGINT),'2021-02-01 00:00:00','0xfd','0xtd','0xc3','TokenC','TKC',CAST(8 AS INTEGER),CAST(1.23456789 AS DOUBLE)),
+      |  ('0xw1','0xh005',CAST(201 AS BIGINT),'2021-02-01 01:00:00','0xfe','0xte','0xc1','TokenA','TKA',CAST(6 AS INTEGER),CAST(1.000001 AS DOUBLE))
       |) t(wallet_address, tx_hash, block_number, tx_time, from_address, to_address,
       |    token_contract, token_name, token_symbol, token_decimal, quantity)
       |ORDER BY tx_hash""".stripMargin) { (s, _) =>

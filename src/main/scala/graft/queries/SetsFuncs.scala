@@ -126,7 +126,7 @@ object SetsFuncs {
       |  embedding[1] AS e1,
       |  round(CAST(list_sum(list_transform(embedding,
       |    x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(22,15)))) AS DOUBLE), 6) AS sumsq,
-      |  len(list_filter(embedding, x -> x > 0.1)) AS n_big,
+      |  CAST(len(list_filter(embedding, x -> x > 0.1)) AS INTEGER) AS n_big,
       |  embedding[5] AS e5,
       |  round(CAST(list_sum(list_transform(embedding[1:3],
       |    x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(22,15)))) AS DOUBLE), 6) AS s3,

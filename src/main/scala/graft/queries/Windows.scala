@@ -12,10 +12,10 @@ object Windows {
   val q21 = QueryDef("q21_window_rank",
     Fixtures.cte +
       """SELECT wallet_address, tx_hash,
-        |  ROW_NUMBER() OVER w AS rn,
-        |  RANK() OVER (PARTITION BY wallet_address ORDER BY token_decimal) AS rk,
-        |  DENSE_RANK() OVER (PARTITION BY wallet_address ORDER BY token_decimal) AS drk,
-        |  NTILE(4) OVER w AS quartile
+        |  CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
+        |  CAST(RANK() OVER (PARTITION BY wallet_address ORDER BY token_decimal) AS INTEGER) AS rk,
+        |  CAST(DENSE_RANK() OVER (PARTITION BY wallet_address ORDER BY token_decimal) AS INTEGER) AS drk,
+        |  CAST(NTILE(4) OVER w AS INTEGER) AS quartile
         |FROM wallet_txs
         |WINDOW w AS (PARTITION BY wallet_address ORDER BY block_number, tx_hash)
         |ORDER BY wallet_address, tx_hash""".stripMargin) { (s, dir) =>
