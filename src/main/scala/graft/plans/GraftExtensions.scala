@@ -15,9 +15,26 @@ object AsOfJoinStrategy extends SparkStrategy {
   }
 }
 
+/** Optimizer rule (Rule[LogicalPlan] surface): strength-reduce
+  * `wei_to_token(v, 0)` — dividing by 10^0 — to a bare double cast,
+  * removing the pow from the generated code. Constant folding handles
+  * fully-literal calls; this handles the literal-decimals case the
+  * reference hits for whole-valued tokens. */
+object SimplifyWeiToToken
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+  import org.apache.spark.sql.types.DoubleType
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case graft.functions.WeiToToken(v, Literal(0, _)) => Cast(v, DoubleType)
+    }
+}
+
 /** Session extension hook: register with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => SimplifyWeiToToken)
+  }
 }

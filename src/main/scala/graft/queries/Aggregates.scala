@@ -123,5 +123,24 @@ object Aggregates {
           abs($"apx_s" - $"exact_senders") <= $"exact_senders" * 0.05).as("approx_ok"))
   }
 
-  val defs: Seq[QueryDef] = Seq(q16, q17, q18, q19, q19b, q20, q35)
+  /** Skew-resistant salted aggregation (Skew.scala): event_type has ~5
+    * values — catastrophic key skew at 100 TB — so distinct-count and
+    * sum run as two balanced shuffles; results must equal the plain
+    * single-shuffle formulation (the oracle). */
+  val q47 = QueryDef("q47_salted_skew_agg",
+    s"""SELECT event_type,
+       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS user_id_distinct,
+       |  ${Canon.sql.dsum("value")} AS value_sum,
+       |  CAST(COUNT(*) AS BIGINT) AS cnt
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val d = graft.ops.Skew.saltedDistinctCount(ev, Seq("event_type"), "user_id", 32)
+    val sc = graft.ops.Skew.saltedSumCount(ev, Seq("event_type"), $"value", 32)
+    d.join(sc, "event_type")
+      .select("event_type", "user_id_distinct", "value_sum", "cnt")
+      .orderBy("event_type")
+  }
+
+  val defs: Seq[QueryDef] = Seq(q16, q17, q18, q19, q19b, q20, q35, q47)
 }

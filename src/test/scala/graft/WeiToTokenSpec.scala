@@ -23,6 +23,15 @@ class WeiToTokenSpec extends SparkSpec {
     assert(interp == 1.5d)
   }
 
+  test("optimizer rule strength-reduces wei_to_token(v, 0) to a cast") {
+    WeiToToken.register(spark)
+    Tables.registerViews(spark, sf)
+    val df = spark.sql("SELECT wei_to_token(value_raw, 0) q FROM wallet_txs")
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("wei_to_token"), opt)
+    assert(df.count() > 0)
+  }
+
   test("SQL text resolves the registered function") {
     WeiToToken.register(spark)
     Tables.registerViews(spark, sf)
