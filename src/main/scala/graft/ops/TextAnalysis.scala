@@ -54,15 +54,20 @@ object TextAnalysis {
           least(stopHits / greatest(nTok, lit(1.0)) * 5.0, lit(1.0)) * 0.3, 6))
   }
 
-  /** Token counts: whitespace tokens and a BPE-ish subword estimate
-    * (word chunks of ≤4 chars — the usual ~chars/4 heuristic, but
-    * computed per word so it tracks word boundaries). */
+  /** Token counts: whitespace tokens, a BPE-ish subword estimate
+    * (word chunks of ≤4 chars — the ~chars/4 heuristic per word so it
+    * tracks word boundaries), and a regex tokenizer count (letter runs
+    * / digit runs / single punctuation — the GPT-2-style pre-split). */
+  val tokenRegex = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
   def tokenCounts(df: DataFrame, textCol: String): DataFrame = {
     val toks = split(trim(col(textCol)), "\\s+")
     df.withColumn("ws_tokens", size(toks))
       .withColumn("bpe_tokens",
         aggregate(toks, lit(0),
           (acc, w) => acc + ceil(length(w).cast("double") / 4.0).cast("int")))
+      .withColumn("re_tokens",
+        regexp_count(lower(col(textCol)), lit(tokenRegex)).cast("int"))
   }
 
   /** Rolling polynomial fingerprint of normalized text: base-31 Horner

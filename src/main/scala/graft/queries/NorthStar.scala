@@ -236,6 +236,7 @@ object NorthStar {
     """SELECT doc_id,
       |  CAST(ws_tokens AS INTEGER) AS ws_tokens,
       |  CAST(bpe_tokens AS INTEGER) AS bpe_tokens,
+      |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS re_tokens,
       |  list_reduce(
       |    [CAST(7 AS BIGINT)] ||
       |    list_transform(list_filter(string_split(lower(trim(text)), ''), c -> c <> ''),
@@ -253,7 +254,7 @@ object NorthStar {
     import s.implicits._
     TextAnalysis.tokenCounts(Tables.documents(s, dir), "text")
       .withColumn("fingerprint", TextAnalysis.fingerprint($"text"))
-      .select("doc_id", "ws_tokens", "bpe_tokens", "fingerprint")
+      .select("doc_id", "ws_tokens", "bpe_tokens", "re_tokens", "fingerprint")
       .orderBy("doc_id")
   }
 
