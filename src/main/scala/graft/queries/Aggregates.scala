@@ -48,6 +48,51 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
+  /** Order statistics + bivariate stats. Quantiles are exact linear
+    * interpolation (identical definition in both engines); corr/covar
+    * are derived from exact decimal sums via one shared IEEE formula
+    * (builtin corr accumulates floats in partition order — not
+    * reproducible across engines or partitionings). */
+  val q17b = QueryDef("q17b_agg_stats",
+    s"""SELECT l_returnflag,
+       |  round(median(l_quantity), 6) AS med_q,
+       |  round(quantile_cont(l_quantity, 0.25), 6) AS p25_q,
+       |  round(quantile_cont(l_quantity, 0.75), 6) AS p75_q,
+       |  ROUND((CAST(COUNT(*) AS DOUBLE) * ${x("l_quantity", "l_extendedprice")} -
+       |     ${s1("l_quantity")} * ${s1("l_extendedprice")}) /
+       |    (CAST(COUNT(*) AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) - 1.0)), 6) AS covar_s,
+       |  ROUND((CAST(COUNT(*) AS DOUBLE) * ${x("l_quantity", "l_extendedprice")} -
+       |     ${s1("l_quantity")} * ${s1("l_extendedprice")}) /
+       |    sqrt((CAST(COUNT(*) AS DOUBLE) * ${x("l_quantity", "l_quantity")} -
+       |          ${s1("l_quantity")} * ${s1("l_quantity")}) *
+       |         (CAST(COUNT(*) AS DOUBLE) * ${x("l_extendedprice", "l_extendedprice")} -
+       |          ${s1("l_extendedprice")} * ${s1("l_extendedprice")})), 6) AS corr_qp
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.Column
+    val n = count(lit(1)).cast("double")
+    def sd(c: Column) = Canon.dsumExact(c)
+    // (19,3)×(18,3): forces int128 arithmetic in DuckDB (width-19
+    // operand) while Spark's product type stays within precision 38
+    def sxy(a: Column, b: Column) =
+      sum(a.cast(org.apache.spark.sql.types.DecimalType(19, 3)) *
+        b.cast(org.apache.spark.sql.types.DecimalType(18, 3))).cast("double")
+    val (q, p) = ($"l_quantity", $"l_extendedprice")
+    Tables.lineitem(s, dir).groupBy("l_returnflag").agg(
+      round(median(q), 6).as("med_q"),
+      round(percentile(q, lit(0.25)), 6).as("p25_q"),
+      round(percentile(q, lit(0.75)), 6).as("p75_q"),
+      round((n * sxy(q, p) - sd(q) * sd(p)) / (n * (n - lit(1.0))), 6).as("covar_s"),
+      round((n * sxy(q, p) - sd(q) * sd(p)) /
+        sqrt((n * sxy(q, q) - sd(q) * sd(q)) * (n * sxy(p, p) - sd(p) * sd(p))), 6)
+        .as("corr_qp"))
+      .orderBy("l_returnflag")
+  }
+  // oracle SQL helpers for q17b
+  private def s1(c: String) = Canon.sql.dsumExact(c)
+  private def x(a: String, b: String) =
+    s"CAST(SUM(CAST($a AS DECIMAL(19,3)) * CAST($b AS DECIMAL(18,3))) AS DOUBLE)"
+
   val q18 = QueryDef("q18_distinct",
     Fixtures.cte +
       """SELECT DISTINCT token_contract, token_symbol FROM wallet_txs
@@ -123,6 +168,23 @@ object Aggregates {
           abs($"apx_s" - $"exact_senders") <= $"exact_senders" * 0.05).as("approx_ok"))
   }
 
+  /** Pivot: group × pivoted-column counts as wide columns. */
+  val q19c = QueryDef("q19c_pivot",
+    s"""SELECT l_returnflag,
+       |  CAST(COUNT(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS F,
+       |  CAST(COUNT(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS O,
+       |  ${Canon.sql.dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS F_qty,
+       |  ${Canon.sql.dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS O_qty
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val counts = Tables.lineitem(s, dir)
+      .groupBy("l_returnflag").pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)).as("c"), Canon.dsum($"l_quantity").as("qty"))
+    counts.select($"l_returnflag",
+        $"F_c".as("F"), $"O_c".as("O"), $"F_qty", $"O_qty")
+      .orderBy("l_returnflag")
+  }
+
   /** Skew-resistant salted aggregation (Skew.scala): event_type has ~5
     * values — catastrophic key skew at 100 TB — so distinct-count and
     * sum run as two balanced shuffles; results must equal the plain
@@ -142,5 +204,6 @@ object Aggregates {
       .orderBy("event_type")
   }
 
-  val defs: Seq[QueryDef] = Seq(q16, q17, q18, q19, q19b, q20, q35, q47)
+  val defs: Seq[QueryDef] =
+    Seq(q16, q17, q17b, q18, q19, q19b, q19c, q20, q35, q47)
 }

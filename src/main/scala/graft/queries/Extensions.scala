@@ -78,5 +78,21 @@ object Extensions {
       .orderBy("doc_id", "pos")
   }
 
-  val defs: Seq[QueryDef] = Seq(q40a, q40b, q40c, q40d)
+  /** explode_outer: null arrays keep their row (null element) —
+    * DuckDB's UNNEST drops them, so the oracle wraps null in [NULL]. */
+  val q40e = QueryDef("q40e_explode_outer",
+    Fixtures.cte +
+      """SELECT tx_hash, part FROM (
+        |  SELECT tx_hash,
+        |    UNNEST(CASE WHEN to_address IS NULL THEN [NULL]
+        |                ELSE string_split(to_address, 'x') END) AS part
+        |  FROM wallet_txs)
+        |ORDER BY tx_hash, part NULLS FIRST""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Fixtures.walletTxs(s, dir)
+      .select($"tx_hash", explode_outer(split($"to_address", "x")).as("part"))
+      .orderBy($"tx_hash", $"part".asc_nulls_first)
+  }
+
+  val defs: Seq[QueryDef] = Seq(q40a, q40b, q40c, q40d, q40e)
 }
