@@ -119,6 +119,19 @@ object Joins {
       .orderBy("l_orderkey")
   }
 
+  /** Pure-theta join (no equi component) → BroadcastNestedLoopJoin;
+    * only ever used on bounded small sides. */
+  val q13b = QueryDef("q13b_join_pure_theta",
+    """SELECT r1.r_name AS a, r2.r_name AS b
+      |FROM region r1 JOIN region r2 ON r1.r_regionkey < r2.r_regionkey
+      |ORDER BY a, b""".stripMargin) { (s, dir) =>
+    val r1 = Tables.region(s, dir).as("r1")
+    val r2 = Tables.region(s, dir).as("r2")
+    r1.join(r2, col("r1.r_regionkey") < col("r2.r_regionkey"))
+      .select(col("r1.r_name").as("a"), col("r2.r_name").as("b"))
+      .orderBy("a", "b")
+  }
+
   /** As-of join: latest event (ts <= o_orderdate) per order, keyed on
     * custkey%20 vs user_id%20; ties → smallest event_id. */
   val q14 = QueryDef("q14_join_asof",
@@ -162,5 +175,6 @@ object Joins {
       .select("r_name", "n_name").orderBy("r_name", "n_name")
   }
 
-  val defs: Seq[QueryDef] = Seq(q08, q09, q10, q10b, q11, q12, q13, q14, q14b, q15)
+  val defs: Seq[QueryDef] =
+    Seq(q08, q09, q10, q10b, q11, q12, q13, q13b, q14, q14b, q15)
 }

@@ -91,7 +91,7 @@ object Streaming {
       |  FROM (
       |    SELECT user_id, ts, event_id,
       |      CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-      |                >= INTERVAL 5 MINUTES OR
+      |                > INTERVAL 5 MINUTES OR
       |                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
       |           THEN 1 ELSE 0 END AS is_new
       |    FROM events)
