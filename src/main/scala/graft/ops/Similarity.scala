@@ -16,13 +16,17 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object Similarity {
 
-  /** Exact decimal dot product of two float-array columns. */
+  /** Exact decimal dot product of two float-array columns.
+    * Terms at scale 14 with a (37,14) accumulator: the Add stays at
+    * precision 38 so Spark never engages precision-loss rescaling —
+    * every partial sum is exact and matches DuckDB's exact list_sum
+    * over the same scale-14 terms. */
   def dotDecimal(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) =>
-        (x.cast(DoubleType) * y.cast(DoubleType)).cast(DecimalType(22, 15))),
-      lit(BigDecimal(0)).cast(DecimalType(38, 15)),
-      (acc, x) => (acc + x).cast(DecimalType(38, 15)))
+        (x.cast(DoubleType) * y.cast(DoubleType)).cast(DecimalType(23, 14))),
+      lit(BigDecimal(0)).cast(DecimalType(37, 14)),
+      (acc, x) => (acc + x).cast(DecimalType(37, 14)))
       .cast(DoubleType)
 
   /** Exact decimal squared norm. */

@@ -32,12 +32,15 @@ object Skew {
   }
 
   /** Salted exact-decimal sum + count (the generic two-stage shape for
-    * any algebraic agg under extreme key skew). Salt is random-ish but
-    * deterministic (row-content hash), so results are reproducible. */
+    * any algebraic agg under extreme key skew). The salt is a per-row
+    * counter, NOT value-derived — a constant-valued hot group would
+    * collapse a content hash into one bucket, reproducing the skew.
+    * The decimal partial sums are associative, so the (partitioning-
+    * dependent) salt assignment cannot change the result. */
   def saltedSumCount(df: DataFrame, groupCols: Seq[String],
       valueCol: Column, buckets: Int): DataFrame = {
     val salted = df.withColumn("_salt",
-      pmod(xxhash64(valueCol), lit(buckets)))
+      pmod(monotonically_increasing_id(), lit(buckets.toLong)))
     val partial = salted
       .groupBy((groupCols.map(col) :+ col("_salt")): _*)
       .agg(sum(valueCol.cast(graft.Canon.Money)).as("_psum"),

@@ -67,17 +67,31 @@ case class AsOfJoinExec(
           val l = lIter.next()
           val lk = lKey.eval(l)
           val lt = lTime.eval(l)
+          // A null left key/time can never match (SQL comparison
+          // semantics); emit the null payload without advancing.
+          if (lk == null || lt == null) return joined(l, nullPayload)
           // advance right cursor through every row at or before (lk, lt)
           var advancing = true
           while (advancing && rBuf.hasNext) {
             val r = rBuf.head
             val rk = rKey.eval(r)
-            val kc = keyOrd.compare(rk, lk)
-            if (kc < 0 || (kc == 0 && timeOrd.compare(rTime.eval(r), lt) <= 0)) {
-              matchKey = rk
-              matchPayload = payloadProj(r).copy()
-              rBuf.next()
-            } else advancing = false
+            if (rk == null) rBuf.next() // null-keyed right rows match nothing
+            else {
+              val kc = keyOrd.compare(rk, lk)
+              if (kc < 0) rBuf.next()   // stale key: drain without matching
+              else if (kc == 0) {
+                val rt = rTime.eval(r)
+                if (rt == null) rBuf.next() // null time: unusable as-of point
+                else if (timeOrd.compare(rt, lt) <= 0) {
+                  // copy BOTH: the sort iterator reuses row buffers, so
+                  // non-primitive keys (UTF8String/Decimal) must not
+                  // retain pointers into the recycled row
+                  matchKey = InternalRow.copyValue(rk)
+                  matchPayload = payloadProj(r).copy()
+                  rBuf.next()
+                } else advancing = false
+              } else advancing = false
+            }
           }
           val p =
             if (matchPayload != null && keyOrd.compare(matchKey, lk) == 0) matchPayload

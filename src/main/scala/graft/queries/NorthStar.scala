@@ -115,13 +115,13 @@ object NorthStar {
     """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
       |norms AS (
       |  SELECT vec_id, CAST(list_sum(list_transform(embedding,
-      |    x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(22,15)))) AS DOUBLE) AS nrm
+      |    x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(23,14)))) AS DOUBLE) AS nrm
       |  FROM embeddings),
       |pairs AS (
       |  SELECT q.vec_id AS qid, e.vec_id AS vid,
       |    CAST(list_sum(list_transform(generate_series(1, len(q.embedding)),
       |      i -> CAST(CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
-      |           AS DECIMAL(22,15)))) AS DOUBLE) AS dot
+      |           AS DECIMAL(23,14)))) AS DOUBLE) AS dot
       |  FROM q, embeddings e WHERE e.vec_id <> q.vec_id),
       |scored AS (
       |  SELECT qid, vid, dot / sqrt(nq.nrm * ne.nrm) AS cosine

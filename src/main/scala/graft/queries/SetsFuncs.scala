@@ -125,11 +125,11 @@ object SetsFuncs {
       |  CAST(len(embedding) AS INTEGER) AS dim,
       |  embedding[1] AS e1,
       |  round(CAST(list_sum(list_transform(embedding,
-      |    x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(22,15)))) AS DOUBLE), 6) AS sumsq,
+      |    x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(23,14)))) AS DOUBLE), 6) AS sumsq,
       |  CAST(len(list_filter(embedding, x -> x > 0.1)) AS INTEGER) AS n_big,
       |  embedding[5] AS e5,
       |  round(CAST(list_sum(list_transform(embedding[1:3],
-      |    x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(22,15)))) AS DOUBLE), 6) AS s3,
+      |    x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(23,14)))) AS DOUBLE), 6) AS s3,
       |  list_contains(embedding, 0.0) AS has_zero
       |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, dir) =>
     import s.implicits._
@@ -137,16 +137,16 @@ object SetsFuncs {
       $"vec_id",
       size($"embedding").as("dim"),
       element_at($"embedding", 1).as("e1"),
-      round(aggregate($"embedding", lit(BigDecimal(0)).cast(DecimalType(38, 15)),
-        (acc, x) => (acc + (x.cast(DoubleType) * x.cast(DoubleType)).cast(DecimalType(22, 15)))
-          .cast(DecimalType(38, 15)))
+      round(aggregate($"embedding", lit(BigDecimal(0)).cast(DecimalType(37, 14)),
+        (acc, x) => (acc + (x.cast(DoubleType) * x.cast(DoubleType)).cast(DecimalType(23, 14)))
+          .cast(DecimalType(37, 14)))
         .cast(DoubleType), 6).as("sumsq"),
       size(filter($"embedding", x => x > 0.1)).as("n_big"),
       element_at($"embedding", 5).as("e5"),
       round(aggregate(slice($"embedding", 1, 3),
-        lit(BigDecimal(0)).cast(DecimalType(38, 15)),
-        (acc, x) => (acc + x.cast(DoubleType).cast(DecimalType(22, 15)))
-          .cast(DecimalType(38, 15)))
+        lit(BigDecimal(0)).cast(DecimalType(37, 14)),
+        (acc, x) => (acc + x.cast(DoubleType).cast(DecimalType(23, 14)))
+          .cast(DecimalType(37, 14)))
         .cast(DoubleType), 6).as("s3"),
       array_contains($"embedding", 0.0f).as("has_zero"))
       .orderBy("vec_id")

@@ -30,7 +30,8 @@ object Streaming {
     // the streaming file source wants a directory — stage a symlink
     val streamDir = java.nio.file.Files.createTempDirectory("graft_stream")
     java.nio.file.Files.createSymbolicLink(
-      streamDir.resolve("events.parquet"), java.nio.file.Paths.get(path))
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(path).toAbsolutePath) // relative would dangle
     val raw = s.readStream.schema(sch).parquet(streamDir.toString)
     if (sch.fields.exists(f => f.name == "ts" && f.dataType == LongType))
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

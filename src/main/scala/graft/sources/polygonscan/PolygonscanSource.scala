@@ -156,29 +156,25 @@ class WalletReader(p: WalletPartition, required: StructType)
   }
 
   // correct pagination (SURVEY §0.1-1): advance `page` until a short
-  // page; each fetch re-parameterizes the request.
-  private val iter: Iterator[Tx] = {
-    def fetchAll: Iterator[Tx] = new Iterator[Tx] {
-      private var page = 1
-      private var buf: Seq[Tx] = Seq.empty
-      private var i = 0
-      private var exhausted = false
-      private def refill(): Unit = {
-        while (!exhausted && i >= buf.length) {
-          buf = pages.fetch(p.wallet, p.startBlock, p.endBlock, page, p.pageSize)
-          i = 0
-          if (buf.length < p.pageSize) exhausted = true // short page ends scan
-          page += 1
-          if (buf.isEmpty) return
-        }
+  // page; each fetch re-parameterizes the request. Fetching is lazy —
+  // failures surface in next()/hasNext, where the R17 permissive guard
+  // lives.
+  private val iter: Iterator[Tx] = new Iterator[Tx] {
+    private var page = 1
+    private var buf: Seq[Tx] = Seq.empty
+    private var i = 0
+    private var exhausted = false
+    private def refill(): Unit = {
+      while (!exhausted && i >= buf.length) {
+        buf = pages.fetch(p.wallet, p.startBlock, p.endBlock, page, p.pageSize)
+        i = 0
+        if (buf.length < p.pageSize) exhausted = true // short page ends scan
+        page += 1
+        if (buf.isEmpty) return
       }
-      override def hasNext: Boolean = { if (i >= buf.length) refill(); i < buf.length }
-      override def next(): Tx = { val t = buf(i); i += 1; t }
     }
-    try fetchAll
-    catch {
-      case e: Exception if p.mode == "permissive" => Iterator.empty // R17
-    }
+    override def hasNext: Boolean = { if (i >= buf.length) refill(); i < buf.length }
+    override def next(): Tx = { val t = buf(i); i += 1; t }
   }
 
   private var current: Tx = _

@@ -41,6 +41,22 @@ class AsOfSpec extends SparkSpec {
     assert(plan.contains("AsOfJoin"), plan)
   }
 
+  test("native operator handles string keys and null right times") {
+    val left = Tables.orders(spark, sf)
+      .withColumn("k", concat(lit("key_"), ($"o_custkey" % 20).cast("string")))
+    val right = Tables.events(spark, sf)
+      .withColumn("k", concat(lit("key_"), ($"user_id" % 20).cast("string")))
+      // null-time rows must be skipped, not crash the merge
+      .withColumn("ts", when($"event_id" % 17 === 0, lit(null).cast("timestamp"))
+        .otherwise($"ts"))
+    val native = AsOf.joinNative(left, "k", "o_orderdate", right, "k", "ts",
+      Seq("event_id"), "event_id").select("o_orderkey", "asof_event_id")
+    val window = AsOf.join(left, "k", "o_orderdate",
+      right.filter($"ts".isNotNull), "k", "ts",
+      Seq("event_id"), "event_id").select("o_orderkey", "asof_event_id")
+    assert(native.exceptAll(window).isEmpty && window.exceptAll(native).isEmpty)
+  }
+
   test("left rows with no prior right row get null") {
     val l = Seq((1L, "2024-01-01 00:00:00"), (2L, "2024-03-01 00:00:00"))
       .toDF("id", "t").withColumn("t", $"t".cast("timestamp")).withColumn("k", lit(1))
