@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
-/** Typed `Aggregator` UDAF (Q40): weighted average computed in exact
+/** Typed `Aggregator` UDAF (Q40, SURVEY.md §2.2): weighted average
+  * computed in exact
   * decimal so partial-aggregate combine order (nondeterministic across
   * partitions) cannot change the result.
   *

@@ -6,6 +6,8 @@ import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines (SURVEY.md Q41
   * + the north-star ops): exact, MinHash+LSH, SimHash, n-gram Jaccard.
+  * (Beyond the reference, whose only dedup is the full-refresh
+  * TRUNCATE+COPY contract, resources/redshift.py:124.)
   *
   * Scale notes (100 TB): every variant is a constant number of
   * shuffles keyed on content-derived values — no driver collects, no

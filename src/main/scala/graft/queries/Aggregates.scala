@@ -4,7 +4,8 @@ import graft.{Canon, Fixtures, Tables}
 import org.apache.spark.sql.functions._
 
 /** Q16–Q20 + Q35: aggregation family — hash agg, full agg-function
-  * sweep, distinct, rollup/cube, having, approx-distinct.
+  * sweep, distinct, rollup/cube, having, approx-distinct — the
+  * warehouse surface the reference delegates (resources/redshift.py:89-112).
   */
 object Aggregates {
 

@@ -5,7 +5,8 @@ import graft.ops.AsOf
 import org.apache.spark.sql.functions._
 
 /** Q08–Q15: join family — inner/outer/semi/anti, multi-way, broadcast,
-  * theta, as-of, cross. SURVEY.md §2.2.
+  * theta, as-of, cross. SURVEY.md §2.2 — the relational surface the
+  * reference delegates to its warehouse (resources/redshift.py:89-112).
   */
 object Joins {
 

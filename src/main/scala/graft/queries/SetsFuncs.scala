@@ -5,7 +5,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Q25–Q32: set operations and the scalar-function surface (string,
-  * datetime, math, array, map, json, conditional).
+  * datetime, math, array, map, json, conditional) — delegated
+  * warehouse surface (resources/redshift.py:89-112); R8 union
+  * accumulation generalizes walletDataConsumer.py:67,133.
   */
 object SetsFuncs {
 

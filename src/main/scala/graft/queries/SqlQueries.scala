@@ -6,6 +6,7 @@ import graft.{Fixtures, Tables}
   * range frames (Q23b), subqueries (Q33a/b/c), CTEs (Q34). The Spark
   * text runs over temp views; the oracle text is identical except
   * wallet_txs comes from the deterministic CTE (Fixtures.cte).
+  * Delegated warehouse surface (resources/redshift.py:89-112).
   */
 object SqlQueries {
 

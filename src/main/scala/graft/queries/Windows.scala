@@ -5,7 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Q21–Q24: window functions (ranking, analytic, frames) and
-  * sort/limit/top-k.
+  * sort/limit/top-k — delegated warehouse surface
+  * (resources/redshift.py:89-112).
   */
 object Windows {
 
