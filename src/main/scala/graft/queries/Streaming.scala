@@ -153,5 +153,28 @@ object Streaming {
       .orderBy("wallet_key")
   }
 
-  val defs: Seq[QueryDef] = Seq(q36, q37, q38, q39, q39b)
+  /** Stream-stream inner join with watermarks + time-range condition:
+    * pairs of events from the same user within 5 minutes. State on
+    * both sides is bounded by the watermark; the oracle is the batch
+    * self-join of the same predicate. */
+  val q48 = QueryDef("q48_stream_stream_join",
+    """SELECT a.user_id, CAST(COUNT(*) AS BIGINT) AS pair_cnt
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTES
+      |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val a = streamEvents(s, dir).withWatermark("ts", "10 minutes")
+      .select($"user_id", $"ts".as("ts_a"))
+    val b = streamEvents(s, dir).withWatermark("ts", "10 minutes")
+      .select($"user_id".as("user_b"), $"ts".as("ts_b"))
+    val joined = a.join(b,
+      $"user_id" === $"user_b" &&
+        $"ts_b" > $"ts_a" && $"ts_b" <= $"ts_a" + expr("INTERVAL 5 MINUTES"))
+    val sink = runToTable(s, joined, "append")
+    sink.groupBy("user_id").agg(count(lit(1)).as("pair_cnt"))
+      .orderBy("user_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(q36, q37, q38, q39, q39b, q48)
 }
