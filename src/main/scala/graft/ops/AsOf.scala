@@ -48,7 +48,7 @@ object AsOf {
       .withColumn("_match", last("_rv", ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
 
-    val out = left.columns.map(col) ++
+    val out = left.columns.toSeq.map(col) ++
       rightCols.map(c => col(s"_match.$c").as(s"asof_$c"))
     matched.select(out: _*)
   }
@@ -72,6 +72,6 @@ object AsOf {
         attr(lp, leftKey), attr(rp, rightKey),
         attr(lp, leftTime), attr(rp, rightTime),
         rightCols.map(c => attr(rp, c)), attr(rp, tieBreak)))
-    df.toDF(left.columns ++ rightCols.map(c => s"asof_$c"): _*)
+    df.toDF(left.columns.toSeq ++ rightCols.map(c => s"asof_$c"): _*)
   }
 }
