@@ -205,6 +205,43 @@ object Aggregates {
       .orderBy("event_type")
   }
 
+  /** The canonical TPC-H Q1 pricing summary, decimal-exact. */
+  val q49 = QueryDef("q49_tpch_q1",
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${Canon.sql.dsum("l_quantity")} AS sum_qty,
+       |  ${Canon.sql.dsum("l_extendedprice")} AS sum_base_price,
+       |  ${Canon.sql.revenue("l_extendedprice", "l_discount")} AS sum_disc_price,
+       |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+       |    CAST(1 - l_discount AS DECIMAL(8,2)) *
+       |    CAST(1 + l_tax AS DECIMAL(8,2))) AS DOUBLE), 6) AS sum_charge,
+       |  ${Canon.sql.davg("l_quantity")} AS avg_qty,
+       |  ${Canon.sql.davg("l_extendedprice")} AS avg_price,
+       |  ${Canon.sql.davg("l_discount")} AS avg_disc,
+       |  CAST(COUNT(*) AS BIGINT) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1999-09-01'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" <= lit("1999-09-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        Canon.dsum($"l_quantity").as("sum_qty"),
+        Canon.dsum($"l_extendedprice").as("sum_base_price"),
+        Canon.revenue($"l_extendedprice", $"l_discount").as("sum_disc_price"),
+        round(sum($"l_extendedprice".cast(DecimalType(18, 2)) *
+          (lit(1) - $"l_discount").cast(DecimalType(8, 2)) *
+          (lit(1) + $"l_tax").cast(DecimalType(8, 2))).cast("double"), 6)
+          .as("sum_charge"),
+        Canon.davg($"l_quantity").as("avg_qty"),
+        Canon.davg($"l_extendedprice").as("avg_price"),
+        Canon.davg($"l_discount").as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   val defs: Seq[QueryDef] =
-    Seq(q16, q17, q17b, q18, q19, q19b, q19c, q20, q35, q47)
+    Seq(q16, q17, q17b, q18, q19, q19b, q19c, q20, q35, q47, q49)
 }

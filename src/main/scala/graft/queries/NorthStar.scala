@@ -110,6 +110,31 @@ object NorthStar {
       .orderBy("da", "db")
   }
 
+  /** Edit-distance near-dups: block by (lang, length bucket), verify
+    * with levenshtein over an 60-char prefix (cost cap) — the same
+    * standard DP both engines implement, so fully oracle-checked. */
+  val q41e = QueryDef("q41e_dedup_edit_distance",
+    """SELECT a.doc_id AS da, b.doc_id AS db,
+      |  CAST(levenshtein(substr(a.text, 1, 60), substr(b.text, 1, 60)) AS INTEGER) AS dist
+      |FROM documents a JOIN documents b
+      |  ON a.lang = b.lang
+      | AND a.n_chars // 10 = b.n_chars // 10
+      | AND a.doc_id < b.doc_id
+      |WHERE levenshtein(substr(a.text, 1, 60), substr(b.text, 1, 60)) <= 20
+      |ORDER BY da, db""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val d = Tables.documents(s, dir)
+      .select($"doc_id", $"text", $"lang", ($"n_chars" / 10).cast("long").as("lb"))
+    val a = d.as("a"); val b = d.as("b")
+    a.join(b, $"a.lang" === $"b.lang" && $"a.lb" === $"b.lb" &&
+        $"a.doc_id" < $"b.doc_id")
+      .withColumn("dist",
+        levenshtein(substring($"a.text", 1, 60), substring($"b.text", 1, 60)))
+      .filter($"dist" <= 20)
+      .select($"a.doc_id".as("da"), $"b.doc_id".as("db"), $"dist")
+      .orderBy("da", "db")
+  }
+
   /** Brute-force cosine top-k (exact baseline), decimal-exact dots. */
   val q42 = QueryDef("q42_similarity_bruteforce",
     """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
@@ -273,6 +298,6 @@ object NorthStar {
       .orderBy("media_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(q41a, q41b, q41c, q41d, q42, q42b, q42c,
-    q43a, q43b, q43c, q43d, q44)
+  val defs: Seq[QueryDef] = Seq(q41a, q41b, q41c, q41d, q41e, q42, q42b,
+    q42c, q43a, q43b, q43c, q43d, q44)
 }
