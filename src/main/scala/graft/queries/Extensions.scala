@@ -94,5 +94,22 @@ object Extensions {
       .orderBy($"tx_hash", $"part".asc_nulls_first)
   }
 
-  val defs: Seq[QueryDef] = Seq(q40a, q40b, q40c, q40d, q40e)
+  /** TypedImperativeAggregate surface: space-saving heavy hitters.
+    * capacity 64 ≥ 50 distinct symbols → exact → oracle = plain
+    * top-10 group counts. */
+  val q40f = QueryDef("q40f_imperative_topk",
+    Fixtures.cte +
+      """SELECT token_symbol AS value, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM wallet_txs GROUP BY token_symbol
+        |ORDER BY cnt DESC, value LIMIT 10""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    graft.functions.TopKFreq.register(s)
+    Tables.registerViews(s, dir)
+    s.sql("""SELECT t.col.value AS value, t.col.cnt AS cnt
+            |FROM (SELECT explode(topk_freq(token_symbol, 10, 64)) AS col
+            |      FROM wallet_txs) t
+            |ORDER BY cnt DESC, value""".stripMargin)
+  }
+
+  val defs: Seq[QueryDef] = Seq(q40a, q40b, q40c, q40d, q40e, q40f)
 }
