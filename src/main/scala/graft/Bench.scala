@@ -22,7 +22,11 @@ object Bench {
     // session warmup: JIT/codegen/file-listing paths out of the timings
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated query filter for focused iteration
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       var failed = false
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()

@@ -53,7 +53,13 @@ object Dedup {
     * Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b. */
   def minHashNearDups(sigs: DataFrame, bands: Int, rowsPer: Int,
       threshold: Double): DataFrame = {
-    val banded = sigs.select(col("doc"), col("sig"),
+    // Materialize the signatures ONCE: the shingle→explode→H-way min
+    // pipeline behind `sigs` is the expensive stage, and the LSH
+    // self-join below would otherwise re-execute it on BOTH sides
+    // (2× compute, worse under AQE re-planning). The cached relation
+    // is (doc, sig) — H longs per doc, tiny relative to the text.
+    val matSigs = sigs.cache()
+    val banded = matSigs.select(col("doc"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPer + 1, lit(rowsPer))), b)))
         .as(Seq("band", "bhash")))
@@ -73,20 +79,17 @@ object Dedup {
   }
 
   /** 64-bit SimHash over word tokens: per-bit majority vote of token
-    * hashes. Pure column expressions (no UDF): bit b of the simhash is
-    * the sign of Σ_tokens (2·bit_b(hash)-1), folded into a long. */
+    * hashes. The 64 votes accumulate in ONE imperative aggregate
+    * (`SimHashAgg`, an `Array[Int](64)` buffer with map-side partial
+    * merge) instead of 64 separate sum columns — one pass, one narrow
+    * agg buffer, the same packed long out. */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("doc"),
+    graft.functions.SimHashAgg.register(df.sparkSession)
+    df.select(col(idCol).as("doc"),
       explode(split(lower(col(textCol)), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
       .withColumn("h", xxhash64(col("tok")))
-    // per-bit votes: shiftright(h, b) & 1 → ±1, summed per doc
-    val votes = (0 until 64).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
-    toks.groupBy("doc").agg(votes.head, votes.tail: _*)
-      .select(col("doc"),
-        (0 until 64).map(b => when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
-          .reduce(_.bitwiseOR(_)).as("simhash"))
+      .groupBy("doc").agg(expr("simhash_agg(h)").as("simhash"))
   }
 
   /** Hamming distance between two simhash longs (popcount via bin()). */
@@ -97,7 +100,11 @@ object Dedup {
     * pair must share at least one of 4 chunks — pigeonhole), verify by
     * full Hamming distance. Bounded fan-out: 4 buckets per doc. */
   def simHashNearDups(hashes: DataFrame, maxHamming: Int): DataFrame = {
-    val chunked = hashes.select(col("doc"), col("simhash"),
+    // Same recompute guard as minHashNearDups: (doc, simhash) is 16
+    // bytes/doc — cache it so the token-hash vote aggregation behind it
+    // runs once, not once per self-join side.
+    val mat = hashes.cache()
+    val chunked = mat.select(col("doc"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*))
         .as(Seq("chunk", "ckey")))
