@@ -1,43 +1,62 @@
 package graft.ops
 
+import graft.functions.DecimalDot
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Similarity search over embedding columns (SURVEY.md Q42 + north-star
   * ops): brute-force cosine top-k as the exact baseline, LSH-bucketed
-  * ANN as the scale path.
+  * ANN / near-dup as the scale path.
   *
   * Numeric discipline: dot products and norms accumulate per-term
-  * decimal(22,15) values (exact, order-independent) and only the final
-  * cosine is IEEE double — so results are deterministic across
-  * partitionings and bit-match the DuckDB oracle.
+  * decimal(23,14) values (exact, order-independent — `DecimalDot`) and
+  * only the final cosine is IEEE double, so results are deterministic
+  * across partitionings and bit-match the DuckDB oracle.
+  *
+  * The LSH hyperplanes are ±1 Rademacher directions derived from an
+  * LCG over (plane, component) — pure integer arithmetic evaluated at
+  * PLAN BUILD TIME into literal sign arrays, so the oracle reproduces
+  * the exact bucket ids and every LSH query is hash-checkable (no
+  * engine-private hash functions in the data path). OR-amplification:
+  * `tables` independent hash tables of `planesPerTable` planes each;
+  * candidates = pairs sharing any table's bucket.
   */
 object Similarity {
 
-  /** Exact decimal dot product of two float-array columns.
-    * Terms at scale 14 with a (37,14) accumulator: the Add stays at
-    * precision 38 so Spark never engages precision-loss rescaling —
-    * every partial sum is exact and matches DuckDB's exact list_sum
-    * over the same scale-14 terms. */
-  def dotDecimal(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) =>
-        (x.cast(DoubleType) * y.cast(DoubleType)).cast(DecimalType(23, 14))),
-      lit(BigDecimal(0)).cast(DecimalType(37, 14)),
-      (acc, x) => (acc + x).cast(DecimalType(37, 14)))
-      .cast(DoubleType)
+  val dim = 64 // embeddings fixture dimensionality (TESTDATA.md)
+
+  /** Exact decimal dot product (see DecimalDot for the contract). */
+  def dotDecimal(a: Column, b: Column): Column = DecimalDot(a, b)
 
   /** Exact decimal squared norm. */
-  def normSqDecimal(a: Column): Column = dotDecimal(a, a)
+  def normSqDecimal(a: Column): Column = DecimalDot(a, a)
 
-  /** Double-fold dot product: sequential HOF fold → deterministic for
-    * a fixed element order (cheaper than the decimal path; used by the
-    * ANN/near-dup variants where no cross-engine oracle is involved). */
-  def dotDouble(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x)
+  /** ±1 components of deterministic pseudo-random hyperplane `plane`:
+    * sign = parity of an LCG step on (plane, j) mod the Mersenne prime
+    * 2^31−1. Same integers on both engines by construction. */
+  def planeSigns(plane: Int, d: Int = dim): IndexedSeq[Int] =
+    (0 until d).map { j =>
+      val s = (1103515245L * (plane.toLong * 131071L + j) + 12345L) % 2147483647L
+      if (s % 2 == 0) 1 else -1
+    }
+
+  /** Bucket id of `emb` in hash table `table`: `planesPerTable` sign
+    * bits of exact-decimal dots with the table's literal plane arrays. */
+  def lshBucket(emb: Column, planesPerTable: Int, table: Int): Column =
+    (0 until planesPerTable).map { p =>
+      val sg = planeSigns(table * planesPerTable + p)
+      val dot = dotDecimal(emb, array(sg.map(v => lit(v.toDouble)): _*))
+      when(dot > 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+
+  /** (id, tbl, bucket) rows — `tables` entries per vector. Only ids and
+    * bucket longs flow into the candidate join; embeddings stay home. */
+  private def bucketed(df: DataFrame, idCol: String,
+      planesPerTable: Int, tables: Int): DataFrame =
+    df.select(col(idCol),
+      posexplode(array((0 until tables).map(t =>
+        lshBucket(col("embedding"), planesPerTable, t)): _*)).as(Seq("tbl", "bucket")))
 
   /** Brute-force cosine top-k: broadcast the (small) query set against
     * the corpus — one pass over the corpus, no shuffle of the corpus
@@ -56,56 +75,85 @@ object Similarity {
       .select(col("qid"), col("vid"), col("rk"), round(col("cosine"), 6).as("cosine"))
   }
 
-  /** Random-hyperplane LSH bucket id: sign bits of dot products with
-    * `planes` deterministic pseudo-random directions (hash-derived, no
-    * stored model). Vectors in the same bucket are ANN candidates. */
-  def lshBucket(emb: Column, planes: Int): Column = {
-    val bits = (0 until planes).map { p =>
-      // pseudo-random plane: component j has sign from xxhash64(p, j)
-      val s = aggregate(
-        zip_with(emb, sequence(lit(0), size(emb) - 1), (x, j) =>
-          when(xxhash64(lit(p), j) % 2 === 0, x.cast(DoubleType))
-            .otherwise(-x.cast(DoubleType))),
-        lit(0.0), (acc, x) => acc + x)
-      when(s > 0, shiftleft(lit(1L), p)).otherwise(0L)
-    }
-    bits.reduce(_.bitwiseOR(_))
-  }
-
-  /** ANN top-k: candidates restricted to the query's LSH bucket, then
-    * exact cosine within the bucket. The bucket join is an equi-join
-    * (shuffle on bucket id) instead of a full cross product — the 100 TB
-    * path. Recall vs. the exact baseline is asserted in specs. */
-  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int): DataFrame = {
+  /** ANN top-k: candidates = corpus vectors sharing any of the query's
+    * `tables` LSH buckets (equi-join on (tbl, bucket) — never a cross
+    * product), then exact cosine within the candidate set. The bucket
+    * join carries only (id, tbl, bucket); embeddings are re-attached to
+    * the DEDUPLICATED pair set, so each candidate is scored once however
+    * many tables it collided in. Recall floor asserted in SimilaritySpec. */
+  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      planesPerTable: Int = 4, tables: Int = 8): DataFrame = {
+    val cb = bucketed(corpus.select(col("vec_id").as("vid"), col("embedding")),
+      "vid", planesPerTable, tables)
+    val qb = bucketed(queries.select(col("vec_id").as("qid"), col("embedding")),
+      "qid", planesPerTable, tables)
+    val cand = cb.join(broadcast(qb), Seq("tbl", "bucket"))
+      .filter(col("qid") =!= col("vid"))
+      .select("qid", "vid").distinct()
     val c = corpus.select(col("vec_id").as("vid"), col("embedding").as("ce"))
-      .withColumn("bucket", lshBucket(col("ce"), planes))
       .withColumn("cnorm", normSqDecimal(col("ce")))
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      .withColumn("bucket", lshBucket(col("qe"), planes))
       .withColumn("qnorm", normSqDecimal(col("qe")))
-    val scored = c.join(broadcast(q), Seq("bucket"))
-      .filter(col("qid") =!= col("vid"))
+    val scored = cand.join(c, "vid").join(broadcast(q), "qid")
       .withColumn("cosine",
-        dotDouble(col("qe"), col("ce")) / sqrt(col("qnorm") * col("cnorm")))
+        dotDecimal(col("qe"), col("ce")) / sqrt(col("qnorm") * col("cnorm")))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vid"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("qid"), col("vid"), col("rk"), round(col("cosine"), 6).as("cosine"))
   }
 
-  /** Embedding-cosine near-duplicate pairs: LSH-bucketed self-join,
-    * exact cosine verify, threshold filter. */
-  def cosineNearDups(emb: DataFrame, planes: Int, threshold: Double): DataFrame = {
-    val e = emb.select(col("vec_id"), col("embedding"))
-      .withColumn("bucket", lshBucket(col("embedding"), planes))
-      .withColumn("nrm", normSqDecimal(col("embedding")))
-    val a = e.as("a"); val b = e.as("b")
-    a.join(b, col("a.bucket") === col("b.bucket") &&
+  /** Embedding-cosine near-duplicate pairs: multi-table LSH self-join
+    * on (tbl, bucket), candidate pairs deduplicated, then exact-decimal
+    * cosine verify against `threshold`. */
+  def cosineNearDups(emb: DataFrame, planesPerTable: Int = 4,
+      tables: Int = 4, threshold: Double = 0.35): DataFrame = {
+    val eb = bucketed(emb.select(col("vec_id"), col("embedding")),
+      "vec_id", planesPerTable, tables)
+    val cand = eb.as("a").join(eb.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cosine",
-        dotDouble(col("a.embedding"), col("b.embedding")) /
-          sqrt(col("a.nrm") * col("b.nrm")))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val e = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", normSqDecimal(col("embedding")))
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("nrm").as("na")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        col("nrm").as("nb")), "vec_b")
+      .withColumn("cosine", dotDecimal(col("ea"), col("eb")) / sqrt(col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(col("cosine"), 6).as("cosine"))
+      .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
   }
+
+  // ───────────────────────── oracle SQL emission ──────────────────────
+  // The DuckDB twins of the expressions above, generated from the SAME
+  // planeSigns constants so both engines see identical literal arrays.
+
+  /** DuckDB literal list of the plane's ±1 signs. */
+  private def signsSql(plane: Int): String =
+    planeSigns(plane).mkString("[", ", ", "]")
+
+  /** DuckDB decimal-exact dot of `ec` with plane `plane`'s signs. */
+  private def planeDotSql(ec: String, plane: Int): String =
+    s"CAST(list_sum(list_transform(generate_series(1, $dim), " +
+      s"j -> CAST(CAST($ec[j] AS DOUBLE) * (${signsSql(plane)})[j] AS DECIMAL(23,14)))) AS DOUBLE)"
+
+  /** DuckDB bucket id of `ec` in hash table `table`. */
+  def bucketSql(ec: String, planesPerTable: Int, table: Int): String =
+    (0 until planesPerTable).map { p =>
+      s"(CASE WHEN ${planeDotSql(ec, table * planesPerTable + p)} > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** DuckDB (vec_id, tbl, bucket) relation over `src` — the oracle twin
+    * of `bucketed`, one UNION ALL branch per hash table. */
+  def bucketedSql(src: String, planesPerTable: Int, tables: Int): String =
+    (0 until tables).map { t =>
+      s"SELECT vec_id, $t AS tbl, ${bucketSql("embedding", planesPerTable, t)} AS bucket FROM $src"
+    }.mkString("\n      UNION ALL ")
+
+  /** DuckDB decimal-exact dot between two embedding columns. */
+  def dotSql(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(generate_series(1, $dim), " +
+      s"j -> CAST(CAST($a[j] AS DOUBLE) * CAST($b[j] AS DOUBLE) AS DECIMAL(23,14)))) AS DOUBLE)"
 }

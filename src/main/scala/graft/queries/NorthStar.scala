@@ -163,17 +163,62 @@ object NorthStar {
   }
 
   /** LSH-bucketed ANN top-k (the 100 TB path; recall vs. q42 asserted
-    * in SimilaritySpec). xxhash64 planes → rows-only. */
-  val q42b = QueryDef.rowsOnly("q42b_similarity_ann_lsh") { (s, dir) =>
+    * in SimilaritySpec). The hyperplanes are LCG-derived ±1 literal
+    * arrays shared with the oracle, so the WHOLE pipeline — bucket ids,
+    * candidate set, cosines, ranks — hash-checks against DuckDB. */
+  val q42b = QueryDef("q42b_similarity_ann_lsh",
+    s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
+       |norms AS (SELECT vec_id, ${Similarity.dotSql("embedding", "embedding")} AS nrm
+       |          FROM embeddings),
+       |cb AS (${Similarity.bucketedSql("embeddings", 4, 8)}),
+       |qb AS (${Similarity.bucketedSql("q", 4, 8)}),
+       |cand AS (SELECT DISTINCT qb.vec_id AS qid, cb.vec_id AS vid
+       |         FROM cb JOIN qb ON cb.tbl = qb.tbl AND cb.bucket = qb.bucket
+       |         WHERE cb.vec_id <> qb.vec_id),
+       |scored AS (
+       |  SELECT c.qid, c.vid,
+       |    ${Similarity.dotSql("q.embedding", "e.embedding")} / sqrt(nq.nrm * ne.nrm) AS cosine
+       |  FROM cand c
+       |  JOIN q ON q.vec_id = c.qid
+       |  JOIN embeddings e ON e.vec_id = c.vid
+       |  JOIN norms nq ON nq.vec_id = c.qid
+       |  JOIN norms ne ON ne.vec_id = c.vid)
+       |SELECT qid, vid, CAST(rk AS INTEGER) AS rk, ROUND(cosine, 6) AS cosine FROM (
+       |  SELECT qid, vid, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vid) AS rk
+       |  FROM scored) WHERE rk <= 5
+       |ORDER BY qid, rk""".stripMargin) { (s, dir) =>
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
-    Similarity.annTopK(emb, emb.filter($"vec_id" % 100 === 0), k = 5, planes = 4)
+    Similarity.annTopK(emb, emb.filter($"vec_id" % 100 === 0), k = 5,
+      planesPerTable = 4, tables = 8)
       .orderBy("qid", "rk")
   }
 
-  /** Embedding-cosine near-duplicate pairs (LSH blocked). */
-  val q42c = QueryDef.rowsOnly("q42c_dedup_embedding_cosine") { (s, dir) =>
-    Similarity.cosineNearDups(Tables.embeddings(s, dir), planes = 6, threshold = 0.5)
+  /** Embedding-cosine near-duplicate pairs (multi-table LSH blocked,
+    * exact-decimal verify) — same literal planes as q42b → fully
+    * oracle-checked, and non-empty at every driver SF (the 0.35
+    * threshold sits inside the fixture's cosine distribution). */
+  val q42c = QueryDef("q42c_dedup_embedding_cosine",
+    s"""WITH eb AS (${Similarity.bucketedSql("embeddings", 4, 4)}),
+       |norms AS (SELECT vec_id, ${Similarity.dotSql("embedding", "embedding")} AS nrm
+       |          FROM embeddings),
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |         FROM eb a JOIN eb b
+       |           ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |scored AS (
+       |  SELECT c.vec_a, c.vec_b,
+       |    ${Similarity.dotSql("ea.embedding", "eb2.embedding")} / sqrt(na.nrm * nb.nrm) AS cosine
+       |  FROM cand c
+       |  JOIN embeddings ea ON ea.vec_id = c.vec_a
+       |  JOIN embeddings eb2 ON eb2.vec_id = c.vec_b
+       |  JOIN norms na ON na.vec_id = c.vec_a
+       |  JOIN norms nb ON nb.vec_id = c.vec_b)
+       |SELECT vec_a, vec_b, ROUND(cosine, 6) AS cosine FROM scored
+       |WHERE cosine >= 0.35
+       |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
+    Similarity.cosineNearDups(Tables.embeddings(s, dir),
+      planesPerTable = 4, tables = 4, threshold = 0.35)
       .orderBy("vec_a", "vec_b")
   }
 

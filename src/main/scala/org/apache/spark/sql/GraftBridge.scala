@@ -11,4 +11,13 @@ object GraftBridge {
 
   def analyzed(df: DataFrame): LogicalPlan =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
+
+  /** Wrap a raw Catalyst Expression as a user-facing Column (Spark 4
+    * removed the public Column(expr) constructor). */
+  def column(e: catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
+  /** Recover the Catalyst Expression behind a Column. */
+  def expression(c: Column): catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
 }
