@@ -38,12 +38,18 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }.sorted
       // a crashing query must not masquerade as a fast success
-      name -> (if (failed) -1.0 else times(times.length / 2))
+      val med = if (failed) -1.0 else times(times.length / 2)
+      (name, med, times.head, times.last)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
+    // min/median/max per query: makes cold-vs-warm spread visible so a
+    // single outlier run can't masquerade as a regression (or a win)
+    val st = results.map { case (k, med, mn, mx) =>
+      "\"" + k + "\":{\"min\":" + mn + ",\"med\":" + med + ",\"max\":" + mx + "}"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$st,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

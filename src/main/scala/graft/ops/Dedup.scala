@@ -56,9 +56,12 @@ object Dedup {
     // Materialize the signatures ONCE: the shingle→explode→H-way min
     // pipeline behind `sigs` is the expensive stage, and the LSH
     // self-join below would otherwise re-execute it on BOTH sides
-    // (2× compute, worse under AQE re-planning). The cached relation
-    // is (doc, sig) — H longs per doc, tiny relative to the text.
-    val matSigs = sigs.cache()
+    // (2× compute, worse under AQE re-planning). Eager localCheckpoint
+    // (not cache) so the blocks are owned by the RDD and reclaimed by
+    // the ContextCleaner when the plan is dropped — a long-lived
+    // session never accumulates pinned cache entries. The materialized
+    // relation is (doc, sig) — H longs per doc, tiny vs the text.
+    val matSigs = sigs.localCheckpoint()
     val banded = matSigs.select(col("doc"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPer + 1, lit(rowsPer))), b)))
@@ -101,9 +104,10 @@ object Dedup {
     * full Hamming distance. Bounded fan-out: 4 buckets per doc. */
   def simHashNearDups(hashes: DataFrame, maxHamming: Int): DataFrame = {
     // Same recompute guard as minHashNearDups: (doc, simhash) is 16
-    // bytes/doc — cache it so the token-hash vote aggregation behind it
-    // runs once, not once per self-join side.
-    val mat = hashes.cache()
+    // bytes/doc — eagerly localCheckpoint it so the token-hash vote
+    // aggregation runs once, not once per self-join side, without
+    // pinning session cache (blocks freed with the RDD).
+    val mat = hashes.localCheckpoint()
     val chunked = mat.select(col("doc"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*))

@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.functions.DecimalDot
+import graft.functions.{DecimalDot, LshBuckets}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -14,13 +14,24 @@ import org.apache.spark.sql.functions._
   * only the final cosine is IEEE double, so results are deterministic
   * across partitionings and bit-match the DuckDB oracle.
   *
-  * The LSH hyperplanes are ±1 Rademacher directions derived from an
-  * LCG over (plane, component) — pure integer arithmetic evaluated at
-  * PLAN BUILD TIME into literal sign arrays, so the oracle reproduces
-  * the exact bucket ids and every LSH query is hash-checkable (no
-  * engine-private hash functions in the data path). OR-amplification:
-  * `tables` independent hash tables of `planesPerTable` planes each;
-  * candidates = pairs sharing any table's bucket.
+  * The LSH hyperplanes are ±1 Rademacher directions: component j of
+  * plane p takes the sign bit of splitmix64((p << 32) | j) — a full
+  * avalanche mixer, so planes are pairwise independent (the previous
+  * LCG-parity derivation produced bit-identical planes 17 and 24 and
+  * 72 highly-agreeing pairs, silently degrading OR-amplification
+  * recall). Pure integer arithmetic evaluated at PLAN BUILD TIME into
+  * literal sign arrays, so the oracle reproduces the exact bucket ids
+  * and every LSH query is hash-checkable (no engine-private hash
+  * functions in the data path). OR-amplification: `tables` independent
+  * hash tables of `planesPerTable` planes each; candidates = pairs
+  * sharing any table's bucket.
+  *
+  * Scale knob: candidate volume per table is ~ Σ_buckets occ²/2. With a
+  * FIXED planesPerTable the bucket count is constant and volume is
+  * Θ(n²/2^planes) — quadratic in corpus size. `planesForCorpus` grows
+  * the plane count with log₂(n) so expected occupancy stays constant
+  * and candidate volume stays ~linear; `cosineNearDupsScaled` applies
+  * it from the actual corpus count (see SCALING.md).
   */
 object Similarity {
 
@@ -33,30 +44,48 @@ object Similarity {
   def normSqDecimal(a: Column): Column = DecimalDot(a, a)
 
   /** ±1 components of deterministic pseudo-random hyperplane `plane`:
-    * sign = parity of an LCG step on (plane, j) mod the Mersenne prime
-    * 2^31−1. Same integers on both engines by construction. */
+    * sign bit of a splitmix64 mix over ((plane << 32) | j). Same
+    * integers on both engines by construction; full avalanche makes
+    * distinct planes statistically independent. */
   def planeSigns(plane: Int, d: Int = dim): IndexedSeq[Int] =
     (0 until d).map { j =>
-      val s = (1103515245L * (plane.toLong * 131071L + j) + 12345L) % 2147483647L
-      if (s % 2 == 0) 1 else -1
+      var z = ((plane.toLong << 32) | j.toLong) + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^= (z >>> 31)
+      if (z >= 0) 1 else -1
     }
 
-  /** Bucket id of `emb` in hash table `table`: `planesPerTable` sign
-    * bits of exact-decimal dots with the table's literal plane arrays. */
+  /** Plane-major sign matrix for tables×planesPerTable planes. */
+  private def signMatrix(planesPerTable: Int, tables: Int): Array[Array[Int]] =
+    Array.tabulate(tables * planesPerTable)(p => planeSigns(p).toArray)
+
+  /** Bucket ids of `emb` in ALL hash tables, one array element per
+    * table — a single one-pass codegen kernel (LshBuckets) instead of
+    * tables×planesPerTable independent dot expressions. */
+  def lshBucketsAll(emb: Column, planesPerTable: Int, tables: Int): Column =
+    LshBuckets(emb, signMatrix(planesPerTable, tables), planesPerTable)
+
+  /** Bucket id of `emb` in hash table `table` (single-table view of
+    * the same kernel; kept for API symmetry with `bucketSql`). */
   def lshBucket(emb: Column, planesPerTable: Int, table: Int): Column =
-    (0 until planesPerTable).map { p =>
-      val sg = planeSigns(table * planesPerTable + p)
-      val dot = dotDecimal(emb, array(sg.map(v => lit(v.toDouble)): _*))
-      when(dot > 0, shiftleft(lit(1L), p)).otherwise(0L)
-    }.reduce(_.bitwiseOR(_))
+    lshBucketsAll(emb, planesPerTable, table + 1).getItem(table)
 
   /** (id, tbl, bucket) rows — `tables` entries per vector. Only ids and
     * bucket longs flow into the candidate join; embeddings stay home. */
   private def bucketed(df: DataFrame, idCol: String,
       planesPerTable: Int, tables: Int): DataFrame =
     df.select(col(idCol),
-      posexplode(array((0 until tables).map(t =>
-        lshBucket(col("embedding"), planesPerTable, t)): _*)).as(Seq("tbl", "bucket")))
+      posexplode(lshBucketsAll(col("embedding"), planesPerTable, tables))
+        .as(Seq("tbl", "bucket")))
+
+  /** planes/table sized for constant expected bucket occupancy:
+    * `ceil(log2(n / targetOccupancy))`, floored at 4. Per-table
+    * candidate volume then stays ~ n·occupancy/2 — linear in n —
+    * instead of Θ(n²/2^planes) at any fixed plane count. */
+  def planesForCorpus(n: Long, targetOccupancy: Int = 64): Int =
+    math.max(4, math.ceil(
+      math.log(math.max(n, 1).toDouble / targetOccupancy) / math.log(2.0)).toInt)
 
   /** Brute-force cosine top-k: broadcast the (small) query set against
     * the corpus — one pass over the corpus, no shuffle of the corpus
@@ -102,18 +131,33 @@ object Similarity {
       .select(col("qid"), col("vid"), col("rk"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** LSH-blocked candidate pairs (vec_a < vec_b), deduplicated across
+    * tables — the shared blocking stage of the near-dup paths, exposed
+    * so specs can measure candidate volume growth directly. */
+  def nearDupCandidates(emb: DataFrame, planesPerTable: Int,
+      tables: Int): DataFrame = {
+    val eb = bucketed(emb.select(col("vec_id"), col("embedding")),
+      "vec_id", planesPerTable, tables)
+    eb.as("a").join(eb.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+  }
+
   /** Embedding-cosine near-duplicate pairs: multi-table LSH self-join
     * on (tbl, bucket), candidate pairs deduplicated, then exact-decimal
     * cosine verify against `threshold`. */
   def cosineNearDups(emb: DataFrame, planesPerTable: Int = 4,
       tables: Int = 4, threshold: Double = 0.35): DataFrame = {
-    val eb = bucketed(emb.select(col("vec_id"), col("embedding")),
-      "vec_id", planesPerTable, tables)
-    val cand = eb.as("a").join(eb.as("b"),
-        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
-        col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      .distinct()
+    // The verify stage is CPU-dense (a 64-term exact-decimal dot per
+    // candidate), not byte-dense: AQE would coalesce the few-MB pair
+    // relation to 1-2 partitions and serialize it. Spread pairs over
+    // the cluster's cores explicitly — partition count from compute,
+    // not bytes.
+    val cores = emb.sparkSession.sparkContext.defaultParallelism
+    val cand = nearDupCandidates(emb, planesPerTable, tables)
+      .repartition(cores, col("vec_a"), col("vec_b"))
     val e = emb.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", normSqDecimal(col("embedding")))
     cand
@@ -125,6 +169,15 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
   }
+
+  /** `cosineNearDups` with the plane count derived from the ACTUAL
+    * corpus size (one narrow count, then `planesForCorpus`) — the
+    * 100 TB entry point: bucket count grows with n, so candidate
+    * volume stays ~linear instead of Θ(n²/2^planes). */
+  def cosineNearDupsScaled(emb: DataFrame, tables: Int = 4,
+      threshold: Double = 0.35, targetOccupancy: Int = 64): DataFrame =
+    cosineNearDups(emb, planesForCorpus(emb.count(), targetOccupancy),
+      tables, threshold)
 
   // ───────────────────────── oracle SQL emission ──────────────────────
   // The DuckDB twins of the expressions above, generated from the SAME

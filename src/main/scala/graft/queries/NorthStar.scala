@@ -89,8 +89,11 @@ object NorthStar {
       |WHERE CAST(cm AS DOUBLE) / (na.n + nb.n - cm) >= 0.2
       |ORDER BY da, db""".stripMargin) { (s, dir) =>
     import s.implicits._
+    // Eager localCheckpoint, not cache(): the shingle relation feeds
+    // four downstream joins; checkpoint blocks are freed with the RDD
+    // instead of pinning the session cache across the 70-query run.
     val sh = Dedup.wordShingles(
-      Tables.documents(s, dir), "doc_id", "text", 2).cache()
+      Tables.documents(s, dir), "doc_id", "text", 2).localCheckpoint()
     val docFreq = sh.groupBy("shingle").agg(count(lit(1)).as("c"))
     val rare = sh.join(docFreq.filter($"c" <= 20), "shingle")
     val cand = rare.as("a").join(rare.as("b"), $"a.shingle" === $"b.shingle" &&

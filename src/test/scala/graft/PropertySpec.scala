@@ -36,6 +36,30 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("Fixed14.round14 is bit-identical to BigDecimal.valueOf.setScale(14, HALF_UP)") {
+    def ref(v: Double): Long =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(14, java.math.RoundingMode.HALF_UP).unscaledValue().longValue()
+    // dense random sweep across embedding-product magnitudes
+    check(Prop.forAll(Gen.choose(-1000.0, 1000.0)) { v =>
+      graft.functions.Fixed14.round14(v) == ref(v)
+    })
+    // float-product values (what DecimalDot actually rounds)
+    check(Prop.forAll(Gen.choose(-6.0f, 6.0f), Gen.choose(-6.0f, 6.0f)) { (a, b) =>
+      val v = a.toDouble * b.toDouble
+      graft.functions.Fixed14.round14(v) == ref(v)
+    })
+    // adversarial half-boundary cases: k.5 × 10^-14 grid points
+    check(Prop.forAll(Gen.choose(-2000000L, 2000000L)) { k =>
+      val v = (k.toDouble + 0.5) * 1e-14
+      graft.functions.Fixed14.round14(v) == ref(v)
+    })
+    // exhaustive tiny magnitudes incl. ±0.0 and subnormals
+    for (v <- Seq(0.0, -0.0, 1e-300, -1e-300, 4.9e-324, 0.5e-14, -0.5e-14,
+        1.5e-14, 999.99999999999994, -999.99999999999994))
+      assert(graft.functions.Fixed14.round14(v) == ref(v), s"mismatch at $v")
+  }
+
   test("union-all accumulation (R8) is associative on row multisets") {
     check(Prop.forAll(Gen.listOf(Gen.choose(0, 100)), Gen.listOf(Gen.choose(0, 100)),
         Gen.listOf(Gen.choose(0, 100))) { (a, b, c) =>

@@ -68,6 +68,40 @@ class SimilaritySpec extends SparkSpec {
     assert(expected.subsetOf(got), s"missing seeded dups: ${expected -- got}")
   }
 
+  test("hyperplanes are pairwise independent — no duplicate or correlated planes") {
+    // the round-3 LCG derivation had planes 17 ≡ 24 (64/64 agreement)
+    // and 72 pairs agreeing on ≥50/64 components; splitmix64 avalanche
+    // keeps every pair inside the binomial(64, 1/2) bulk
+    val planes = (0 until 64).map(Similarity.planeSigns(_))
+    for (a <- planes.indices; b <- (a + 1) until planes.length) {
+      val agree = planes(a).zip(planes(b)).count { case (x, y) => x == y }
+      assert(agree > 16 && agree < 48, s"planes $a,$b agree on $agree/64")
+    }
+  }
+
+  test("auto-scaled LSH keeps candidate growth sub-quadratic at 10× corpus") {
+    // 10× corpus of DISTINCT same-distribution vectors: component-wise
+    // deterministic ±1 masks (Gaussian components are sign-symmetric)
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val n1 = emb.count()
+    val copies = (1 to 9).map { m =>
+      emb.select(($"vec_id" + m * 1000000L).as("vec_id"),
+        transform($"embedding",
+          (x, i) => when(pmod(xxhash64(i, lit(m)), lit(2)) === 0, x).otherwise(-x))
+          .cast("array<float>").as("embedding"))
+    }
+    val emb10 = copies.foldLeft(emb)(_ unionByName _)
+    val p1 = Similarity.planesForCorpus(n1)
+    val p10 = Similarity.planesForCorpus(n1 * 10)
+    assert(p10 > p1, s"plane count must grow with corpus size ($p1 → $p10)")
+    val c1 = Similarity.nearDupCandidates(emb, p1, tables = 4).count()
+    val c10 = Similarity.nearDupCandidates(emb10, p10, tables = 4).count()
+    // fixed planes would give ~100× candidates at 10× corpus; constant
+    // expected occupancy keeps growth near-linear
+    assert(c10 < 25L * math.max(c1, 1L),
+      s"candidate growth super-linear: $c1 → $c10 at 10× corpus")
+  }
+
   test("a vector's nearest neighbor under brute force has cosine ≤ 1") {
     val emb = Tables.embeddings(spark, sf)
     val top = Similarity.cosineTopK(emb, emb.filter($"vec_id" === 0), k = 3)
