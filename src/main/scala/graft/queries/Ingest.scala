@@ -61,5 +61,30 @@ object Ingest {
       .orderBy("token_symbol")
   }
 
-  val defs: Seq[QueryDef] = Seq(q45, q46)
+  /** R15 fidelity: the COPY target is a CATALOG table
+    * (`polygonscan.wallet_txs`, resources/redshift.py:89-112) — the
+    * reference's output contract is a warehouse table any SQL client
+    * can query, not a bare path. `saveAsTable(Overwrite)` is the
+    * Spark-catalog analog of TRUNCATE+COPY: the double load proves the
+    * second overwrite atomically replaces the first (the aggregate
+    * would double-count any leaked rows), and the readback goes
+    * through the session catalog by table NAME. */
+  val q46b = QueryDef("q46b_full_refresh_catalog",
+    Fixtures.cte +
+      s"""SELECT token_symbol, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |  ${Canon.sql.dsum("quantity")} AS qty
+         |FROM wallet_txs GROUP BY token_symbol ORDER BY token_symbol""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    s.sql("CREATE DATABASE IF NOT EXISTS polygonscan")
+    Fixtures.walletTxs(s, dir).limit(10).write.mode("overwrite")
+      .saveAsTable("polygonscan.wallet_txs")
+    Fixtures.walletTxs(s, dir).write.mode("overwrite")
+      .saveAsTable("polygonscan.wallet_txs")
+    s.table("polygonscan.wallet_txs")
+      .groupBy("token_symbol")
+      .agg(count(lit(1)).as("cnt"), Canon.dsum($"quantity").as("qty"))
+      .orderBy("token_symbol")
+  }
+
+  val defs: Seq[QueryDef] = Seq(q45, q46, q46b)
 }

@@ -57,14 +57,77 @@ object FixturePageSource extends PageSource {
   }
 }
 
-/** Production transport: GET api.polygonscan.com/api?module=account&
-  * action=tokentx&address=…&startblock=…&endblock=…&page=…&offset=…
-  * &sort=asc (config/polygonscan.py:7-29). Not exercised in this
-  * zero-egress environment; the connector's partitioning, pagination
-  * and pushdown logic above is transport-independent. */
-object HttpPageSource extends PageSource {
+/** Production transport: GET {baseUrl}/api?module=account&action=
+  * tokentx&address=…&startblock=…&endblock=…&page=…&offset=…&sort=asc
+  * &apikey=… (config/polygonscan.py:7, walletDataConsumer.py:57).
+  *
+  * Envelope semantics mirror the reference
+  * (walletDataConsumer.py:60-80):
+  *  - non-2xx HTTP → IOException (`raise_for_status`); the reader's
+  *    permissive mode (R17) swallows it per wallet, failfast
+  *    propagates;
+  *  - `status == "1"` → `result` is the page's transfer list, every
+  *    field a string (typed here at the boundary, as
+  *    walletDataConsumer.py:92-104 does downstream);
+  *  - any other `status` (including "No transactions found") → empty
+  *    page, which cleanly ends the wallet's pagination loop;
+  *  - malformed body → exception (same R17 handling as transport
+  *    errors).
+  *
+  * The credential surface (R18): `apiKey` arrives as a connector
+  * option — the Spark-idiomatic analog of the reference's Secrets
+  * Manager lookup (config/polygonscan.py:20-29), which belongs to the
+  * caller's environment, not inside the engine. `baseUrl` is
+  * overridable so tests drive the full client against an in-process
+  * stub server (production default: the reference's DEFAULT_HOST).
+  */
+case class HttpPageSource(baseUrl: String, apiKey: String,
+    connectTimeoutMs: Int = 10000, readTimeoutMs: Int = 30000)
+  extends PageSource {
+
+  import com.fasterxml.jackson.databind.ObjectMapper
+
   override def fetch(wallet: String, startBlock: Long, endBlock: Long,
-      page: Int, offset: Int): Seq[Tx] =
-    throw new UnsupportedOperationException(
-      "HTTP transport requires network access; inject a PageSource or use source=fixture")
+      page: Int, offset: Int): Seq[Tx] = {
+    val url = s"$baseUrl/api?module=account&action=tokentx&address=$wallet" +
+      s"&startblock=$startBlock&endblock=$endBlock&page=$page&offset=$offset" +
+      s"&sort=asc&apikey=${java.net.URLEncoder.encode(apiKey, "UTF-8")}"
+    val conn = new java.net.URL(url).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setConnectTimeout(connectTimeoutMs)
+    conn.setReadTimeout(readTimeoutMs)
+    conn.setRequestMethod("GET")
+    try {
+      val code = conn.getResponseCode
+      if (code < 200 || code >= 300)
+        throw new java.io.IOException(
+          s"HTTP $code from $baseUrl for wallet $wallet page $page")
+      val in = conn.getInputStream
+      val body =
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      val root = new ObjectMapper().readTree(body)
+      if (root.path("status").asText() != "1") return Seq.empty
+      val result = root.path("result")
+      (0 until result.size()).map { i =>
+        val tx = result.get(i)
+        Tx(
+          hash = tx.path("hash").asText(),
+          blockNumber = tx.path("blockNumber").asText().toLong,
+          timeStamp = tx.path("timeStamp").asText().toLong,
+          from = tx.path("from").asText(),
+          to = tx.path("to").asText(),
+          contractAddress = tx.path("contractAddress").asText(),
+          tokenName = tx.path("tokenName").asText(),
+          tokenSymbol = tx.path("tokenSymbol").asText(),
+          tokenDecimal = tx.path("tokenDecimal").asText().toInt,
+          value = tx.path("value").asText())
+      }
+    } finally conn.disconnect()
+  }
+}
+
+object HttpPageSource {
+  /** The reference's production endpoint (config/polygonscan.py:7). */
+  val DefaultHost = "https://api.polygonscan.com"
 }

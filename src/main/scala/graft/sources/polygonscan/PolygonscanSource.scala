@@ -38,6 +38,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *   .option("wallets", "0xw0,0xw1")
   *   .option("pageSize", "100")          // the reference's `offset`
   *   .option("source", "fixture")        // or "http" in production
+  *   .option("apikey", "…")              // http: credential (R18)
+  *   .option("baseUrl", "https://…")     // http: endpoint override
   *   .load()
   * }}}
   */
@@ -117,11 +119,14 @@ class PolygonscanScanBuilder(options: CaseInsensitiveStringMap)
     options.getOrDefault("pageSize", "10000").toInt,
     options.getOrDefault("source", "fixture"),
     options.getOrDefault("mode", "permissive"),
+    options.getOrDefault("baseUrl", HttpPageSource.DefaultHost),
+    options.getOrDefault("apikey", ""),
     requiredSchema)
 }
 
 class PolygonscanScan(wallets: Array[String], startBlock: Long, endBlock: Long,
-    pageSize: Int, source: String, mode: String, required: StructType)
+    pageSize: Int, source: String, mode: String, baseUrl: String,
+    apiKey: String, required: StructType)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -129,7 +134,8 @@ class PolygonscanScan(wallets: Array[String], startBlock: Long, endBlock: Long,
     s"polygonscan wallets=${wallets.length} blocks=[$startBlock,$endBlock] pageSize=$pageSize"
 
   override def planInputPartitions(): Array[InputPartition] =
-    wallets.map(w => WalletPartition(w, startBlock, endBlock, pageSize, source, mode))
+    wallets.map(w =>
+      WalletPartition(w, startBlock, endBlock, pageSize, source, mode, baseUrl, apiKey))
 
   override def createReaderFactory(): PartitionReaderFactory =
     new WalletReaderFactory(required)
@@ -137,7 +143,8 @@ class PolygonscanScan(wallets: Array[String], startBlock: Long, endBlock: Long,
 
 /** One wallet = one partition: the unit of parallel ingest. */
 case class WalletPartition(wallet: String, startBlock: Long, endBlock: Long,
-    pageSize: Int, source: String, mode: String) extends InputPartition
+    pageSize: Int, source: String, mode: String, baseUrl: String,
+    apiKey: String) extends InputPartition
 
 class WalletReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -151,7 +158,7 @@ class WalletReader(p: WalletPartition, required: StructType)
 
   private val pages: PageSource = p.source match {
     case "fixture" => FixturePageSource
-    case "http" => HttpPageSource
+    case "http" => HttpPageSource(p.baseUrl, p.apiKey)
     case other => throw new IllegalArgumentException(s"unknown source: $other")
   }
 
