@@ -53,6 +53,79 @@ object AsOf {
     matched.select(out: _*)
   }
 
+  /** Time-bucketed scale variant: parallelism = |keys × time-buckets|
+    * instead of |keys| — the guard for low-cardinality keys, where
+    * [[joinNative]]'s ClusteredDistribution(key) would cap reducers at
+    * the key count (20 in q14) no matter the cluster size.
+    *
+    * Both sides co-partition on (key, bucketOf(time)). Boundary
+    * carry-over makes per-bucket merges globally correct: for every
+    * (key, bucket) the LEFT side populates, the latest right row from
+    * any STRICTLY EARLIER bucket is forward-filled in as one extra
+    * "carry" row (computed declaratively: latest-per-(key,rbucket) via
+    * window, then a running `last(ignoreNulls)` over the bucket axis
+    * where markers sort before same-bucket latests, so a marker sees
+    * only earlier buckets). Within a bucket the match is either an
+    * in-bucket right row ≤ t or that carry — exactly the global as-of
+    * answer. Cost: one extra narrow window over ~|key×bucket| rows;
+    * right rows are never replicated more than once per left-populated
+    * bucket gap. The final merge is the same native sort-merge exec,
+    * keyed on struct(key, bucket).
+    *
+    * @param bucketOf maps a time column to a coarse bucket id; width
+    *   trades carry-row volume (narrow buckets) against per-reducer
+    *   row count (wide buckets). */
+  def joinBucketed(
+      left: DataFrame, leftKey: String, leftTime: String,
+      right: DataFrame, rightKey: String, rightTime: String,
+      rightCols: Seq[String], tieBreak: String)
+      (bucketOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+
+    val l = left.withColumn("_b", bucketOf(col(leftTime)))
+      .withColumn("_kb", struct(col(leftKey), col("_b")))
+    // right side, narrowed: null key/time rows can never match
+    val r0 = right.select(Seq(col(rightKey).as("_k"),
+        col(rightTime).as("_t"), col(tieBreak).as("_tb")) ++
+        rightCols.map(c => right(c).as(s"_p_$c")): _*)
+      .filter(col("_k").isNotNull && col("_t").isNotNull)
+      .withColumn("_b", bucketOf(col("_t")))
+
+    // latest right row per (key, rbucket): max time, ties → min tieBreak
+    val wLatest = Window.partitionBy("_k", "_b")
+      .orderBy(col("_t").desc, col("_tb").asc)
+    val pv = struct(col("_t") +: col("_tb") +:
+      rightCols.map(c => col(s"_p_$c")): _*)
+    val latest = r0.withColumn("_rn", row_number().over(wLatest))
+      .filter(col("_rn") === 1).select(col("_k"), col("_b"),
+        lit(1).as("_side"), pv.as("_pv"))
+
+    // markers: the (key, bucket) pairs the left actually populates
+    val markers = l.select(col(leftKey).as("_k"), col("_b")).distinct()
+      .select(col("_k"), col("_b"), lit(0).as("_side"),
+        lit(null).cast(latest.schema("_pv").dataType).as("_pv"))
+
+    // forward fill along the bucket axis; side 0 < side 1 within a
+    // bucket, so a marker's running last() sees only earlier buckets
+    val wFill = Window.partitionBy("_k")
+      .orderBy(col("_b").asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carries = markers.unionByName(latest)
+      .withColumn("_carry", last("_pv", ignoreNulls = true).over(wFill))
+      .filter(col("_side") === 0 && col("_carry").isNotNull)
+      .select(Seq(col("_k"), col("_b"), col("_carry._t").as("_t"),
+        col("_carry._tb").as("_tb")) ++
+        rightCols.map(c => col(s"_carry._p_$c").as(s"_p_$c")): _*)
+
+    val augmented = r0.select(carries.columns.map(col): _*)
+      .unionByName(carries)
+      .withColumn("_kb", struct(col("_k"), col("_b")))
+    val renamed = augmented.select(Seq(col("_kb"), col("_t"), col("_tb")) ++
+      rightCols.map(c => col(s"_p_$c").as(c)): _*)
+
+    joinNative(l, "_kb", leftTime, renamed, "_kb", "_t", rightCols, "_tb")
+      .drop("_b", "_kb")
+  }
+
   /** Native-operator variant: plans [[graft.plans.AsOfJoinPlan]], which
     * [[graft.plans.AsOfJoinStrategy]] (via GraftExtensions) executes as
     * a co-partitioned sort-merge — one shuffle per side, O(n+m) merge,

@@ -17,13 +17,23 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Exact dedup: group by content hash, keep the smallest id.
-    * One shuffle on the 256-bit hash — at 100 TB the text itself never
-    * shuffles, only (hash, id). */
-  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(sha2(col(textCol), 256)).orderBy(col(idCol))
-    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
-  }
+  /** Surviving-row ids of an exact dedup: hash locally, aggregate
+    * (hash → min id). The ONLY shuffle moves (hash, id) pairs — with
+    * map-side partial min — so at 100 TB the text never leaves its
+    * partition to decide the dedup. */
+  def exactKeeperIds(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(sha2(col(textCol), 256).as("_h"), col(idCol))
+      .groupBy("_h").agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+
+  /** Exact dedup: keep the smallest-id row per content hash. The
+    * dedup DECISION is [[exactKeeperIds]] ((hash, id)-only shuffle);
+    * retrieving surviving rows is a left-semi join on id, which costs
+    * one row shuffle UNLESS the corpus is already partitioned/bucketed
+    * by id (then it is shuffle-free) — strictly no worse than the
+    * window-over-hash formulation, which always shuffles full rows. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.join(exactKeeperIds(df, idCol, textCol), Seq(idCol), "left_semi")
 
   /** Word-level shingles (distinct), the unit for MinHash / Jaccard:
     * positions 1..n-k+1 (1-based), k consecutive tokens each. */

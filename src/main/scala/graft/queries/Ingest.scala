@@ -76,6 +76,13 @@ object Ingest {
          |FROM wallet_txs GROUP BY token_symbol ORDER BY token_symbol""".stripMargin) { (s, dir) =>
     import s.implicits._
     s.sql("CREATE DATABASE IF NOT EXISTS polygonscan")
+    s.sql("DROP TABLE IF EXISTS polygonscan.wallet_txs")
+    // a FRESH session's in-memory catalog doesn't know a previous
+    // JVM's managed-table location — clear any leftover so
+    // saveAsTable can recreate it (idempotent re-runs)
+    val loc = new org.apache.hadoop.fs.Path(
+      s.sessionState.conf.warehousePath, "polygonscan.db/wallet_txs")
+    loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
     Fixtures.walletTxs(s, dir).limit(10).write.mode("overwrite")
       .saveAsTable("polygonscan.wallet_txs")
     Fixtures.walletTxs(s, dir).write.mode("overwrite")

@@ -169,6 +169,23 @@ object Joins {
       .orderBy("o_orderkey")
   }
 
+  /** Same as-of semantics through the time-bucketed scale variant:
+    * co-partition on (key, week-bucket) with boundary carry-over, so
+    * parallelism is |keys × buckets| instead of q14's 20-value key
+    * cardinality; shares q14's oracle. */
+  val q14c = QueryDef("q14c_join_asof_bucketed",
+    q14.oracle.get) { (s, dir) =>
+    import s.implicits._
+    val o = Tables.orders(s, dir).withColumn("k", $"o_custkey" % 20)
+    val e = Tables.events(s, dir).withColumn("k", $"user_id" % 20)
+    AsOf.joinBucketed(o, "k", "o_orderdate", e, "k", "ts",
+        Seq("event_id", "ts"), "event_id")(
+        t => floor(unix_timestamp(t) / lit(604800L)))
+      .select($"o_orderkey", $"asof_event_id",
+        Canon.tsStr($"asof_ts").as("asof_ts"))
+      .orderBy("o_orderkey")
+  }
+
   val q15 = QueryDef("q15_join_cross",
     """SELECT r_name, n_name FROM region CROSS JOIN nation
       |ORDER BY r_name, n_name""".stripMargin) { (s, dir) =>
@@ -177,5 +194,5 @@ object Joins {
   }
 
   val defs: Seq[QueryDef] =
-    Seq(q08, q09, q10, q10b, q11, q12, q13, q13b, q14, q14b, q15)
+    Seq(q08, q09, q10, q10b, q11, q12, q13, q13b, q14, q14b, q14c, q15)
 }

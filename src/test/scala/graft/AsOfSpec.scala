@@ -57,6 +57,37 @@ class AsOfSpec extends SparkSpec {
     assert(native.exceptAll(window).isEmpty && window.exceptAll(native).isEmpty)
   }
 
+  test("time-bucketed variant agrees with the window formulation") {
+    val left = Tables.orders(spark, sf).withColumn("k", $"o_custkey" % 20)
+    val right = Tables.events(spark, sf).withColumn("k", $"user_id" % 20)
+    val window = AsOf.join(left, "k", "o_orderdate", right, "k", "ts",
+      Seq("event_id"), "event_id").select("o_orderkey", "asof_event_id")
+    val bucketed = AsOf.joinBucketed(left, "k", "o_orderdate", right, "k", "ts",
+      Seq("event_id"), "event_id")(t => floor(unix_timestamp(t) / lit(604800L)))
+      .select("o_orderkey", "asof_event_id")
+    assert(bucketed.exceptAll(window).isEmpty && window.exceptAll(bucketed).isEmpty)
+  }
+
+  test("bucketed variant scales a SINGLE hot key across time buckets") {
+    // one key: joinNative's ClusteredDistribution(key) would cap
+    // parallelism at 1 reducer; (key, bucket) partitioning must not —
+    // and carry-over must keep cross-bucket answers exact (events are
+    // sparse vs orders, so many buckets rely on carried matches)
+    val left = Tables.orders(spark, sf).withColumn("k", lit(1))
+    val right = Tables.events(spark, sf).withColumn("k", lit(1))
+      .filter($"event_id" % 97 === 0) // sparse right side → bucket gaps
+    val day: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      t => floor(unix_timestamp(t) / lit(86400L))
+    val nBuckets = left.select(day($"o_orderdate")).distinct().count()
+    assert(nBuckets > 10, s"fixture must span many buckets, got $nBuckets")
+    val window = AsOf.join(left, "k", "o_orderdate", right, "k", "ts",
+      Seq("event_id"), "event_id").select("o_orderkey", "asof_event_id")
+    val bucketed = AsOf.joinBucketed(left, "k", "o_orderdate", right, "k", "ts",
+      Seq("event_id"), "event_id")(day)
+      .select("o_orderkey", "asof_event_id")
+    assert(bucketed.exceptAll(window).isEmpty && window.exceptAll(bucketed).isEmpty)
+  }
+
   test("left rows with no prior right row get null") {
     val l = Seq((1L, "2024-01-01 00:00:00"), (2L, "2024-03-01 00:00:00"))
       .toDF("id", "t").withColumn("t", $"t".cast("timestamp")).withColumn("k", lit(1))
