@@ -57,6 +57,26 @@ object Dedup {
       .select(col("doc"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
 
+  /** Map-only MinHash signatures: tokenization, shingling, and ALL
+    * hash lanes fused in one expression pass (`MinHashSigs`) — no
+    * explode, no aggregation shuffle, one string hash per shingle
+    * (the composed form rehashes the shingle per lane). Bit-identical
+    * output to `minHashSignatures(wordShingles(…))` (DedupSpec);
+    * at 100 TB the signature stage is a pure map over the corpus. */
+  def minHashSignaturesFast(df: DataFrame, idCol: String, textCol: String,
+      k: Int, numHashes: Int): DataFrame =
+    df.select(col(idCol).as("doc"),
+        graft.functions.MinHashSigs(
+          split(lower(col(textCol)), "\\s+"), k, numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
+
+  /** Map-only SimHash (fused twin of [[simHash]], same packing). */
+  def simHashFast(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc"),
+        graft.functions.SimHash64(
+          split(lower(col(textCol)), "\\s+")).as("simhash"))
+      .filter(col("simhash").isNotNull)
+
   /** LSH banding: split the signature into `bands` bands of `rowsPer`
     * values; docs sharing any band-hash become candidates; candidates
     * are verified by estimated Jaccard (fraction of equal minhashes).

@@ -45,8 +45,8 @@ object NorthStar {
     val d = Tables.documents(s, dir).select("doc_id", "text")
     val dup = d.unionByName(
       d.filter($"doc_id" % 10 === 0).withColumn("doc_id", $"doc_id" + 1000000))
-    val sigs = Dedup.minHashSignatures(
-      Dedup.wordShingles(dup, "doc_id", "text", 2), numHashes = 32)
+    val sigs = Dedup.minHashSignaturesFast(dup, "doc_id", "text",
+      k = 2, numHashes = 32)
     Dedup.minHashNearDups(sigs, bands = 8, rowsPer = 4, threshold = 0.8)
       .orderBy("doc_a", "doc_b")
   }
@@ -57,7 +57,7 @@ object NorthStar {
     val d = Tables.documents(s, dir).select("doc_id", "text")
     val dup = d.unionByName(
       d.filter($"doc_id" % 10 === 0).withColumn("doc_id", $"doc_id" + 1000000))
-    Dedup.simHashNearDups(Dedup.simHash(dup, "doc_id", "text"), maxHamming = 3)
+    Dedup.simHashNearDups(Dedup.simHashFast(dup, "doc_id", "text"), maxHamming = 3)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -92,6 +92,9 @@ object NorthStar {
     // Eager localCheckpoint, not cache(): the shingle relation feeds
     // four downstream joins; checkpoint blocks are freed with the RDD
     // instead of pinning the session cache across the 70-query run.
+    // (An array_intersect-on-candidate-pairs variant measured SLOWER
+    // here — shipping multi-KB shingle arrays to every pair costs more
+    // than the exploded-relation joins it replaces.)
     val sh = Dedup.wordShingles(
       Tables.documents(s, dir), "doc_id", "text", 2).localCheckpoint()
     val docFreq = sh.groupBy("shingle").agg(count(lit(1)).as("c"))
@@ -131,9 +134,11 @@ object NorthStar {
     val a = d.as("a"); val b = d.as("b")
     a.join(b, $"a.lang" === $"b.lang" && $"a.lb" === $"b.lb" &&
         $"a.doc_id" < $"b.doc_id")
+      // thresholded levenshtein: banded DP with early exit (-1 beyond
+      // the threshold) — exact for every row the filter keeps
       .withColumn("dist",
-        levenshtein(substring($"a.text", 1, 60), substring($"b.text", 1, 60)))
-      .filter($"dist" <= 20)
+        levenshtein(substring($"a.text", 1, 60), substring($"b.text", 1, 60), 20))
+      .filter($"dist" >= 0 && $"dist" <= 20)
       .select($"a.doc_id".as("da"), $"b.doc_id".as("db"), $"dist")
       .orderBy("da", "db")
   }

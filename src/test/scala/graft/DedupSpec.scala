@@ -32,6 +32,20 @@ class DedupSpec extends SparkSpec {
     assert(expected.subsetOf(pairs), s"missing: ${expected -- pairs}")
   }
 
+  test("fused minhash/simhash kernels are bit-identical to the composed forms") {
+    val composedSigs = Dedup.minHashSignatures(
+      Dedup.wordShingles(dupCorpus, "doc_id", "text", 2), 32)
+    val fusedSigs = Dedup.minHashSignaturesFast(dupCorpus, "doc_id", "text", 2, 32)
+    assert(fusedSigs.exceptAll(composedSigs).isEmpty &&
+      composedSigs.exceptAll(fusedSigs).isEmpty,
+      "MinHashSigs diverges from minHashSignatures∘wordShingles")
+    val composedSim = Dedup.simHash(dupCorpus, "doc_id", "text")
+    val fusedSim = Dedup.simHashFast(dupCorpus, "doc_id", "text")
+    assert(fusedSim.exceptAll(composedSim).isEmpty &&
+      composedSim.exceptAll(fusedSim).isEmpty,
+      "SimHash64 diverges from simhash_agg over exploded tokens")
+  }
+
   test("simhash: identical texts at distance 0, all true pairs found") {
     val pairs = Dedup.simHashNearDups(
       Dedup.simHash(dupCorpus, "doc_id", "text"), maxHamming = 3)
