@@ -16,6 +16,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Observability.register(spark) // R20: per-query structured metrics
     new java.io.File(outDir).mkdirs()
     // optional comma-separated query filter for focused iteration
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY").map(_.split(",").toSet)
