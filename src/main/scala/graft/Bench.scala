@@ -19,7 +19,6 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    Observability.register(spark) // R20: per-query structured metrics
     // session warmup: JIT/codegen/file-listing paths out of the timings
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
 

@@ -131,6 +131,13 @@ object Similarity {
       .select(col("qid"), col("vid"), col("rk"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** [[annTopK]] with the plane count derived from the ACTUAL corpus
+    * size — the 100 TB entry point (see [[planesForCorpus]]). */
+  def annTopKScaled(corpus: DataFrame, queries: DataFrame, k: Int,
+      tables: Int = 8, targetOccupancy: Int = 64): DataFrame =
+    annTopK(corpus, queries, k,
+      planesForCorpus(corpus.count(), targetOccupancy), tables)
+
   /** LSH-blocked candidate pairs (vec_a < vec_b), deduplicated across
     * tables — the shared blocking stage of the near-dup paths, exposed
     * so specs can measure candidate volume growth directly. */
