@@ -138,6 +138,70 @@ object Similarity {
     annTopK(corpus, queries, k,
       planesForCorpus(corpus.count(), targetOccupancy), tables)
 
+  /** IVF (inverted-file) ANN top-k — the cell-probing alternative to
+    * LSH OR-amplification:
+    *
+    *  1. COARSE QUANTIZER (index build): the `cells` corpus vectors
+    *     with the smallest ids act as cell centroids. They materialize
+    *     to the driver ONCE (a few KB — the same bounded driver-side
+    *     step a KMeans `fit` performs) and become literal arrays, so
+    *     cell assignment is a PURE MAP over the corpus: per row, an
+    *     `array_max` over struct(cosine-to-seed, -cell) — no shuffle,
+    *     no window. Ties resolve to the smallest cell on both engines
+    *     (struct comparison on (cos DESC, cell ASC)).
+    *  2. PROBE: each query scores the same literal seeds and keeps its
+    *     `nprobe` best cells.
+    *  3. VERIFY: exact decimal cosine within probed cells only —
+    *     corpus touched ∝ nprobe/cells.
+    *
+    * Deterministic end-to-end (decimal-exact dots, total tie-breaks),
+    * so the WHOLE pipeline — assignments, probes, ranks — is
+    * DuckDB-hash-checkable (the oracle recomputes the same seeds from
+    * the table). At 100 TB: swap lowest-id seeds for sampled+Lloyd
+    * centroids; the plan shape (driver-built literal index, map-side
+    * assignment, cell equi-join) is identical. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      cells: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.Row
+    // index build: bounded driver materialization of the seed vectors
+    val seedRows = corpus.filter(col("vec_id") < cells)
+      .select(col("vec_id"), col("embedding")).orderBy("vec_id")
+      .collect()
+    val seeds: Seq[(Int, Array[Float])] = seedRows.map {
+      case Row(id: Long, emb: scala.collection.Seq[_]) =>
+        (id.toInt, emb.map(_.asInstanceOf[Float]).toArray)
+    }.toSeq
+    def seedLit(v: Array[Float]): Column =
+      array(v.map(x => lit(x.toDouble)): _*)
+    def seedNorm(v: Array[Float]): Double = {
+      val ad = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        v.map(_.toDouble))
+      graft.functions.DecimalDot.compute(ad, ad, false, false).doubleValue()
+    }
+    // per-row best cell: array_max over (cosine, -cell) structs
+    def bestCells(emb: Column, nrm: Column, n: Int): Column =
+      slice(reverse(array_sort(array(seeds.map { case (cell, v) =>
+        struct((dotDecimal(emb, seedLit(v)) /
+          sqrt(nrm * lit(seedNorm(v)))).as("c"), lit(-cell).as("nc"))
+      }: _*))), 1, n)
+    val c = corpus.select(col("vec_id").as("vid"), col("embedding").as("ce"))
+      .withColumn("cnorm", normSqDecimal(col("ce")))
+      .withColumn("cell", -element_at(bestCells(col("ce"), col("cnorm"), 1), 1)
+        .getField("nc"))
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .withColumn("qnorm", normSqDecimal(col("qe")))
+      .withColumn("cell",
+        explode(transform(bestCells(col("qe"), col("qnorm"), nprobe),
+          s => -s.getField("nc"))))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("qid") =!= col("vid"))
+      .withColumn("cosine",
+        dotDecimal(col("qe"), col("ce")) / sqrt(col("qnorm") * col("cnorm")))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vid"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("vid"), col("rk"), round(col("cosine"), 6).as("cosine"))
+  }
+
   /** LSH-blocked candidate pairs (vec_a < vec_b), deduplicated across
     * tables — the shared blocking stage of the near-dup paths, exposed
     * so specs can measure candidate volume growth directly. */

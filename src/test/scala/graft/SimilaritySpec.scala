@@ -36,6 +36,26 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.25, s"ANN recall $recall below floor 0.25 ($hits hits)")
   }
 
+  test("IVF top-k: non-empty, exact cosines, recall floor for 4/16 probed cells") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" % 100 === 0)
+    val nQueries = queries.count()
+    val exact = Similarity.cosineTopK(emb, queries, k = 50)
+      .select($"qid", $"vid", $"cosine".as("exact_cos"))
+    val ivf = Similarity.ivfTopK(emb, queries, k = 5, cells = 16, nprobe = 4).cache()
+    assert(ivf.count() > 0, "IVF returned no rows — vacuous pipeline")
+    // every IVF hit carries the same cosine the exact path computed
+    val joined = ivf.join(exact, Seq("qid", "vid"), "left")
+    assert(joined.filter($"exact_cos".isNotNull &&
+      abs($"cosine" - $"exact_cos") > 1e-9).count() == 0)
+    // directional cells correlate with cosine neighbors → recall beats
+    // the 25% a random 4-of-16 cell subset would give
+    val exact5 = Similarity.cosineTopK(emb, queries, k = 5).select("qid", "vid")
+    val hits = ivf.select("qid", "vid").intersect(exact5).count()
+    val recall = hits.toDouble / (nQueries * 5)
+    assert(recall >= 0.25, s"IVF recall $recall below floor 0.25 ($hits hits)")
+  }
+
   test("cosine near-dups: non-empty, only true pairs, recall floor") {
     val emb = Tables.embeddings(spark, sf)
     val nd = Similarity.cosineNearDups(emb, threshold = 0.35).cache()
