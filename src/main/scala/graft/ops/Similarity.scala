@@ -69,7 +69,9 @@ object Similarity {
   /** Bucket id of `emb` in hash table `table` (single-table view of
     * the same kernel; kept for API symmetry with `bucketSql`). */
   def lshBucket(emb: Column, planesPerTable: Int, table: Int): Column =
-    lshBucketsAll(emb, planesPerTable, table + 1).getItem(table)
+    LshBuckets(emb, Array.tabulate(planesPerTable)(p =>
+      planeSigns(table * planesPerTable + p).toArray), planesPerTable)
+      .getItem(0)
 
   /** (id, tbl, bucket) rows — `tables` entries per vector. Only ids and
     * bucket longs flow into the candidate join; embeddings stay home. */
