@@ -93,5 +93,48 @@ object Ingest {
       .orderBy("token_symbol")
   }
 
-  val defs: Seq[QueryDef] = Seq(q45, q46, q46b)
+  /** Storage-layout scale demo: orders/lineitem bucketed by join key
+    * into the session catalog, then joined WITHOUT any shuffle — the
+    * SCALING.md "co-locate joins via bucketing" claim as an executable,
+    * oracle-checked query (PlanSpec asserts the exchange-free plan).
+    * At 100 TB this is the difference between re-shuffling 100 TB per
+    * join and reading pre-bucketed files. */
+  val q50 = QueryDef("q50_bucketed_colocated_join",
+    s"""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS cnt,
+       |  ${graft.Canon.sql.dsum("l_quantity")} AS qty
+       |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    bucketedJoinInput(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), graft.Canon.dsum($"l_quantity").as("qty"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** The bucketed join itself, exposed for PlanSpec's no-exchange
+    * assertion: both sides land in the catalog bucketed 8-ways by the
+    * join key, so the sort-merge join reads co-located buckets. */
+  def bucketedJoinInput(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    s.sql("CREATE DATABASE IF NOT EXISTS graft")
+    def materialize(name: String, df: org.apache.spark.sql.DataFrame,
+        key: String): Unit = {
+      s.sql(s"DROP TABLE IF EXISTS graft.$name")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.sessionState.conf.warehousePath, s"graft.db/$name")
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+      df.write.mode("overwrite").format("parquet")
+        .bucketBy(8, key).sortBy(key).saveAsTable(s"graft.$name")
+    }
+    materialize("orders_b",
+      graft.Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"),
+      "o_orderkey")
+    materialize("lineitem_b",
+      graft.Tables.lineitem(s, dir).select("l_orderkey", "l_quantity"),
+      "l_orderkey")
+    s.table("graft.orders_b").join(s.table("graft.lineitem_b"),
+      col("l_orderkey") === col("o_orderkey"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(q45, q46, q46b, q50)
 }

@@ -22,6 +22,26 @@ class PlanSpec extends SparkSpec {
     assert(hasBhj(plan), plan.toString)
   }
 
+  test("bucketed tables join without any shuffle exchange (q50)") {
+    // model the 100 TB regime: both sides too big to broadcast, so the
+    // planner must rely on the bucketed layout for co-location
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+    val joined = graft.queries.Ingest.bucketedJoinInput(spark, sf)
+    joined.collect() // force the final AQE plan
+    def finalPlan(p: org.apache.spark.sql.execution.SparkPlan)
+        : org.apache.spark.sql.execution.SparkPlan = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val plan = finalPlan(joined.queryExecution.executedPlan).toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed join must be exchange-free:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("filters push into the parquet scan") {
     val df = Tables.lineitem(spark, sf).filter($"l_quantity" > 30.0)
       .select("l_orderkey")
