@@ -45,6 +45,38 @@ object Multimodal {
     }
   }
 
+  /** One sampled video frame with its resize target. */
+  case class SampledFrame(media_id: Long, frame_idx: Int, frame_ms: Int,
+      rw: Int, rh: Int)
+
+  /** Aspect-preserving resize bound (integer arithmetic — deterministic
+    * and oracle-reproducible): scale the longer side to `maxSide`. */
+  def resizeDims(w: Int, h: Int, maxSide: Int): (Int, Int) = {
+    val m = math.max(w, h)
+    if (m <= maxSide) (w, h)
+    else (w * maxSide / m, h * maxSide / m)
+  }
+
+  /** Frame sampling + resize over media rows, partition-wise (the
+    * mapInPandas batch shape). Frame count and dimensions come from
+    * the same STUB arithmetic as [[decodeStub]] — a real container
+    * parser slots in per partition with no plumbing change; each
+    * media row fans out to every `stride`-th frame at 25 fps. */
+  def sampleFrames(media: Dataset[MediaRow], stride: Int,
+      maxSide: Int): Dataset[SampledFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition init would go here (demuxer/codec handles)
+      rows.flatMap { r =>
+        val f = decodeStub(r)
+        val nFrames = 1 + f.n_bytes % 240
+        val (rw, rh) = resizeDims(f.width, f.height, maxSide)
+        (0 until nFrames by stride).iterator
+          .map(i => SampledFrame(r.media_id, i, i * 40, rw, rh))
+      }
+    }
+  }
+
   /** Build a media table from documents: payload = UTF-8 bytes of the
     * text (stand-in for real image bytes; schema/transport identical). */
   def fromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {

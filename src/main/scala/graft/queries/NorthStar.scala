@@ -405,6 +405,30 @@ object NorthStar {
       .orderBy("media_id")
   }
 
+  /** Multimodal frame-sample + resize: every 10th frame of each media
+    * row (stub container arithmetic), aspect-preserving 224 resize —
+    * the partition-wise fan-out a video training pipeline runs, with
+    * the whole arithmetic mirrored by the oracle. */
+  val q44b = QueryDef("q44b_multimodal_frame_sample",
+    """SELECT media_id, CAST(f AS INTEGER) AS frame_idx,
+      |  CAST(f * 40 AS INTEGER) AS frame_ms,
+      |  CAST(CASE WHEN greatest(w, h) > 224 THEN w * 224 // greatest(w, h)
+      |       ELSE w END AS INTEGER) AS rw,
+      |  CAST(CASE WHEN greatest(w, h) > 224 THEN h * 224 // greatest(w, h)
+      |       ELSE h END AS INTEGER) AS rh
+      |FROM (
+      |  SELECT doc_id AS media_id, 1 + octet_length(encode(text)) % 240 AS nf,
+      |    64 + octet_length(encode(text)) % 640 AS w,
+      |    64 + octet_length(encode(text)) % 480 AS h
+      |  FROM documents), UNNEST(generate_series(0, nf - 1, 10)) AS t(f)
+      |ORDER BY media_id, frame_idx""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val media = Multimodal.fromDocuments(s, Tables.documents(s, dir))
+    Multimodal.sampleFrames(media, stride = 10, maxSide = 224).toDF()
+      .select("media_id", "frame_idx", "frame_ms", "rw", "rh")
+      .orderBy("media_id", "frame_idx")
+  }
+
   val defs: Seq[QueryDef] = Seq(q41a, q41b, q41c, q41d, q41e, q42, q42b,
-    q42c, q42d, q43a, q43b, q43c, q43d, q44)
+    q42c, q42d, q43a, q43b, q43c, q43d, q44, q44b)
 }
