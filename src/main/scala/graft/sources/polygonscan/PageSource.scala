@@ -82,12 +82,37 @@ object FixturePageSource extends PageSource {
   * stub server (production default: the reference's DEFAULT_HOST).
   */
 case class HttpPageSource(baseUrl: String, apiKey: String,
-    connectTimeoutMs: Int = 10000, readTimeoutMs: Int = 30000)
+    connectTimeoutMs: Int = 10000, readTimeoutMs: Int = 30000,
+    maxRetries: Int = 2, retryBackoffMs: Long = 500)
   extends PageSource {
 
   import com.fasterxml.jackson.databind.ObjectMapper
 
+  /** Transient transport failures (IO errors, 5xx) retry up to
+    * `maxRetries` times with linear backoff before surfacing to the
+    * reader's permissive/failfast handling (R17) — a page-level retry
+    * is strictly better than the reference's drop-the-whole-wallet
+    * response to one flaky request. 4xx and envelope errors do NOT
+    * retry (they are deterministic). */
   override def fetch(wallet: String, startBlock: Long, endBlock: Long,
+      page: Int, offset: Int): Seq[Tx] = {
+    var attempt = 0
+    while (true) {
+      try return fetchOnce(wallet, startBlock, endBlock, page, offset)
+      catch {
+        case e: java.io.IOException if attempt < maxRetries &&
+            !e.isInstanceOf[ClientErrorException] =>
+          attempt += 1
+          if (retryBackoffMs > 0) Thread.sleep(retryBackoffMs * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Deterministic (non-retryable) HTTP client error. */
+  final class ClientErrorException(msg: String) extends java.io.IOException(msg)
+
+  private def fetchOnce(wallet: String, startBlock: Long, endBlock: Long,
       page: Int, offset: Int): Seq[Tx] = {
     val url = s"$baseUrl/api?module=account&action=tokentx&address=$wallet" +
       s"&startblock=$startBlock&endblock=$endBlock&page=$page&offset=$offset" +
@@ -99,6 +124,9 @@ case class HttpPageSource(baseUrl: String, apiKey: String,
     conn.setRequestMethod("GET")
     try {
       val code = conn.getResponseCode
+      if (code >= 400 && code < 500)
+        throw new ClientErrorException(
+          s"HTTP $code from $baseUrl for wallet $wallet page $page")
       if (code < 200 || code >= 300)
         throw new java.io.IOException(
           s"HTTP $code from $baseUrl for wallet $wallet page $page")

@@ -121,12 +121,15 @@ class PolygonscanScanBuilder(options: CaseInsensitiveStringMap)
     options.getOrDefault("mode", "permissive"),
     options.getOrDefault("baseUrl", HttpPageSource.DefaultHost),
     options.getOrDefault("apikey", ""),
+    options.getOrDefault("maxRetries", "2").toInt,
+    options.getOrDefault("retryBackoffMs", "500").toLong,
     requiredSchema)
 }
 
 class PolygonscanScan(wallets: Array[String], startBlock: Long, endBlock: Long,
     pageSize: Int, source: String, mode: String, baseUrl: String,
-    apiKey: String, required: StructType)
+    apiKey: String, maxRetries: Int, retryBackoffMs: Long,
+    required: StructType)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -134,8 +137,8 @@ class PolygonscanScan(wallets: Array[String], startBlock: Long, endBlock: Long,
     s"polygonscan wallets=${wallets.length} blocks=[$startBlock,$endBlock] pageSize=$pageSize"
 
   override def planInputPartitions(): Array[InputPartition] =
-    wallets.map(w =>
-      WalletPartition(w, startBlock, endBlock, pageSize, source, mode, baseUrl, apiKey))
+    wallets.map(w => WalletPartition(w, startBlock, endBlock, pageSize,
+      source, mode, baseUrl, apiKey, maxRetries, retryBackoffMs))
 
   override def createReaderFactory(): PartitionReaderFactory =
     new WalletReaderFactory(required)
@@ -144,7 +147,8 @@ class PolygonscanScan(wallets: Array[String], startBlock: Long, endBlock: Long,
 /** One wallet = one partition: the unit of parallel ingest. */
 case class WalletPartition(wallet: String, startBlock: Long, endBlock: Long,
     pageSize: Int, source: String, mode: String, baseUrl: String,
-    apiKey: String) extends InputPartition
+    apiKey: String, maxRetries: Int, retryBackoffMs: Long)
+  extends InputPartition
 
 class WalletReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -158,7 +162,9 @@ class WalletReader(p: WalletPartition, required: StructType)
 
   private val pages: PageSource = p.source match {
     case "fixture" => FixturePageSource
-    case "http" => HttpPageSource(p.baseUrl, p.apiKey)
+    case "http" =>
+      HttpPageSource(p.baseUrl, p.apiKey,
+        maxRetries = p.maxRetries, retryBackoffMs = p.retryBackoffMs)
     case other => throw new IllegalArgumentException(s"unknown source: $other")
   }
 

@@ -35,6 +35,22 @@ class HttpSourceSpec extends SparkSpec {
       }
       wallet match {
         case "0xw500" => respond(500, """{"status":"0","message":"NOTOK"}""")
+        case "0xwFLAKY" =>
+          // transient: first two requests 500, then behave as wallet 3
+          if (requests.get() <= 2) respond(500, """{"status":"0","message":"NOTOK"}""")
+          else {
+            val txs = FixturePageSource.fetch("0xw3",
+              params("startblock").toLong, params("endblock").toLong,
+              params("page").toInt, params("offset").toInt)
+            val rows = txs.map { t =>
+              s"""{"hash":"${t.hash}","blockNumber":"${t.blockNumber}",""" +
+                s""""timeStamp":"${t.timeStamp}","from":"${t.from}","to":"${t.to}",""" +
+                s""""contractAddress":"${t.contractAddress}","tokenName":"${t.tokenName}",""" +
+                s""""tokenSymbol":"${t.tokenSymbol}","tokenDecimal":"${t.tokenDecimal}",""" +
+                s""""value":"${t.value}"}"""
+            }.mkString("[", ",", "]")
+            respond(200, s"""{"status":"1","message":"OK","result":$rows}""")
+          }
         case "0xwERR" =>
           respond(200, """{"status":"0","message":"No transactions found","result":[]}""")
         case w =>
@@ -57,11 +73,13 @@ class HttpSourceSpec extends SparkSpec {
   }
 
   private def readHttp(baseUrl: String, wallets: String, mode: String = "permissive",
-      pageSize: Int = 100): DataFrame =
+      pageSize: Int = 100, maxRetries: Int = 2): DataFrame =
     spark.read.format("polygonscan")
       .option("wallets", wallets).option("pageSize", pageSize.toString)
       .option("source", "http").option("baseUrl", baseUrl)
       .option("apikey", "sekret").option("mode", mode)
+      .option("maxRetries", maxRetries.toString)
+      .option("retryBackoffMs", "0") // keep specs fast
       .load()
 
   test("multi-page HTTP scan equals the fixture source, apikey forwarded") {
@@ -100,6 +118,19 @@ class HttpSourceSpec extends SparkSpec {
         readHttp(base, "0xw1,0xw500", mode = "failfast").count()
       }
       assert(e.getMessage != null)
+    }
+  }
+
+  test("transient 5xx pages succeed after bounded retry (R17)") {
+    withStubServer { (base, _, _) =>
+      // two 500s then healthy: retries recover the full wallet
+      val rows = readHttp(base, "0xwFLAKY", maxRetries = 2).count()
+      assert(rows == FixturePageSource.totalTxs(3, 100),
+        s"retry should recover the wallet, got $rows rows")
+    }
+    withStubServer { (base, _, _) =>
+      // retries disabled: permissive mode drops the flaky wallet
+      assert(readHttp(base, "0xwFLAKY", maxRetries = 0).count() == 0)
     }
   }
 
