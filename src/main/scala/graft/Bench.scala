@@ -49,7 +49,16 @@ object Bench {
       "\"" + k + "\":{\"min\":" + mn + ",\"med\":" + med + ",\"max\":" + mx + "}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$st,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$st,"sf":"$sfDir"}"""
+    println(json)
+    // The single ~9 KB stdout line gets truncated by log-tail capture;
+    // persist the same JSON to a file so the numbers always survive.
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "tmp/bench_out.json"))
+    Option(outPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(outPath,
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -89,23 +89,30 @@ object NorthStar {
       |WHERE CAST(cm AS DOUBLE) / (na.n + nb.n - cm) >= 0.2
       |ORDER BY da, db""".stripMargin) { (s, dir) =>
     import s.implicits._
-    // Eager localCheckpoint, not cache(): the shingle relation feeds
-    // four downstream joins; checkpoint blocks are freed with the RDD
+    // Every downstream consumer (df-count, rare filter, candidate
+    // join, common-count, sizes) needs only shingle EQUALITY, never
+    // the string — so the eagerly-materialized relation is
+    // (doc, xxhash64(shingle)): 8 bytes per shingle instead of the
+    // wide multi-byte string (the string form is corpus×shingle-factor
+    // bytes of executor storage at 100 TB). The DuckDB twin keeps
+    // joining on the string: equality is all either side uses, so
+    // results are identical up to 2^-64-scale hash collisions.
+    // Eager localCheckpoint, not cache(): the relation feeds four
+    // downstream joins; checkpoint blocks are freed with the RDD
     // instead of pinning the session cache across the 70-query run.
-    // (An array_intersect-on-candidate-pairs variant measured SLOWER
-    // here — shipping multi-KB shingle arrays to every pair costs more
-    // than the exploded-relation joins it replaces.)
     val sh = Dedup.wordShingles(
-      Tables.documents(s, dir), "doc_id", "text", 2).localCheckpoint()
-    val docFreq = sh.groupBy("shingle").agg(count(lit(1)).as("c"))
-    val rare = sh.join(docFreq.filter($"c" <= 20), "shingle")
-    val cand = rare.as("a").join(rare.as("b"), $"a.shingle" === $"b.shingle" &&
+        Tables.documents(s, dir), "doc_id", "text", 2)
+      .select($"doc", xxhash64($"shingle").as("sh"))
+      .localCheckpoint()
+    val docFreq = sh.groupBy("sh").agg(count(lit(1)).as("c"))
+    val rare = sh.join(docFreq.filter($"c" <= 20), "sh")
+    val cand = rare.as("a").join(rare.as("b"), $"a.sh" === $"b.sh" &&
         $"a.doc" < $"b.doc")
       .select($"a.doc".as("da"), $"b.doc".as("db")).distinct()
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n"))
     val common = cand
       .join(sh.as("s1"), $"s1.doc" === $"da")
-      .join(sh.as("s2"), $"s2.doc" === $"db" && $"s2.shingle" === $"s1.shingle")
+      .join(sh.as("s2"), $"s2.doc" === $"db" && $"s2.sh" === $"s1.sh")
       .groupBy("da", "db").agg(count(lit(1)).as("cm"))
     common
       .join(sizes.as("na"), $"na.doc" === $"da")
