@@ -100,20 +100,47 @@ object NorthStar {
     // Eager localCheckpoint, not cache(): the relation feeds four
     // downstream joins; checkpoint blocks are freed with the RDD
     // instead of pinning the session cache across the 70-query run.
-    val sh = Dedup.wordShingles(
-        Tables.documents(s, dir), "doc_id", "text", 2)
+    // The shingle map is CPU-dense, not byte-dense: a small corpus
+    // arrives as a handful of input splits, which would serialize the
+    // tokenize/shingle/hash pass — widen to the core count first
+    // (never shrinks an already-wide scan).
+    val docs = Tables.documents(s, dir)
+    val cores = s.sparkContext.defaultParallelism
+    val spread =
+      if (docs.rdd.getNumPartitions < cores) docs.repartition(cores) else docs
+    val sh = Dedup.wordShingles(spread, "doc_id", "text", 2)
       .select($"doc", xxhash64($"shingle").as("sh"))
       .localCheckpoint()
     val docFreq = sh.groupBy("sh").agg(count(lit(1)).as("c"))
     val rare = sh.join(docFreq.filter($"c" <= 20), "sh")
+    // cand is the small (da, db) pair relation; eagerly materialized
+    // because THREE consumers below derive from it (candidate-doc
+    // projection feeds both sides of the common-count self-join, plus
+    // the final semi-join) — without it the rare-shingle join would
+    // re-execute per consumer. NOT deduplicated: every consumer is a
+    // left-semi probe side, which is duplicate-insensitive, so the
+    // DISTINCT the oracle spells out would only add a shuffle here.
     val cand = rare.as("a").join(rare.as("b"), $"a.sh" === $"b.sh" &&
         $"a.doc" < $"b.doc")
-      .select($"a.doc".as("da"), $"b.doc".as("db")).distinct()
-    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n"))
-    val common = cand
-      .join(sh.as("s1"), $"s1.doc" === $"da")
-      .join(sh.as("s2"), $"s2.doc" === $"db" && $"s2.sh" === $"s1.sh")
+      .select($"a.doc".as("da"), $"b.doc".as("db"))
+      .localCheckpoint()
+    // Common-shingle counts touch only CANDIDATE docs' shingles: the
+    // full-corpus relation is semi-joined down to docs appearing in a
+    // candidate pair before the self-join (candidate docs are a small
+    // fraction of the corpus — at 100 TB this is the difference between
+    // joining the corpus twice and joining a sliver of it), then the
+    // co-occurrence counts are restricted back to the blocked pairs.
+    // `sizes` only ever joins back to candidate docs, so it aggregates
+    // the semi-joined sliver too, not the corpus.
+    val candDocs = cand.select($"da".as("doc"))
+      .unionByName(cand.select($"db".as("doc")))
+    val shc = sh.join(candDocs, Seq("doc"), "left_semi")
+    val sizes = shc.groupBy("doc").agg(count(lit(1)).as("n"))
+    val common = shc.as("s1").join(shc.as("s2"),
+        $"s1.sh" === $"s2.sh" && $"s1.doc" < $"s2.doc")
+      .select($"s1.doc".as("da"), $"s2.doc".as("db"))
       .groupBy("da", "db").agg(count(lit(1)).as("cm"))
+      .join(cand, Seq("da", "db"), "left_semi")
     common
       .join(sizes.as("na"), $"na.doc" === $"da")
       .join(sizes.as("nb"), $"nb.doc" === $"db")
