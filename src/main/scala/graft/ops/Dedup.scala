@@ -111,6 +111,87 @@ object Dedup {
       .select("doc_a", "doc_b", "est_jaccard")
   }
 
+  /** Exact n-gram (word k-gram) Jaccard near-dup pairs with
+    * rare-shingle blocking — the q41d core, parameterized so specs can
+    * drive it on adversarial fixtures. Returns (da, db, jaccard) with
+    * da < db and jaccard ≥ threshold, jaccard rounded to 6 places.
+    *
+    * Scale shape (100 TB): every relation after the first projection
+    * carries (doc, xxhash64(shingle)) — 8-byte hashes, never strings
+    * (equality is all any consumer needs; results identical up to
+    * 2^-64-scale collisions). Candidate generation joins only RARE
+    * shingles (document frequency ≤ maxDf), bounding each shingle's
+    * pair fan-out at maxDf·(maxDf-1)/2. Common counts are PAIR-BOUNDED:
+    * enumerate per candidate pair, never self-join on a raw shingle
+    * hash (a stopword bigram shared by D candidate docs would emit
+    * D²/2 rows — a frequency-skewed hot key). See `ngramJaccardStages`
+    * for the stage-by-stage rationale. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 2, maxDf: Int = 20, threshold: Double = 0.2): DataFrame =
+    ngramJaccardStages(docs, idCol, textCol, k, maxDf, threshold)._3
+
+  /** Internal stages of [[ngramJaccardPairs]] — (cand, candShingles,
+    * result) — exposed so DedupSpec can bound the pair-enumeration
+    * volume on a stopword-heavy fixture. */
+  private[graft] def ngramJaccardStages(docs: DataFrame, idCol: String,
+      textCol: String, k: Int, maxDf: Int, threshold: Double)
+      : (DataFrame, DataFrame, DataFrame) = {
+    // The shingle map is CPU-dense, not byte-dense: a small corpus
+    // arrives as a handful of input splits, which would serialize the
+    // tokenize/shingle/hash pass — widen to the core count first
+    // (never shrinks an already-wide scan).
+    val cores = docs.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (docs.rdd.getNumPartitions < cores) docs.repartition(cores) else docs
+    // Eager localCheckpoint, not cache(): the relation feeds several
+    // downstream joins; checkpoint blocks are freed with the RDD
+    // instead of pinning the session cache across a long-lived session.
+    val sh = wordShingles(spread, idCol, textCol, k)
+      .select(col("doc"), xxhash64(col("shingle")).as("sh"))
+      .localCheckpoint()
+    val docFreq = sh.groupBy("sh").agg(count(lit(1)).as("c"))
+    val rare = sh.join(docFreq.filter(col("c") <= maxDf), "sh")
+    // cand is the small DISTINCT (da, db) pair relation; deduplicated
+    // because the pair-bounded common-count below uses it as a real
+    // inner-join input (a duplicate pair would double its cm), and
+    // eagerly materialized because three consumers derive from it.
+    val cand = rare.as("a").join(rare.as("b"), col("a.sh") === col("b.sh") &&
+        col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("da"), col("b.doc").as("db"))
+      .distinct()
+      .localCheckpoint()
+    // Common-shingle counts touch only CANDIDATE docs' shingles: the
+    // full-corpus relation is semi-joined down to docs appearing in a
+    // candidate pair (a small fraction of the corpus — at 100 TB this
+    // is the difference between joining the corpus twice and joining a
+    // sliver of it). `candDocs` sits on the RIGHT/BUILD side of the
+    // left-semi join, which is duplicate-insensitive, so no DISTINCT
+    // is needed there. The sliver is checkpointed once: three scans
+    // below (sizes + both sides of the pair enumeration) would
+    // otherwise re-run the semi-join against the full corpus each.
+    val candDocs = cand.select(col("da").as("doc"))
+      .unionByName(cand.select(col("db").as("doc")))
+    val shc = sh.join(candDocs, Seq("doc"), "left_semi")
+      .localCheckpoint()
+    val sizes = shc.groupBy("doc").agg(count(lit(1)).as("n"))
+    // PAIR-BOUNDED common counts: enumerate per candidate pair — join
+    // each pair to da's shingles, then probe db's shingles on
+    // (doc, sh). Work is Σ_pairs |shingles(da)| plus the matches,
+    // bounded by pair count × doc length — NEVER quadratic in how many
+    // candidate docs share one hot shingle.
+    val common = cand
+      .join(shc.as("s1"), col("s1.doc") === col("da"))
+      .join(shc.as("s2"), col("s2.doc") === col("db") && col("s2.sh") === col("s1.sh"))
+      .groupBy("da", "db").agg(count(lit(1)).as("cm"))
+    val result = common
+      .join(sizes.as("na"), col("na.doc") === col("da"))
+      .join(sizes.as("nb"), col("nb.doc") === col("db"))
+      .withColumn("j", col("cm").cast("double") / (col("na.n") + col("nb.n") - col("cm")))
+      .filter(col("j") >= threshold)
+      .select(col("da"), col("db"), round(col("j"), 6).as("jaccard"))
+    (cand, shc, result)
+  }
+
   /** 64-bit SimHash over word tokens: per-bit majority vote of token
     * hashes. The 64 votes accumulate in ONE imperative aggregate
     * (`SimHashAgg`, an `Array[Int](64)` buffer with map-side partial

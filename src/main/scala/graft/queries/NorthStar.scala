@@ -88,65 +88,12 @@ object NorthStar {
       |FROM common JOIN sizes na ON na.doc = da JOIN sizes nb ON nb.doc = db
       |WHERE CAST(cm AS DOUBLE) / (na.n + nb.n - cm) >= 0.2
       |ORDER BY da, db""".stripMargin) { (s, dir) =>
-    import s.implicits._
-    // Every downstream consumer (df-count, rare filter, candidate
-    // join, common-count, sizes) needs only shingle EQUALITY, never
-    // the string — so the eagerly-materialized relation is
-    // (doc, xxhash64(shingle)): 8 bytes per shingle instead of the
-    // wide multi-byte string (the string form is corpus×shingle-factor
-    // bytes of executor storage at 100 TB). The DuckDB twin keeps
-    // joining on the string: equality is all either side uses, so
-    // results are identical up to 2^-64-scale hash collisions.
-    // Eager localCheckpoint, not cache(): the relation feeds four
-    // downstream joins; checkpoint blocks are freed with the RDD
-    // instead of pinning the session cache across the 70-query run.
-    // The shingle map is CPU-dense, not byte-dense: a small corpus
-    // arrives as a handful of input splits, which would serialize the
-    // tokenize/shingle/hash pass — widen to the core count first
-    // (never shrinks an already-wide scan).
-    val docs = Tables.documents(s, dir)
-    val cores = s.sparkContext.defaultParallelism
-    val spread =
-      if (docs.rdd.getNumPartitions < cores) docs.repartition(cores) else docs
-    val sh = Dedup.wordShingles(spread, "doc_id", "text", 2)
-      .select($"doc", xxhash64($"shingle").as("sh"))
-      .localCheckpoint()
-    val docFreq = sh.groupBy("sh").agg(count(lit(1)).as("c"))
-    val rare = sh.join(docFreq.filter($"c" <= 20), "sh")
-    // cand is the small (da, db) pair relation; eagerly materialized
-    // because THREE consumers below derive from it (candidate-doc
-    // projection feeds both sides of the common-count self-join, plus
-    // the final semi-join) — without it the rare-shingle join would
-    // re-execute per consumer. NOT deduplicated: every consumer is a
-    // left-semi probe side, which is duplicate-insensitive, so the
-    // DISTINCT the oracle spells out would only add a shuffle here.
-    val cand = rare.as("a").join(rare.as("b"), $"a.sh" === $"b.sh" &&
-        $"a.doc" < $"b.doc")
-      .select($"a.doc".as("da"), $"b.doc".as("db"))
-      .localCheckpoint()
-    // Common-shingle counts touch only CANDIDATE docs' shingles: the
-    // full-corpus relation is semi-joined down to docs appearing in a
-    // candidate pair before the self-join (candidate docs are a small
-    // fraction of the corpus — at 100 TB this is the difference between
-    // joining the corpus twice and joining a sliver of it), then the
-    // co-occurrence counts are restricted back to the blocked pairs.
-    // `sizes` only ever joins back to candidate docs, so it aggregates
-    // the semi-joined sliver too, not the corpus.
-    val candDocs = cand.select($"da".as("doc"))
-      .unionByName(cand.select($"db".as("doc")))
-    val shc = sh.join(candDocs, Seq("doc"), "left_semi")
-    val sizes = shc.groupBy("doc").agg(count(lit(1)).as("n"))
-    val common = shc.as("s1").join(shc.as("s2"),
-        $"s1.sh" === $"s2.sh" && $"s1.doc" < $"s2.doc")
-      .select($"s1.doc".as("da"), $"s2.doc".as("db"))
-      .groupBy("da", "db").agg(count(lit(1)).as("cm"))
-      .join(cand, Seq("da", "db"), "left_semi")
-    common
-      .join(sizes.as("na"), $"na.doc" === $"da")
-      .join(sizes.as("nb"), $"nb.doc" === $"db")
-      .withColumn("j", $"cm".cast("double") / ($"na.n" + $"nb.n" - $"cm"))
-      .filter($"j" >= 0.2)
-      .select($"da", $"db", round($"j", 6).as("jaccard"))
+    // All topology/scale rationale lives on Dedup.ngramJaccardStages:
+    // hashed shingles (the oracle joins strings; equality is all either
+    // side uses), rare-shingle blocking, semi-joined sliver, and
+    // PAIR-BOUNDED common-count enumeration (no hot-shingle self-join).
+    Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+      k = 2, maxDf = 20, threshold = 0.2)
       .orderBy("da", "db")
   }
 

@@ -46,6 +46,40 @@ class DedupSpec extends SparkSpec {
       "SimHash64 diverges from simhash_agg over exploded tokens")
   }
 
+  test("ngram jaccard: stopword-heavy fixture — correct pairs, pair-bounded enumeration") {
+    // 40 docs ALL sharing a 8-token stopword prefix (7 hot bigrams,
+    // df = 40 > maxDf — blocked from candidate generation). Docs 2i and
+    // 2i+1 share a pair-private 5-token tail differing in the last
+    // token: 11 of 12 bigrams common → jaccard 11/13 ≈ 0.846154.
+    val docs = (0 until 40).map { i =>
+      val p = i / 2
+      val last = if (i % 2 == 0) s"epsilon$p" else s"zeta$p"
+      (i.toLong, s"the of and to in is on for alpha$p beta$p gamma$p delta$p $last")
+    }.toDF("doc_id", "text")
+    val (cand, shc, result) =
+      Dedup.ngramJaccardStages(docs, "doc_id", "text", k = 2, maxDf = 20, threshold = 0.2)
+    // correctness: exactly the 20 sibling pairs, each at 11/13
+    val rows = result.orderBy("da", "db")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.map(r => (r._1, r._2)).toSeq ==
+      (0 until 20).map(p => (2L * p, 2L * p + 1)))
+    assert(rows.forall(r => math.abs(r._3 - 11.0 / 13.0) < 1e-5))
+    // scale shape: the common-count enumeration must be bounded by
+    // Σ_pairs |shingles(da)| + matches — here 20 pairs × 12 shingles
+    // + 20 × 11 matches = 460 rows. A hot-shingle self-join of the
+    // candidate-doc sliver would emit ≥ 7 × 40·39/2 = 5460 rows for
+    // the stopword bigrams alone. Assert the implemented enumeration
+    // (same code path: cand ⋈ shc(da) ⋈ shc(db, sh)) stays at the
+    // pair-bounded size.
+    val enumRows = cand
+      .join(shc.as("s1"), $"s1.doc" === $"da")
+      .join(shc.as("s2"), $"s2.doc" === $"db" && $"s2.sh" === $"s1.sh")
+      .count()
+    assert(enumRows == 220, s"pair-bounded enumeration emitted $enumRows rows")
+    // and the blocked hot shingles never became candidates
+    assert(cand.count() == 20)
+  }
+
   test("simhash: identical texts at distance 0, all true pairs found") {
     val pairs = Dedup.simHashNearDups(
       Dedup.simHash(dupCorpus, "doc_id", "text"), maxHamming = 3)
