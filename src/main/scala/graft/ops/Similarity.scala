@@ -140,60 +140,122 @@ object Similarity {
     annTopK(corpus, queries, k,
       planesForCorpus(corpus.count(), targetOccupancy), tables)
 
+  /** Exact-decimal squared norm of a driver-side double array — the
+    * norm literal attached to each centroid (same arithmetic as the
+    * column-side [[normSqDecimal]]). */
+  private def arrNormSq(v: Array[Double]): Double = {
+    val ad = new org.apache.spark.sql.catalyst.util.GenericArrayData(v)
+    graft.functions.DecimalDot.compute(ad, ad, false, false).doubleValue()
+  }
+
+  /** Per-row best `m` cells for a literal centroid list: array_max /
+    * slice over (cosine, -cell) structs — a PURE MAP, no shuffle, no
+    * window. Ties resolve to the smallest cell on both engines
+    * (struct comparison on (cos DESC, cell ASC)). */
+  private def bestCells(cents: Seq[(Int, Array[Double], Double)])(
+      emb: Column, nrm: Column, m: Int): Column =
+    slice(reverse(array_sort(array(cents.map { case (cell, v, vn) =>
+      struct((dotDecimal(emb, array(v.map(lit(_)): _*)) /
+        sqrt(nrm * lit(vn))).as("c"), lit(-cell).as("nc"))
+    }: _*))), 1, m)
+
+  /** IVF coarse quantizer: deterministic strided sample + ONE Lloyd
+    * step, all oracle-reproducible.
+    *
+    *  1. SEED: the `cells` vectors at ids {0, stride, …, (cells-1)·
+    *     stride}, stride = ⌊n/cells⌋ — a deterministic sample spread
+    *     across the id range (the previous lowest-id block assumed
+    *     id⊥geometry; a clustered head re-created quadratic verify in
+    *     hot cells). Bounded driver collect: `cells` rows.
+    *  2. LLOYD STEP: assign every corpus vector to its best seed
+    *     (map-side argmax against seed literals), then refine each
+    *     cell's centroid to the per-dimension EXACT DECIMAL SUM of its
+    *     members' components. The sum is the UNNORMALIZED mean —
+    *     cosine is scale-invariant, so dividing by the member count
+    *     would change nothing downstream, and skipping the division
+    *     keeps both engines bit-identical (decimal sums are exact and
+    *     order-independent; a double division is neither necessary nor
+    *     free of representation hazards). The shuffle carries
+    *     (cell, dim, partial-decimal-sum) with map-side combine —
+    *     cells×dim final rows, a bounded driver collect (16×64 here).
+    *
+    * Every cell is non-empty: each seed assigns to itself (self-cosine
+    * 1 wins, ties to the smallest cell), so all `cells` sums exist.
+    * Returns (cell, centroid, normSq(centroid)) literals. */
+  def ivfCentroids(corpus: DataFrame, cells: Int): Seq[(Int, Array[Double], Double)] = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.DecimalType
+    val n = corpus.count()
+    val stride = math.max(1L, n / cells)
+    val seedRows = corpus
+      .filter(col("vec_id") % stride === 0 && col("vec_id") < stride * cells)
+      .select((col("vec_id") / stride).cast("int").as("cell"), col("embedding"))
+      .orderBy("cell").collect()
+    val seeds: Seq[(Int, Array[Double], Double)] = seedRows.map {
+      case Row(cell: Int, emb: scala.collection.Seq[_]) =>
+        val v = emb.map(_.asInstanceOf[Float].toDouble).toArray
+        (cell, v, arrNormSq(v))
+    }.toSeq
+    val assigned0 = corpus.select(col("embedding").as("ce"))
+      .withColumn("cnorm", normSqDecimal(col("ce")))
+      .withColumn("cell",
+        -element_at(bestCells(seeds)(col("ce"), col("cnorm"), 1), 1).getField("nc"))
+    // exact decimal per-dimension sums (posexplode → two-phase agg);
+    // cast to DECIMAL(23,14) per term mirrors the oracle's CAST
+    val sumRows = assigned0
+      .select(col("cell"), posexplode(col("ce")).as(Seq("j", "x")))
+      .groupBy("cell", "j")
+      .agg(sum(col("x").cast("double").cast(DecimalType(23, 14))).as("s"))
+      .collect()
+    val dims = sumRows.map(_.getInt(1)).max + 1
+    val byCell = sumRows.groupBy(_.getInt(0))
+    (0 until cells).map { cell =>
+      val arr = new Array[Double](dims)
+      byCell(cell).foreach(r => arr(r.getInt(1)) = r.getDecimal(2).doubleValue())
+      (cell, arr, arrNormSq(arr))
+    }
+  }
+
+  /** (vid, cell) assignment of `corpus` under literal centroids — the
+    * map-side argmax, exposed so specs can measure cell occupancy. */
+  def ivfAssign(corpus: DataFrame,
+      cents: Seq[(Int, Array[Double], Double)]): DataFrame =
+    corpus.select(col("vec_id").as("vid"), col("embedding").as("ce"))
+      .withColumn("cnorm", normSqDecimal(col("ce")))
+      .withColumn("cell",
+        -element_at(bestCells(cents)(col("ce"), col("cnorm"), 1), 1).getField("nc"))
+      .select("vid", "cell")
+
   /** IVF (inverted-file) ANN top-k — the cell-probing alternative to
     * LSH OR-amplification:
     *
-    *  1. COARSE QUANTIZER (index build): the `cells` corpus vectors
-    *     with the smallest ids act as cell centroids. They materialize
-    *     to the driver ONCE (a few KB — the same bounded driver-side
-    *     step a KMeans `fit` performs) and become literal arrays, so
-    *     cell assignment is a PURE MAP over the corpus: per row, an
-    *     `array_max` over struct(cosine-to-seed, -cell) — no shuffle,
-    *     no window. Ties resolve to the smallest cell on both engines
-    *     (struct comparison on (cos DESC, cell ASC)).
-    *  2. PROBE: each query scores the same literal seeds and keeps its
-    *     `nprobe` best cells.
+    *  1. COARSE QUANTIZER (index build): [[ivfCentroids]] — strided
+    *     deterministic sample + one exact-decimal Lloyd step. The
+    *     centroids materialize to the driver ONCE (a few KB — the same
+    *     bounded driver-side step a KMeans `fit` performs) and become
+    *     literal arrays, so cell assignment is a PURE MAP over the
+    *     corpus: per row, an `array_max` over struct(cosine-to-
+    *     centroid, -cell) — no shuffle, no window.
+    *  2. PROBE: each query scores the same literal centroids and keeps
+    *     its `nprobe` best cells.
     *  3. VERIFY: exact decimal cosine within probed cells only —
     *     corpus touched ∝ nprobe/cells.
     *
-    * Deterministic end-to-end (decimal-exact dots, total tie-breaks),
-    * so the WHOLE pipeline — assignments, probes, ranks — is
-    * DuckDB-hash-checkable (the oracle recomputes the same seeds from
-    * the table). At 100 TB: swap lowest-id seeds for sampled+Lloyd
-    * centroids; the plan shape (driver-built literal index, map-side
-    * assignment, cell equi-join) is identical. */
+    * Deterministic end-to-end (decimal-exact dots and sums, total
+    * tie-breaks), so the WHOLE pipeline — seeding, Lloyd sums,
+    * assignments, probes, ranks — is DuckDB-hash-checkable (the oracle
+    * recomputes identical centroids from the table; see [[ivfSql]]). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       cells: Int = 16, nprobe: Int = 4): DataFrame = {
-    import org.apache.spark.sql.Row
-    // index build: bounded driver materialization of the seed vectors
-    val seedRows = corpus.filter(col("vec_id") < cells)
-      .select(col("vec_id"), col("embedding")).orderBy("vec_id")
-      .collect()
-    val seeds: Seq[(Int, Array[Float])] = seedRows.map {
-      case Row(id: Long, emb: scala.collection.Seq[_]) =>
-        (id.toInt, emb.map(_.asInstanceOf[Float]).toArray)
-    }.toSeq
-    def seedLit(v: Array[Float]): Column =
-      array(v.map(x => lit(x.toDouble)): _*)
-    def seedNorm(v: Array[Float]): Double = {
-      val ad = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-        v.map(_.toDouble))
-      graft.functions.DecimalDot.compute(ad, ad, false, false).doubleValue()
-    }
-    // per-row best cell: array_max over (cosine, -cell) structs
-    def bestCells(emb: Column, nrm: Column, n: Int): Column =
-      slice(reverse(array_sort(array(seeds.map { case (cell, v) =>
-        struct((dotDecimal(emb, seedLit(v)) /
-          sqrt(nrm * lit(seedNorm(v)))).as("c"), lit(-cell).as("nc"))
-      }: _*))), 1, n)
+    val cents = ivfCentroids(corpus, cells)
     val c = corpus.select(col("vec_id").as("vid"), col("embedding").as("ce"))
       .withColumn("cnorm", normSqDecimal(col("ce")))
-      .withColumn("cell", -element_at(bestCells(col("ce"), col("cnorm"), 1), 1)
+      .withColumn("cell", -element_at(bestCells(cents)(col("ce"), col("cnorm"), 1), 1)
         .getField("nc"))
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
       .withColumn("qnorm", normSqDecimal(col("qe")))
       .withColumn("cell",
-        explode(transform(bestCells(col("qe"), col("qnorm"), nprobe),
+        explode(transform(bestCells(cents)(col("qe"), col("qnorm"), nprobe),
           s => -s.getField("nc"))))
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("qid") =!= col("vid"))
@@ -282,4 +344,74 @@ object Similarity {
   def dotSql(a: String, b: String): String =
     s"CAST(list_sum(list_transform(generate_series(1, $dim), " +
       s"j -> CAST(CAST($a[j] AS DOUBLE) * CAST($b[j] AS DOUBLE) AS DECIMAL(23,14)))) AS DOUBLE)"
+
+  /** DuckDB twin of the ENTIRE [[ivfTopK]] pipeline — strided seeds,
+    * one exact-decimal Lloyd step (unnormalized sums; cosine is
+    * scale-invariant), assignment, probe, verify — recomputed from the
+    * table so the full IVF answer hash-checks. `queryPred` selects the
+    * query subset of `src`. */
+  def ivfSql(cells: Int, nprobe: Int, k: Int,
+      src: String = "embeddings",
+      queryPred: String = "vec_id % 100 = 0"): String = {
+    def cosSql(e: String, c: String, ne: String, nc: String) =
+      s"${dotSql(e, c)} / sqrt($ne * $nc)"
+    s"""WITH st AS (SELECT CAST(GREATEST(COUNT(*) // $cells, 1) AS BIGINT) AS stride FROM $src),
+       |seeds0 AS (SELECT CAST(vec_id // (SELECT stride FROM st) AS INTEGER) AS cell,
+       |                  embedding AS se
+       |           FROM $src
+       |           WHERE vec_id % (SELECT stride FROM st) = 0
+       |             AND vec_id < (SELECT stride FROM st) * $cells),
+       |norms AS (SELECT vec_id, ${dotSql("embedding", "embedding")} AS nrm FROM $src),
+       |snorms AS (SELECT cell, ${dotSql("se", "se")} AS sn FROM seeds0),
+       |assign0 AS (
+       |  SELECT vid, cell FROM (
+       |    SELECT e.vec_id AS vid, s.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cosSql("e.embedding", "s.se", "ne.nrm", "ns.sn")} DESC, s.cell ASC) AS rn
+       |    FROM $src e CROSS JOIN seeds0 s
+       |    JOIN norms ne ON ne.vec_id = e.vec_id
+       |    JOIN snorms ns ON ns.cell = s.cell)
+       |  WHERE rn = 1),
+       |sums AS (
+       |  SELECT a.cell, t.j,
+       |    CAST(SUM(CAST(CAST(e.embedding[t.j] AS DOUBLE) AS DECIMAL(23,14))) AS DOUBLE) AS s
+       |  FROM assign0 a JOIN $src e ON e.vec_id = a.vid,
+       |       generate_series(1, $dim) AS t(j)
+       |  GROUP BY a.cell, t.j),
+       |cents AS (SELECT cell, list(s ORDER BY j) AS ce FROM sums GROUP BY cell),
+       |cnorms AS (SELECT cell, ${dotSql("ce", "ce")} AS cn FROM cents),
+       |assign AS (
+       |  SELECT vid, cell FROM (
+       |    SELECT e.vec_id AS vid, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cosSql("e.embedding", "c.ce", "ne.nrm", "cn.cn")} DESC, c.cell ASC) AS rn
+       |    FROM $src e CROSS JOIN cents c
+       |    JOIN norms ne ON ne.vec_id = e.vec_id
+       |    JOIN cnorms cn ON cn.cell = c.cell)
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id, embedding FROM $src WHERE $queryPred),
+       |probe AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT q.vec_id AS qid, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${cosSql("q.embedding", "c.ce", "nq.nrm", "cn.cn")} DESC, c.cell ASC) AS rn
+       |    FROM q CROSS JOIN cents c
+       |    JOIN norms nq ON nq.vec_id = q.vec_id
+       |    JOIN cnorms cn ON cn.cell = c.cell)
+       |  WHERE rn <= $nprobe),
+       |scored AS (
+       |  SELECT p.qid, a.vid,
+       |    ${cosSql("eq.embedding", "ec.embedding", "nq.nrm", "nc.nrm")} AS cosine
+       |  FROM probe p JOIN assign a ON a.cell = p.cell
+       |  JOIN $src eq ON eq.vec_id = p.qid
+       |  JOIN $src ec ON ec.vec_id = a.vid
+       |  JOIN norms nq ON nq.vec_id = p.qid
+       |  JOIN norms nc ON nc.vec_id = a.vid
+       |  WHERE a.vid <> p.qid)
+       |SELECT qid, vid, CAST(rk AS INTEGER) AS rk, ROUND(cosine, 6) AS cosine FROM (
+       |  SELECT qid, vid, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vid) AS rk
+       |  FROM scored) WHERE rk <= $k
+       |ORDER BY qid, rk""".stripMargin
+  }
 }

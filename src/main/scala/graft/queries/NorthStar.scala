@@ -185,52 +185,13 @@ object NorthStar {
   }
 
   /** IVF ANN top-k (the cell-probing scale path, complementing q42b's
-    * LSH): deterministic lowest-id coarse quantizer, map-side argmax
-    * assignment, nprobe-cell exact verify. Fully hash-checked — the
-    * oracle recomputes the same seeds, assignments, probes and ranks
-    * from the table with the same decimal-exact dots. */
-  val q42d = QueryDef("q42d_similarity_ivf", {
-    val (cells, nprobe, k) = (16, 4, 5)
-    def cosSql(e: String, s: String, ne: String, ns: String) =
-      s"${Similarity.dotSql(e, s)} / sqrt($ne * $ns)"
-    s"""WITH seeds AS (SELECT vec_id AS cell, embedding AS se FROM embeddings
-       |               WHERE vec_id < $cells),
-       |norms AS (SELECT vec_id, ${Similarity.dotSql("embedding", "embedding")} AS nrm
-       |          FROM embeddings),
-       |assign AS (
-       |  SELECT vid, cell FROM (
-       |    SELECT e.vec_id AS vid, s.cell,
-       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-       |        ${cosSql("e.embedding", "s.se", "ne.nrm", "ns.nrm")} DESC, s.cell ASC) AS rn
-       |    FROM embeddings e CROSS JOIN seeds s
-       |    JOIN norms ne ON ne.vec_id = e.vec_id
-       |    JOIN norms ns ON ns.vec_id = s.cell)
-       |  WHERE rn = 1),
-       |q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
-       |probe AS (
-       |  SELECT qid, cell FROM (
-       |    SELECT q.vec_id AS qid, s.cell,
-       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-       |        ${cosSql("q.embedding", "s.se", "nq.nrm", "ns.nrm")} DESC, s.cell ASC) AS rn
-       |    FROM q CROSS JOIN seeds s
-       |    JOIN norms nq ON nq.vec_id = q.vec_id
-       |    JOIN norms ns ON ns.vec_id = s.cell)
-       |  WHERE rn <= $nprobe),
-       |scored AS (
-       |  SELECT p.qid, a.vid,
-       |    ${cosSql("eq.embedding", "ec.embedding", "nq.nrm", "nc.nrm")} AS cosine
-       |  FROM probe p JOIN assign a ON a.cell = p.cell
-       |  JOIN embeddings eq ON eq.vec_id = p.qid
-       |  JOIN embeddings ec ON ec.vec_id = a.vid
-       |  JOIN norms nq ON nq.vec_id = p.qid
-       |  JOIN norms nc ON nc.vec_id = a.vid
-       |  WHERE a.vid <> p.qid)
-       |SELECT qid, vid, CAST(rk AS INTEGER) AS rk, ROUND(cosine, 6) AS cosine FROM (
-       |  SELECT qid, vid, cosine,
-       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vid) AS rk
-       |  FROM scored) WHERE rk <= $k
-       |ORDER BY qid, rk""".stripMargin
-  }) { (s, dir) =>
+    * LSH): strided-sample + one-Lloyd-step coarse quantizer, map-side
+    * argmax assignment, nprobe-cell exact verify. Fully hash-checked —
+    * the oracle recomputes the same seeds, Lloyd sums, assignments,
+    * probes and ranks from the table with the same decimal-exact
+    * arithmetic (Similarity.ivfSql). */
+  val q42d = QueryDef("q42d_similarity_ivf",
+    Similarity.ivfSql(cells = 16, nprobe = 4, k = 5)) { (s, dir) =>
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
     Similarity.ivfTopK(emb, emb.filter($"vec_id" % 100 === 0), k = 5,

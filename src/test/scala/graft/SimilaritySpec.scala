@@ -56,6 +56,43 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.25, s"IVF recall $recall below floor 0.25 ($hits hits)")
   }
 
+  test("IVF strided+Lloyd seeding spreads occupancy where lowest-id hot-cells") {
+    // adversarial id⊥geometry violation: the 16 lowest ids are
+    // near-copies of one direction (ingest order often clusters the
+    // head — same crawl shard, same source). Lowest-id seeding then
+    // fields 16 near-identical centroids and the whole corpus piles
+    // into the cell(s) that win by a perturbation epsilon; the strided
+    // sample + one Lloyd step must spread occupancy instead.
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val emb0 = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val v42 = emb0.filter($"vec_id" === 42).select($"embedding".as("e42"))
+    val head = spark.range(16).toDF("vec_id").crossJoin(v42)
+      .select($"vec_id",
+        transform($"e42", (x, j) =>
+          when(j === 0, x + $"vec_id".cast("float") * lit(0.001f)).otherwise(x))
+          .cast("array<float>").as("embedding"))
+    val clustered = head.unionByName(emb0.filter($"vec_id" >= 16))
+    val n = clustered.count()
+    def nsq(v: Array[Double]): Double = {
+      val ad = new GenericArrayData(v)
+      functions.DecimalDot.compute(ad, ad, false, false).doubleValue()
+    }
+    val lowestId: Seq[(Int, Array[Double], Double)] =
+      clustered.filter($"vec_id" < 16).orderBy("vec_id").collect().toSeq.map { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble).toArray
+        (r.getLong(0).toInt, v, nsq(v))
+      }
+    val lloyd = Similarity.ivfCentroids(clustered, cells = 16)
+    def maxOcc(cents: Seq[(Int, Array[Double], Double)]): Long =
+      Similarity.ivfAssign(clustered, cents)
+        .groupBy("cell").count().agg(max("count")).head().getLong(0)
+    val (oldMax, newMax) = (maxOcc(lowestId), maxOcc(lloyd))
+    // lowest-id: one near-degenerate cell absorbs most of the corpus;
+    // strided+Lloyd must at least halve the hottest cell
+    assert(newMax * 2 <= oldMax,
+      s"sampled+Lloyd max occupancy $newMax not tighter than lowest-id $oldMax (n=$n)")
+  }
+
   test("cosine near-dups: non-empty, only true pairs, recall floor") {
     val emb = Tables.embeddings(spark, sf)
     val nd = Similarity.cosineNearDups(emb, threshold = 0.35).cache()
