@@ -100,7 +100,17 @@ object SqlQueries {
       verbatim(Aggregates.q19b), verbatim(Aggregates.q19c),
       noCte(Aggregates.q20), verbatim(Aggregates.q49),
       noCte(Windows.q21), noCte(Windows.q22), noCte(Windows.q23),
-      noCte(Windows.q24), noCte(Windows.q24b))
+      noCte(Windows.q24), noCte(Windows.q24b),
+      noCte(Scans.q04), noCte(Scans.q05), noCte(Scans.q06),
+      // Spark spells the string type STRING, not bare VARCHAR
+      (Scans.q07, Scans.q07.oracle.get.stripPrefix(Fixtures.cte)
+        .replace("AS VARCHAR)", "AS STRING)")),
+      // q25's oracle text extends the wallet CTE's WITH-list; standalone
+      // Spark text re-opens the WITH over the registered view
+      (SetsFuncs.q25,
+        "WITH " + SetsFuncs.q25.oracle.get.stripPrefix(Fixtures.cte)
+          .trim.stripPrefix(",").trim),
+      verbatim(SetsFuncs.q28), noCte(SetsFuncs.q32))
   }
 
   /** The `_sql`-suffixed QueryDefs: Spark side is `spark.sql(text)`
