@@ -192,6 +192,52 @@ object Dedup {
     (cand, shc, result)
   }
 
+  /** Connected components over a near-dup pair relation — the cluster
+    * RESOLUTION step a dedup pipeline runs after pair generation: every
+    * doc in a pair gets the component id (= the component's minimum doc
+    * id), so "keep one per cluster" is `doc == comp` and transitive
+    * chains (A~B, B~C, A!~C) collapse into one cluster instead of
+    * surviving pairwise deletion.
+    *
+    * Hash-to-min label propagation: each round every doc takes the min
+    * of its own label and its neighbors' labels — one (doc-keyed)
+    * join + one min-agg per round, converging in O(component diameter)
+    * rounds. Near-dup clusters are dense (diameter 1-2 in practice;
+    * `maxIters` guards pathological chains). The driver loop holds only
+    * a changed-row COUNT — no row data ever collects — and every round
+    * localCheckpoints, so lineage stays flat however many rounds run.
+    * At 100 TB this is the standard distributed CC loop: state is one
+    * (doc, comp) relation the size of the PAIRED docs (a sliver of the
+    * corpus), never the corpus itself.
+    *
+    * Returns (doc, comp, comp_size) for every doc in a pair. */
+  def nearDupComponents(pairs: DataFrame, aCol: String = "da",
+      bCol: String = "db", maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .unionByName(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("doc")).distinct()
+      .withColumn("comp", col("doc"))
+      .localCheckpoint()
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < maxIters) {
+      val viaNeighbors = edges
+        .join(labels.select(col("doc").as("b"), col("comp")), "b")
+        .select(col("a").as("doc"), col("comp"))
+      val next = viaNeighbors.unionByName(labels)
+        .groupBy("doc").agg(min("comp").as("comp"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.select(col("doc"), col("comp").as("prev")), "doc")
+        .filter(col("comp") =!= col("prev")).count()
+      labels = next
+      iters += 1
+    }
+    val sizes = labels.groupBy("comp").agg(count(lit(1)).as("comp_size"))
+    labels.join(sizes, "comp").select("doc", "comp", "comp_size")
+  }
+
   /** 64-bit SimHash over word tokens: per-bit majority vote of token
     * hashes. The 64 votes accumulate in ONE imperative aggregate
     * (`SimHashAgg`, an `Array[Int](64)` buffer with map-side partial

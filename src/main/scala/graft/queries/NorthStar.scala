@@ -61,10 +61,11 @@ object NorthStar {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Exact n-gram (word-bigram) Jaccard near-dups with rare-shingle
-    * blocking — identical relational program on both engines. */
-  val q41d = QueryDef("q41d_dedup_ngram_jaccard",
-    """WITH toks AS (
+  /** Shared DuckDB CTE chain producing the q41d near-dup pair relation
+    * (rare-shingle blocking + pair-bounded common counts) — reused by
+    * q41f's recursive-CTE component resolution. */
+  private val ngramPairCtes =
+    """toks AS (
       |  SELECT doc_id AS doc, string_split_regex(lower(text), '\s+') AS l
       |  FROM documents),
       |shingles AS (
@@ -82,12 +83,18 @@ object NorthStar {
       |           FROM cand c
       |           JOIN shingles s1 ON s1.doc = c.da
       |           JOIN shingles s2 ON s2.doc = c.db AND s2.shingle = s1.shingle
-      |           GROUP BY c.da, c.db)
-      |SELECT da, db,
+      |           GROUP BY c.da, c.db)""".stripMargin
+
+  private val ngramPairSelect =
+    """SELECT da, db,
       |  ROUND(CAST(cm AS DOUBLE) / (na.n + nb.n - cm), 6) AS jaccard
       |FROM common JOIN sizes na ON na.doc = da JOIN sizes nb ON nb.doc = db
-      |WHERE CAST(cm AS DOUBLE) / (na.n + nb.n - cm) >= 0.2
-      |ORDER BY da, db""".stripMargin) { (s, dir) =>
+      |WHERE CAST(cm AS DOUBLE) / (na.n + nb.n - cm) >= 0.2""".stripMargin
+
+  /** Exact n-gram (word-bigram) Jaccard near-dups with rare-shingle
+    * blocking — identical relational program on both engines. */
+  val q41d = QueryDef("q41d_dedup_ngram_jaccard",
+    s"WITH $ngramPairCtes\n$ngramPairSelect\nORDER BY da, db") { (s, dir) =>
     // All topology/scale rationale lives on Dedup.ngramJaccardStages:
     // hashed shingles (the oracle joins strings; equality is all either
     // side uses), rare-shingle blocking, semi-joined sliver, and
@@ -95,6 +102,33 @@ object NorthStar {
     Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
       k = 2, maxDf = 20, threshold = 0.2)
       .orderBy("da", "db")
+  }
+
+  /** Near-dup CLUSTER resolution over the q41d pair relation:
+    * connected components, component id = min doc id, plus component
+    * size — the "keep one per cluster" step that collapses transitive
+    * chains. Spark runs hash-to-min label propagation
+    * (Dedup.nearDupComponents); the oracle computes the identical
+    * components with a recursive transitive-closure CTE over the SAME
+    * pair SQL — both engines agree on every (doc, comp, comp_size). */
+  val q41f = QueryDef("q41f_dedup_clusters",
+    s"""WITH RECURSIVE $ngramPairCtes,
+       |pairs AS ($ngramPairSelect),
+       |edges AS (SELECT da AS a, db AS b FROM pairs
+       |          UNION SELECT db AS a, da AS b FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b),
+       |comp AS (SELECT a AS doc, least(a, MIN(b)) AS comp
+       |         FROM reach GROUP BY a)
+       |SELECT c.doc, c.comp, CAST(s.cnt AS BIGINT) AS comp_size
+       |FROM comp c JOIN (SELECT comp, COUNT(*) AS cnt FROM comp GROUP BY comp) s
+       |  USING (comp)
+       |ORDER BY doc""".stripMargin) { (s, dir) =>
+    val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir),
+      "doc_id", "text", k = 2, maxDf = 20, threshold = 0.2)
+    Dedup.nearDupComponents(pairs).orderBy("doc")
   }
 
   /** Edit-distance near-dups: block by (lang, length bucket), verify
@@ -371,6 +405,6 @@ object NorthStar {
       .orderBy("media_id", "frame_idx")
   }
 
-  val defs: Seq[QueryDef] = Seq(q41a, q41b, q41c, q41d, q41e, q42, q42b,
-    q42c, q42d, q43a, q43b, q43c, q43d, q44, q44b)
+  val defs: Seq[QueryDef] = Seq(q41a, q41b, q41c, q41d, q41e, q41f, q42,
+    q42b, q42c, q42d, q43a, q43b, q43c, q43d, q44, q44b)
 }

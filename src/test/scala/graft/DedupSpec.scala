@@ -80,6 +80,19 @@ class DedupSpec extends SparkSpec {
     assert(cand.count() == 20)
   }
 
+  test("near-dup components collapse transitive chains to min-id clusters") {
+    // chain 1-2-3-4 (diameter 3, exercises multiple propagation
+    // rounds), pair 10-11, triangle 20-21-22
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("da", "db")
+    val got = Dedup.nearDupComponents(pairs)
+      .orderBy("doc").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 4L), (2L, 1L, 4L), (3L, 1L, 4L), (4L, 1L, 4L),
+      (10L, 10L, 2L), (11L, 10L, 2L),
+      (20L, 20L, 3L), (21L, 20L, 3L), (22L, 20L, 3L)))
+  }
+
   test("simhash: identical texts at distance 0, all true pairs found") {
     val pairs = Dedup.simHashNearDups(
       Dedup.simHash(dupCorpus, "doc_id", "text"), maxHamming = 3)
