@@ -193,5 +193,32 @@ object Streaming {
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
-  val defs: Seq[QueryDef] = Seq(q36, q37, q38, q39, q39b, q48)
+  /** Stream-static join: the streaming events feed enriched against a
+    * STATIC dimension (the wallet fixture keyed by user bucket) — no
+    * state store involved (the static side is re-planned per batch,
+    * broadcast when small), the standard enrichment topology a
+    * training-data ingest runs. Oracle is the batch join. */
+  val q48b = QueryDef("q48b_stream_static_join",
+    graft.Fixtures.cte.stripSuffix("\n") +
+      """, dim AS (SELECT CAST(substr(wallet_address, 3) AS BIGINT) % 29 AS wkey,
+        |                 CAST(COUNT(*) AS BIGINT) AS wallet_txn_cnt
+        |          FROM wallet_txs GROUP BY 1)
+        |SELECT e.user_id % 29 AS wkey, CAST(COUNT(*) AS BIGINT) AS ev_cnt,
+        |  MIN(wallet_txn_cnt) AS dim_cnt
+        |FROM events e JOIN dim ON e.user_id % 29 = dim.wkey
+        |GROUP BY 1 ORDER BY wkey""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val dim = graft.Fixtures.walletTxs(s, dir)
+      .groupBy((substring($"wallet_address", 3, 40).cast("long") % 29).as("wkey"))
+      .agg(count(lit(1)).as("wallet_txn_cnt"))
+    val enriched = streamEvents(s, dir)
+      .withColumn("wkey", $"user_id" % 29)
+      .join(dim, "wkey") // stream-static: dim is batch, broadcast per micro-batch
+    val sink = runToTable(s, enriched, "append")
+    sink.groupBy("wkey")
+      .agg(count(lit(1)).as("ev_cnt"), min($"wallet_txn_cnt").as("dim_cnt"))
+      .orderBy("wkey")
+  }
+
+  val defs: Seq[QueryDef] = Seq(q36, q37, q38, q39, q39b, q48, q48b)
 }
