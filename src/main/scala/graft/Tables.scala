@@ -39,10 +39,18 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
+  private val viewsRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Register every table (plus the derived wallet_txs fixture) as a
-    * temp view so SQL-text entry points (subqueries, CTEs) can run. */
+    * temp view so SQL-text entry points (subqueries, CTEs) can run.
+    * Idempotent per (session, dir): the 11 createOrReplaceTempView
+    * calls + fixture plan construction are pure constant overhead on
+    * every `_sql` query, so they run once per session per dataset. */
   def registerViews(spark: SparkSession, dir: String): Unit = {
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
-    Fixtures.walletTxs(spark, dir).createOrReplaceTempView("wallet_txs")
+    if (viewsRegistered.add(System.identityHashCode(spark) + "|" + dir)) {
+      names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+      Fixtures.walletTxs(spark, dir).createOrReplaceTempView("wallet_txs")
+    }
   }
 }

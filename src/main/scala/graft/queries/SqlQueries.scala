@@ -110,7 +110,55 @@ object SqlQueries {
       (SetsFuncs.q25,
         "WITH " + SetsFuncs.q25.oracle.get.stripPrefix(Fixtures.cte)
           .trim.stripPrefix(",").trim),
-      verbatim(SetsFuncs.q28), noCte(SetsFuncs.q32))
+      verbatim(SetsFuncs.q28), noCte(SetsFuncs.q32),
+      // DuckDB-dialect twins below get hand-translated Spark texts
+      // (string_split→split, strftime→date_format, list_*→HOFs,
+      // json_extract→get_json_object); the spec + oracle pin both.
+      (SetsFuncs.q26,
+        """SELECT tx_hash,
+          |  upper(token_symbol) AS sym_up,
+          |  substring(wallet_address, 3, 6) AS addr_mid,
+          |  length(wallet_address) AS addr_len,
+          |  concat(from_address, '->', coalesce(to_address, '?')) AS edge,
+          |  trim(concat(' ', token_symbol, ' ')) AS sym_trim,
+          |  regexp_replace(tx_hash, '0xh', 'H') AS hash_h,
+          |  lpad(token_symbol, 8, '*') AS sym_pad,
+          |  element_at(split(coalesce(to_address, '0xt?'), 't'), 2) AS to_num,
+          |  regexp_extract(coalesce(to_address, '0xt0'), '0xt(\\d+)', 1) AS to_digits
+          |FROM wallet_txs ORDER BY tx_hash""".stripMargin),
+      (SetsFuncs.q27,
+        """SELECT event_id,
+          |  date_format(date_trunc('day', ts), 'yyyy-MM-dd HH:mm:ss') AS day_start,
+          |  year(ts) AS y, month(ts) AS m, day(ts) AS d, hour(ts) AS h,
+          |  unix_timestamp(ts) AS epoch_s,
+          |  date_format(to_timestamp(from_unixtime(unix_timestamp(ts))), 'yyyy-MM-dd HH:mm:ss') AS from_epoch,
+          |  date_format(ts + INTERVAL 7 DAY, 'yyyy-MM-dd HH:mm:ss') AS next_week
+          |FROM events ORDER BY event_id""".stripMargin),
+      (SetsFuncs.q29,
+        """SELECT vec_id,
+          |  size(embedding) AS dim,
+          |  element_at(embedding, 1) AS e1,
+          |  round(CAST(aggregate(embedding, CAST(0 AS DECIMAL(37,14)),
+          |    (acc, x) -> CAST(acc + CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(23,14)) AS DECIMAL(37,14))) AS DOUBLE), 6) AS sumsq,
+          |  size(filter(embedding, x -> x > 0.1)) AS n_big,
+          |  element_at(embedding, 5) AS e5,
+          |  round(CAST(aggregate(slice(embedding, 1, 3), CAST(0 AS DECIMAL(37,14)),
+          |    (acc, x) -> CAST(acc + CAST(CAST(x AS DOUBLE) AS DECIMAL(23,14)) AS DECIMAL(37,14))) AS DOUBLE), 6) AS s3,
+          |  array_contains(embedding, CAST(0.0 AS FLOAT)) AS has_zero
+          |FROM embeddings ORDER BY vec_id""".stripMargin),
+      (SetsFuncs.q30,
+        """SELECT event_id,
+          |  array_join(map_keys(from_json(props, 'map<string,bigint>')), ',') AS keys,
+          |  element_at(from_json(props, 'map<string,bigint>'), 'k') AS k_val,
+          |  size(map_keys(from_json(props, 'map<string,bigint>'))) AS n_keys,
+          |  element_at(map_values(from_json(props, 'map<string,bigint>')), 1) AS v1
+          |FROM events ORDER BY event_id""".stripMargin),
+      (SetsFuncs.q31,
+        """SELECT event_id,
+          |  get_json_object(props, '$.k') AS k_str,
+          |  CAST(get_json_object(props, '$.k') AS BIGINT) AS k_num,
+          |  get_json_object(props, '$.missing') AS missing
+          |FROM events ORDER BY event_id""".stripMargin))
   }
 
   /** The `_sql`-suffixed QueryDefs: Spark side is `spark.sql(text)`
