@@ -366,6 +366,53 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** End-to-end curation pipeline — the composed flow a training-data
+    * build actually runs: corpus (with duplicates) → quality filter
+    * (score ≥ 0.5, ≥ 5 tokens) → exact dedup (keep min doc id per
+    * content hash) → per-language corpus stats. Composes
+    * TextAnalysis.qualityScore + Dedup.exactKeeperIds; the oracle
+    * restates the identical formulas over the same dup corpus. Every
+    * stage is map/agg-shaped: the only shuffles are the (hash, id)
+    * dedup decision and the final tiny per-lang aggregate. */
+  val q43e = QueryDef("q43e_curation_pipeline",
+    s"""WITH base AS (SELECT doc_id, text, lang FROM $dupDocsSql AS dd),
+       |m AS (
+       |  SELECT doc_id, lang, text,
+       |    string_split_regex(lower(text), '\\s+') AS toks,
+       |    CAST(length(text) AS DOUBLE) AS nchar,
+       |    CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) AS punct,
+       |    CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+       |      t -> list_contains(['the','of','and','to','in','is','on','for'], t))) AS DOUBLE) AS stop_hits
+       |  FROM base),
+       |scored AS (
+       |  SELECT doc_id, lang, text,
+       |    len(toks) AS n_tokens,
+       |    ROUND(least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4 +
+       |      (1.0 - punct / greatest(nchar, 1.0)) * 0.3 +
+       |      least(stop_hits / greatest(CAST(len(toks) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.3, 6) AS quality
+       |  FROM m),
+       |kept AS (SELECT * FROM scored WHERE quality >= 0.5 AND n_tokens >= 5),
+       |keepers AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+       |curated AS (SELECT k.* FROM kept k JOIN keepers USING (doc_id))
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS kept,
+       |  ROUND(CAST(SUM(CAST(quality AS DECIMAL(28,6))) AS DOUBLE) / COUNT(quality), 6) AS avg_quality,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+       |FROM curated GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val d = Tables.documents(s, dir).select("doc_id", "text", "lang")
+    val dup = d.unionByName(
+      d.filter($"doc_id" % 10 === 0).withColumn("doc_id", $"doc_id" + 1000000))
+    val kept = TextAnalysis.qualityScore(dup, "text")
+      .filter($"quality" >= 0.5 && $"n_tokens" >= 5)
+    val curated = kept.join(Dedup.exactKeeperIds(kept, "doc_id", "text"),
+      Seq("doc_id"), "left_semi")
+    curated.groupBy("lang").agg(
+      count(lit(1)).as("kept"),
+      graft.Canon.davg($"quality").as("avg_quality"),
+      sum($"n_tokens").cast("long").as("total_tokens"))
+      .orderBy("lang")
+  }
+
   /** Multimodal plumbing: binary payload column → typed partition-wise
     * feature extraction (decode stubbed; schema/batching real). */
   val q44 = QueryDef("q44_multimodal_features",
@@ -406,5 +453,5 @@ object NorthStar {
   }
 
   val defs: Seq[QueryDef] = Seq(q41a, q41b, q41c, q41d, q41e, q41f, q42,
-    q42b, q42c, q42d, q43a, q43b, q43c, q43d, q44, q44b)
+    q42b, q42c, q42d, q43a, q43b, q43c, q43d, q43e, q44, q44b)
 }

@@ -93,6 +93,31 @@ class DedupSpec extends SparkSpec {
       (20L, 20L, 3L), (21L, 20L, 3L), (22L, 20L, 3L)))
   }
 
+  test("near-dup components match a reference union-find on random graphs") {
+    for (seed <- Seq(7, 41, 97)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 40
+      val edges = Seq.fill(50) {
+        val a = rnd.nextInt(n); val b = rnd.nextInt(n)
+        (math.min(a, b).toLong, math.max(a, b).toLong)
+      }.filter(e => e._1 != e._2).distinct
+      // reference: classic union-find over the same edges
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        .map(d => (d, find(d.toInt).toLong))
+      val got = Dedup.nearDupComponents(edges.toDF("da", "db"))
+        .orderBy("doc").select("doc", "comp")
+        .as[(Long, Long)].collect().toSeq
+      assert(got == expected, s"seed $seed: component mismatch")
+    }
+  }
+
   test("simhash: identical texts at distance 0, all true pairs found") {
     val pairs = Dedup.simHashNearDups(
       Dedup.simHash(dupCorpus, "doc_id", "text"), maxHamming = 3)
