@@ -186,6 +186,38 @@ object Joins {
       .orderBy("o_orderkey")
   }
 
+  /** Banded RANGE join — the scale topology for "pairs within Δt": the
+    * time axis is bucketed at the band width (300 s) and the left side
+    * fans out to its bucket and the next one, so the join is a pure
+    * EQUI-join on (user, bucket) with the range predicate as residual.
+    * A bucket(b) for b.ts ∈ (a.ts, a.ts+band] is always bucket(a) or
+    * bucket(a)+1, so every qualifying pair appears in EXACTLY one
+    * bucket match — no dedup needed, bounded 2× fan-out. At 100 TB
+    * this replaces the per-key cartesian (hot user × full history)
+    * that a key-only equi-join + filter would build; parallelism is
+    * |users × buckets|, not |users|. Same oracle shape as q48's batch
+    * twin but at raw-pair granularity. */
+  val q13c = QueryDef("q13c_join_range_banded",
+    """SELECT a.event_id AS ea, b.event_id AS eb
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTES
+      |ORDER BY ea, eb""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val e = Tables.events(s, dir).select($"event_id", $"user_id", $"ts")
+    val band = 300L // seconds — equal to the range width
+    def bucket(t: org.apache.spark.sql.Column) =
+      floor(unix_timestamp(t) / band)
+    val a = e.select($"event_id".as("ea"), $"user_id", $"ts".as("ts_a"),
+      explode(array(bucket($"ts"), bucket($"ts") + 1)).as("bucket"))
+    val b = e.select($"event_id".as("eb"), $"user_id".as("user_b"),
+      $"ts".as("ts_b"), bucket($"ts").as("bucket"))
+    a.join(b, $"user_id" === $"user_b" && a("bucket") === b("bucket") &&
+        $"ts_b" > $"ts_a" && $"ts_b" <= $"ts_a" + expr("INTERVAL 5 MINUTES"))
+      .select($"ea", $"eb")
+      .orderBy("ea", "eb")
+  }
+
   val q15 = QueryDef("q15_join_cross",
     """SELECT r_name, n_name FROM region CROSS JOIN nation
       |ORDER BY r_name, n_name""".stripMargin) { (s, dir) =>
@@ -194,5 +226,5 @@ object Joins {
   }
 
   val defs: Seq[QueryDef] =
-    Seq(q08, q09, q10, q10b, q11, q12, q13, q13b, q14, q14b, q14c, q15)
+    Seq(q08, q09, q10, q10b, q11, q12, q13, q13b, q13c, q14, q14b, q14c, q15)
 }
