@@ -216,8 +216,12 @@ object Dedup {
     val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
       .unionByName(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
       .localCheckpoint()
-    var labels = edges.select(col("a").as("doc")).distinct()
-      .withColumn("comp", col("doc"))
+    // round 0 fused into the init: label = min(self, direct neighbors)
+    // — diameter-1 components (the common near-dup case) then converge
+    // in the first loop check without paying a propagation round
+    var labels = edges.groupBy(col("a"))
+      .agg(min(col("b")).as("nmin"))
+      .select(col("a").as("doc"), least(col("a"), col("nmin")).as("comp"))
       .localCheckpoint()
     var changed = 1L
     var iters = 0
