@@ -64,6 +64,24 @@ object SqlQueries {
       |GROUP BY wallet_address ORDER BY wallet_address""".stripMargin,
     needsWalletCte = true)
 
+  /** Explicit GROUPING SETS (the third grouping-analytics form next to
+    * q19 ROLLUP / q19b CUBE): per-region, per-status, and grand-total
+    * slices in one pass — SQL-native entry (the DataFrame API spells
+    * only rollup/cube; arbitrary sets are a SQL-text feature). */
+  val q19d = sqlQ("q19d_grouping_sets",
+    """SELECT r_name, o_orderstatus,
+      |  CAST(GROUPING(r_name) AS INTEGER) AS gr,
+      |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS gs,
+      |  CAST(COUNT(*) AS BIGINT) AS cnt,
+      |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 6) AS total
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY GROUPING SETS ((r_name), (o_orderstatus), ())
+      |ORDER BY gr, gs, r_name NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+    needsWalletCte = false)
+
   val q34 = sqlQ("q34_cte_selfjoin",
     """WITH t AS (SELECT token_symbol, CAST(COUNT(*) AS BIGINT) AS cnt
       |           FROM wallet_txs GROUP BY token_symbol)
@@ -170,5 +188,5 @@ object SqlQueries {
     }
   }
 
-  val defs: Seq[QueryDef] = Seq(q23b, q33a, q33b, q33c, q34) ++ dualDefs
+  val defs: Seq[QueryDef] = Seq(q19d, q23b, q33a, q33b, q33c, q34) ++ dualDefs
 }
