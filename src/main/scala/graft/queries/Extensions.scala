@@ -111,5 +111,18 @@ object Extensions {
             |ORDER BY cnt DESC, value""".stripMargin)
   }
 
-  val defs: Seq[QueryDef] = Seq(q40a, q40b, q40c, q40d, q40e, q40f)
+  /** q40a through the SQL-text entry: the registered native Expression
+    * (`wei_to_token`) invoked from `spark.sql` — a user typing SQL gets
+    * the same codegen'd function the DataFrame path binds. */
+  val q40aSql = QueryDef("q40a_udf_and_expression_sql", q40a.oracle.get) { (s, dir) =>
+    WeiToToken.register(s)
+    Tables.registerViews(s, dir)
+    s.sql("""SELECT tx_hash,
+            |  CAST(value_raw AS DOUBLE) / power(10, token_decimal) AS qty_expr,
+            |  wei_to_token(value_raw, token_decimal) AS qty_udf,
+            |  wei_to_token(value_raw, token_decimal) AS qty_native
+            |FROM wallet_txs ORDER BY tx_hash""".stripMargin)
+  }
+
+  val defs: Seq[QueryDef] = Seq(q40a, q40aSql, q40b, q40c, q40d, q40e, q40f)
 }
