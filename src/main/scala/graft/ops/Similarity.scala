@@ -209,7 +209,11 @@ object Similarity {
       .collect()
     val dims = sumRows.map(_.getInt(1)).max + 1
     val byCell = sumRows.groupBy(_.getInt(0))
-    (0 until cells).map { cell =>
+    // a cell with no members (possible only when duplicate seed vectors
+    // tie and the smaller cell absorbs both) simply has no centroid —
+    // dropped HERE exactly as the oracle's `sums` CTE drops it, so the
+    // two engines keep identical cell sets
+    (0 until cells).filter(byCell.contains).map { cell =>
       val arr = new Array[Double](dims)
       byCell(cell).foreach(r => arr(r.getInt(1)) = r.getDecimal(2).doubleValue())
       (cell, arr, arrNormSq(arr))

@@ -93,6 +93,20 @@ class SimilaritySpec extends SparkSpec {
       s"sampled+Lloyd max occupancy $newMax not tighter than lowest-id $oldMax (n=$n)")
   }
 
+  test("IVF tolerates duplicate seed vectors (empty cell dropped, no crash)") {
+    // make the vec at the second stride position an exact copy of vec 0:
+    // two identical seeds tie everywhere, the smaller cell absorbs all
+    // their mass, and the other cell must simply drop from the index
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val stride = math.max(1L, emb.count() / 16)
+    val v0 = emb.filter($"vec_id" === 0).select($"embedding".as("e0"))
+    val dup = emb.crossJoin(v0).select($"vec_id",
+      when($"vec_id" === stride, $"e0").otherwise($"embedding").as("embedding"))
+    val out = Similarity.ivfTopK(dup, dup.filter($"vec_id" % 100 === 0),
+      k = 5, cells = 16, nprobe = 4)
+    assert(out.count() > 0, "IVF with duplicate seeds returned no rows")
+  }
+
   test("cosine near-dups: non-empty, only true pairs, recall floor") {
     val emb = Tables.embeddings(spark, sf)
     val nd = Similarity.cosineNearDups(emb, threshold = 0.35).cache()
