@@ -39,18 +39,27 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
-  private val viewsRegistered =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // CURRENT registered dir per session. Temp views are session-global,
+  // so a (session, dir) *set* would wrongly no-op when a session
+  // returns to a dir it saw before a different one was registered —
+  // the views would silently still read the other dir's data. A weak
+  // key lets dead sessions drop out (and an identityHashCode reused by
+  // a new session can never alias a live entry).
+  private val registeredDir =
+    new java.util.WeakHashMap[SparkSession, String]()
 
   /** Register every table (plus the derived wallet_txs fixture) as a
     * temp view so SQL-text entry points (subqueries, CTEs) can run.
-    * Idempotent per (session, dir): the 11 createOrReplaceTempView
-    * calls + fixture plan construction are pure constant overhead on
-    * every `_sql` query, so they run once per session per dataset. */
-  def registerViews(spark: SparkSession, dir: String): Unit = {
-    if (viewsRegistered.add(System.identityHashCode(spark) + "|" + dir)) {
-      names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
-      Fixtures.walletTxs(spark, dir).createOrReplaceTempView("wallet_txs")
+    * Idempotent while the session stays on one dir — the 11
+    * createOrReplaceTempView calls + fixture plan construction are
+    * pure constant overhead on every `_sql` query — but re-registers
+    * whenever the requested dir differs from the last one. */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    registeredDir.synchronized {
+      if (registeredDir.get(spark) != dir) {
+        names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+        Fixtures.walletTxs(spark, dir).createOrReplaceTempView("wallet_txs")
+        registeredDir.put(spark, dir)
+      }
     }
-  }
 }

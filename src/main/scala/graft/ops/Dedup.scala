@@ -247,6 +247,13 @@ object Dedup {
       labels = next
       iters += 1
     }
+    // partially-converged labels would silently split one component in
+    // several — fail loudly instead (pointer jumping makes the bound
+    // O(log diameter), so 20 rounds covers ~1M-doc chains; hitting it
+    // means the graph or the budget is wrong, not the answer)
+    require(changed == 0,
+      s"nearDupComponents did not converge within $maxIters rounds " +
+        s"($changed labels still changing)")
     val sizes = labels.groupBy("comp").agg(count(lit(1)).as("comp_size"))
     labels.join(sizes, "comp").select("doc", "comp", "comp_size")
   }

@@ -186,6 +186,7 @@ object Similarity {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.DecimalType
     val n = corpus.count()
+    if (n == 0) return Seq.empty // no corpus → no cells (stride/max math below assumes n > 0)
     val stride = math.max(1L, n / cells)
     val seedRows = corpus
       .filter(col("vec_id") % stride === 0 && col("vec_id") < stride * cells)

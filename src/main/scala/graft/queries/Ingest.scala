@@ -116,15 +116,23 @@ object Ingest {
     * layout), not per-query work; rebuilding it on every q50 execution
     * would bill layout cost to the query. Keyed by source dir so a
     * different scale factor in the same JVM rebuilds. */
-  private val bucketedBuilt =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // The dir whose data the graft.*_b tables currently hold. A dir-keyed
+  // *set* had two failure modes: a second SparkContext in the same JVM
+  // (fresh in-memory catalog) would skip the build and then fail or read
+  // a stale warehouse, and switching dirA→dirB→dirA would skip the
+  // rebuild and silently join dirB's rows. One mutable "current dir"
+  // plus a live tableExists check covers both.
+  private val bucketedDir =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
 
   /** The bucketed join itself, exposed for PlanSpec's no-exchange
     * assertion: both sides land in the catalog bucketed 8-ways by the
     * join key, so the sort-merge join reads co-located buckets. */
   def bucketedJoinInput(s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
-    if (!bucketedBuilt.contains(dir)) {
+    if (bucketedDir.get != dir ||
+        !s.catalog.tableExists("graft.orders_b") ||
+        !s.catalog.tableExists("graft.lineitem_b")) {
       s.sql("CREATE DATABASE IF NOT EXISTS graft")
       def materialize(name: String, df: org.apache.spark.sql.DataFrame,
           key: String): Unit = {
@@ -141,7 +149,7 @@ object Ingest {
       materialize("lineitem_b",
         graft.Tables.lineitem(s, dir).select("l_orderkey", "l_quantity"),
         "l_orderkey")
-      bucketedBuilt.add(dir)
+      bucketedDir.set(dir)
     }
     s.table("graft.orders_b").join(s.table("graft.lineitem_b"),
       col("l_orderkey") === col("o_orderkey"))

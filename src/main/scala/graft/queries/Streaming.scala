@@ -174,23 +174,26 @@ object Streaming {
       |  ON a.user_id = b.user_id
       | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTES
       |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin) { (s, dir) =>
-    import s.implicits._
     val stateParts =
       sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTS", "8")
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", stateParts)
-    try {
-      val a = streamEvents(s, dir).withWatermark("ts", "10 minutes")
-        .select($"user_id", $"ts".as("ts_a"))
-      val b = streamEvents(s, dir).withWatermark("ts", "10 minutes")
-        .select($"user_id".as("user_b"), $"ts".as("ts_b"))
-      val joined = a.join(b,
-        $"user_id" === $"user_b" &&
-          $"ts_b" > $"ts_a" && $"ts_b" <= $"ts_a" + expr("INTERVAL 5 MINUTES"))
-      val sink = runToTable(s, joined, "append")
-      sink.groupBy("user_id").agg(count(lit(1)).as("pair_cnt"))
-        .orderBy("user_id")
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    // the partition override lives in a DEDICATED session (shared
+    // SparkContext, isolated SQL conf + temp views): toggling the
+    // shared session's conf would leak into any query planned
+    // concurrently, and a failure between set and restore would leave
+    // the whole suite running at 8 partitions
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", stateParts)
+    import s2.implicits._
+    val a = streamEvents(s2, dir).withWatermark("ts", "10 minutes")
+      .select($"user_id", $"ts".as("ts_a"))
+    val b = streamEvents(s2, dir).withWatermark("ts", "10 minutes")
+      .select($"user_id".as("user_b"), $"ts".as("ts_b"))
+    val joined = a.join(b,
+      $"user_id" === $"user_b" &&
+        $"ts_b" > $"ts_a" && $"ts_b" <= $"ts_a" + expr("INTERVAL 5 MINUTES"))
+    val sink = runToTable(s2, joined, "append")
+    sink.groupBy("user_id").agg(count(lit(1)).as("pair_cnt"))
+      .orderBy("user_id")
   }
 
   /** Stream-static join: the streaming events feed enriched against a

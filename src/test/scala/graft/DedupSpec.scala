@@ -93,6 +93,17 @@ class DedupSpec extends SparkSpec {
       (20L, 20L, 3L), (21L, 20L, 3L), (22L, 20L, 3L)))
   }
 
+  test("near-dup components fail loudly when the iteration budget is exhausted") {
+    // a 30-link chain cannot converge in a single round even with
+    // pointer jumping — partially-converged labels must throw, never
+    // flow downstream as silently split components
+    val chain = (0 until 30).map(i => (i.toLong, i + 1L)).toDF("da", "db")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.nearDupComponents(chain, maxIters = 1)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("near-dup components match a reference union-find on random graphs") {
     for (seed <- Seq(7, 41, 97)) {
       val rnd = new scala.util.Random(seed)

@@ -93,6 +93,11 @@ class SimilaritySpec extends SparkSpec {
       s"sampled+Lloyd max occupancy $newMax not tighter than lowest-id $oldMax (n=$n)")
   }
 
+  test("IVF centroids on an empty corpus: no cells, no crash") {
+    val empty = Tables.embeddings(spark, sf).filter(lit(false))
+    assert(Similarity.ivfCentroids(empty, 4).isEmpty)
+  }
+
   test("IVF tolerates duplicate seed vectors (empty cell dropped, no crash)") {
     // make the vec at the second stride position an exact copy of vec 0:
     // two identical seeds tie everywhere, the smaller cell absorbs all
