@@ -42,6 +42,40 @@ object Ingest {
       .orderBy("wallet_address", "block_number")
   }
 
+  /** Wallet-predicate pushdown: an IN filter on `wallet_address`
+    * prunes the per-wallet InputPartition list (2 partitions planned,
+    * 3 wallets never fetched — PolygonscanSpec asserts the plan), the
+    * connector-side mirror of the reference's per-wallet scan loop
+    * (walletDataConsumer.py:126-128). Same derivation as q45 with the
+    * wallet restriction applied at the source. */
+  val q45b = QueryDef("q45b_polygonscan_wallet_pruning",
+    """SELECT '0xw' || CAST(wi AS VARCHAR) AS wallet_address,
+      |  '0xh' || CAST(wi AS VARCHAR) || '_' || CAST(b AS VARCHAR) AS hash,
+      |  b AS block_number,
+      |  1700000000 + b * 60 AS time_stamp,
+      |  '0xf' || CAST((b * 31 + wi) % 1000 AS VARCHAR) AS from_address,
+      |  '0xt' || CAST((b * 17 + wi) % 1000 AS VARCHAR) AS to_address,
+      |  '0xc' || CAST(b % 25 AS VARCHAR) AS contract_address,
+      |  'Token' || CAST(b % 25 AS VARCHAR) AS token_name,
+      |  'TK' || CAST(b % 25 AS VARCHAR) AS token_symbol,
+      |  CAST(CASE b % 4 WHEN 0 THEN 6 WHEN 1 THEN 8 WHEN 2 THEN 18 ELSE 0 END AS INTEGER) AS token_decimal,
+      |  CAST((b % 9 + 1) * 1000000 + wi AS VARCHAR) AS value
+      |FROM generate_series(0, 4) AS w(wi), generate_series(0, 400) AS t(b)
+      |WHERE b < (wi % 3 + 1) * 100 + (wi * 7919) % 100
+      |  AND b BETWEEN 50 AND 180
+      |  AND wi IN (1, 3)
+      |ORDER BY wallet_address, block_number""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    s.read.format("polygonscan")
+      .option("wallets", (0 to 4).map(w => s"0xw$w").mkString(","))
+      .option("pageSize", "100")
+      .option("source", "fixture")
+      .load()
+      .filter($"wallet_address".isin("0xw1", "0xw3")) // → partition pruning
+      .filter($"block_number" >= 50 && $"block_number" <= 180)
+      .orderBy("wallet_address", "block_number")
+  }
+
   /** Full-refresh load (R14–R16): the reference's upload→TRUNCATE→COPY
     * becomes one atomic SaveMode.Overwrite; read back and aggregate. */
   val q46 = QueryDef("q46_full_refresh_load",
@@ -155,5 +189,5 @@ object Ingest {
       col("l_orderkey") === col("o_orderkey"))
   }
 
-  val defs: Seq[QueryDef] = Seq(q45, q46, q46b, q50)
+  val defs: Seq[QueryDef] = Seq(q45, q45b, q46, q46b, q50)
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -27,6 +27,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    API's `startblock`/`endblock` parameters (the only pushdown the
   *    upstream API supports, walletDataConsumer.py:51), so Catalyst
   *    filters become server-side range restriction;
+  *  - `wallet_address` `=`/`IN` predicates prune the per-wallet
+  *    `InputPartition` list (the wallet list IS the scan driver,
+  *    walletDataConsumer.py:126-128): filtering to 2 of 1000 wallets
+  *    plans 2 partitions and fetches nothing else;
   *  - column pruning pushes down (`SupportsPushDownRequiredColumns`);
   *  - per-source error tolerance mirrors the reference's swallowed
   *    RequestException (walletDataConsumer.py:78-80): mode=permissive
@@ -88,6 +92,13 @@ class PolygonscanScanBuilder(options: CaseInsensitiveStringMap)
 
   private var startBlock = 0L
   private var endBlock = 99999999L // the reference's default endblock
+  // None = no wallet predicate; Some(s) = only wallets in s survive.
+  // Each InputPartition serves exactly one wallet and stamps
+  // `wallet_address` as that constant, so EqualTo/In on it are
+  // satisfied COMPLETELY by partition pruning — the connector-side
+  // mirror of the reference's wallet loop (walletDataConsumer.py:126-128),
+  // where the wallet list IS the scan driver.
+  private var walletSet: Option[Set[String]] = None
   private var pushed: Array[Filter] = Array.empty
   private var requiredSchema: StructType = PolygonscanSource.schema
 
@@ -97,13 +108,22 @@ class PolygonscanScanBuilder(options: CaseInsensitiveStringMap)
       case GreaterThan("block_number", _: Long) => true
       case LessThanOrEqual("block_number", _: Long) => true
       case LessThan("block_number", _: Long) => true
+      case EqualTo("wallet_address", _: String) => true
+      case In("wallet_address", vs) => vs.forall(v => v == null || v.isInstanceOf[String])
       case _ => false
     }
+    def intersect(ws: Set[String]): Unit =
+      walletSet = Some(walletSet.fold(ws)(_ intersect ws))
     accepted.foreach {
       case GreaterThanOrEqual("block_number", v: Long) => startBlock = startBlock.max(v)
       case GreaterThan("block_number", v: Long) => startBlock = startBlock.max(v + 1)
       case LessThanOrEqual("block_number", v: Long) => endBlock = endBlock.min(v)
       case LessThan("block_number", v: Long) => endBlock = endBlock.min(v - 1)
+      // null literals can't equal any wallet (SQL null semantics drop
+      // the row), so skipping them prunes exactly as the filter would.
+      case EqualTo("wallet_address", v: String) => intersect(Set(v))
+      case In("wallet_address", vs) =>
+        intersect(vs.collect { case s: String => s }.toSet)
       case _ =>
     }
     pushed = accepted
@@ -114,7 +134,8 @@ class PolygonscanScanBuilder(options: CaseInsensitiveStringMap)
     requiredSchema = required
 
   override def build(): Scan = new PolygonscanScan(
-    options.getOrDefault("wallets", "").split(",").map(_.trim).filter(_.nonEmpty),
+    options.getOrDefault("wallets", "").split(",").map(_.trim).filter(_.nonEmpty)
+      .filter(w => walletSet.forall(_.contains(w))), // partition pruning
     startBlock, endBlock,
     options.getOrDefault("pageSize", "10000").toInt,
     options.getOrDefault("source", "fixture"),

@@ -51,6 +51,42 @@ class PolygonscanSpec extends SparkSpec {
     intercept[Exception] { bad.count() }
   }
 
+  test("wallet EqualTo filter prunes to one input partition") {
+    val df = read("0xw0,0xw1,0xw2,0xw3,0xw4")
+      .filter($"wallet_address" === "0xw2")
+    assert(df.rdd.getNumPartitions == 1)
+    assert(df.queryExecution.executedPlan.toString.contains("wallets=1"))
+    assert(df.count() == FixturePageSource.totalTxs(2, 100))
+  }
+
+  test("wallet IN filter prunes partitions; unknown wallets drop out") {
+    val df = read("0xw0,0xw1,0xw2,0xw3,0xw4")
+      .filter($"wallet_address".isin("0xw1", "0xw3", "0xwNOPE"))
+    assert(df.rdd.getNumPartitions == 2)
+    val counts = df.groupBy("wallet_address").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts == Map(
+      "0xw1" -> FixturePageSource.totalTxs(1, 100),
+      "0xw3" -> FixturePageSource.totalTxs(3, 100)))
+  }
+
+  test("scan builder reports pushed wallet predicate and plans pruned partitions") {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val opts = new CaseInsensitiveStringMap(java.util.Map.of(
+      "wallets", "0xw0,0xw1,0xw2,0xw3,0xw4",
+      "pageSize", "100", "source", "fixture"))
+    val b = new graft.sources.polygonscan.PolygonscanScanBuilder(opts)
+    val in = In("wallet_address", Array("0xw0", "0xw1", "0xw4"))
+    val eq = EqualTo("wallet_address", "0xw4")
+    val residual = b.pushFilters(Array(in, eq))
+    assert(residual.isEmpty, "pruning satisfies the predicate completely")
+    assert(b.pushedFilters().toSet == Set[org.apache.spark.sql.sources.Filter](in, eq))
+    // EqualTo ∩ In = {0xw4}: exactly one partition survives
+    val parts = b.build().toBatch.planInputPartitions()
+    assert(parts.length == 1)
+  }
+
   test("column pruning reaches the reader") {
     val df = read("0xw1").select("hash")
     assert(df.schema.fieldNames.sameElements(Array("hash")))
