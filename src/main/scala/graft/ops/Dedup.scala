@@ -224,13 +224,11 @@ object Dedup {
       .agg(min(col("b")).as("nmin"))
       .select(col("a").as("doc"), least(col("a"), col("nmin")).as("comp"))
       .localCheckpoint()
-    var changed = 1L
-    var iters = 0
-    while (changed > 0 && iters < maxIters) {
+    def round(cur: DataFrame): (DataFrame, Long) = {
       val viaNeighbors = edges
-        .join(labels.select(col("doc").as("b"), col("comp")), "b")
+        .join(cur.select(col("doc").as("b"), col("comp")), "b")
         .select(col("a").as("doc"), col("comp"))
-      val prelim = viaNeighbors.unionByName(labels)
+      val prelim = viaNeighbors.unionByName(cur)
         .groupBy("doc").agg(min("comp").as("comp"))
       // pointer jump: follow the label one hop (comp is itself a doc in
       // the pair set, so the lookup always resolves unless comp is
@@ -241,11 +239,26 @@ object Dedup {
         .select(col("doc"),
           least(col("comp"), coalesce(col("jump"), col("comp"))).as("comp"))
         .localCheckpoint()
-      changed = next
-        .join(labels.select(col("doc"), col("comp").as("prev")), "doc")
+      val c = next
+        .join(cur.select(col("doc"), col("comp").as("prev")), "doc")
         .filter(col("comp") =!= col("prev")).count()
+      (next, c)
+    }
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < maxIters) {
+      val (next, c) = round(labels)
       labels = next
+      changed = c
       iters += 1
+    }
+    if (changed > 0) {
+      // the budget-exhausting round may itself have been the converging
+      // one — convergence is only observable via a FOLLOWING zero-change
+      // round, so run one confirming round before failing loudly
+      val (next, c) = round(labels)
+      labels = next
+      changed = c
     }
     // partially-converged labels would silently split one component in
     // several — fail loudly instead (pointer jumping makes the bound
@@ -253,7 +266,7 @@ object Dedup {
     // means the graph or the budget is wrong, not the answer)
     require(changed == 0,
       s"nearDupComponents did not converge within $maxIters rounds " +
-        s"($changed labels still changing)")
+        s"(+1 confirming round; $changed labels still changing)")
     val sizes = labels.groupBy("comp").agg(count(lit(1)).as("comp_size"))
     labels.join(sizes, "comp").select("doc", "comp", "comp_size")
   }

@@ -164,26 +164,36 @@ object Ingest {
     * join key, so the sort-merge join reads co-located buckets. */
   def bucketedJoinInput(s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
-    if (bucketedDir.get != dir ||
-        !s.catalog.tableExists("graft.orders_b") ||
-        !s.catalog.tableExists("graft.lineitem_b")) {
-      s.sql("CREATE DATABASE IF NOT EXISTS graft")
-      def materialize(name: String, df: org.apache.spark.sql.DataFrame,
-          key: String): Unit = {
-        s.sql(s"DROP TABLE IF EXISTS graft.$name")
-        val loc = new org.apache.hadoop.fs.Path(
-          s.sessionState.conf.warehousePath, s"graft.db/$name")
-        loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
-        df.write.mode("overwrite").format("parquet")
-          .bucketBy(8, key).sortBy(key).saveAsTable(s"graft.$name")
+    // synchronized (mirroring Tables.registerViews): two concurrent
+    // executions must not both enter the rebuild and interleave
+    // DROP/overwrite on the same catalog tables
+    bucketedDir.synchronized {
+      if (bucketedDir.get != dir ||
+          !s.catalog.tableExists("graft.orders_b") ||
+          !s.catalog.tableExists("graft.lineitem_b")) {
+        // invalidate BEFORE touching the tables: if materialize fails
+        // midway (orders_b rebuilt, lineitem_b not), a later call with
+        // the OLD dir must not see a matching marker + both tables and
+        // silently return a mixed-dir join — null forces a rebuild
+        bucketedDir.set(null)
+        s.sql("CREATE DATABASE IF NOT EXISTS graft")
+        def materialize(name: String, df: org.apache.spark.sql.DataFrame,
+            key: String): Unit = {
+          s.sql(s"DROP TABLE IF EXISTS graft.$name")
+          val loc = new org.apache.hadoop.fs.Path(
+            s.sessionState.conf.warehousePath, s"graft.db/$name")
+          loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+          df.write.mode("overwrite").format("parquet")
+            .bucketBy(8, key).sortBy(key).saveAsTable(s"graft.$name")
+        }
+        materialize("orders_b",
+          graft.Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"),
+          "o_orderkey")
+        materialize("lineitem_b",
+          graft.Tables.lineitem(s, dir).select("l_orderkey", "l_quantity"),
+          "l_orderkey")
+        bucketedDir.set(dir) // only after BOTH tables hold dir's rows
       }
-      materialize("orders_b",
-        graft.Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"),
-        "o_orderkey")
-      materialize("lineitem_b",
-        graft.Tables.lineitem(s, dir).select("l_orderkey", "l_quantity"),
-        "l_orderkey")
-      bucketedDir.set(dir)
     }
     s.table("graft.orders_b").join(s.table("graft.lineitem_b"),
       col("l_orderkey") === col("o_orderkey"))

@@ -21,6 +21,20 @@ object Streaming {
 
   private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Staged streaming source dirs, one per events file: the symlink
+    * target never changes for a given path, so re-staging per query
+    * invocation only leaked temp dirs (a bench run strews dozens).
+    * computeIfAbsent keeps it race-free under concurrent queries. */
+  private val stagedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q48's dedicated reduced-partition sessions, one per root session
+    * (not per invocation — each newSession carries listener/conf state
+    * that would otherwise accumulate until GC). The map holds at most
+    * a handful of entries per JVM (root + spec sessions). */
+  private val streamSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+
   /** Streaming scan of the events table (schema from the batch read;
     * TIMESTAMP(NANOS) arrives as LONG under nanosAsLong — truncate to
     * micros exactly like Tables.load). `private[graft]` so streaming
@@ -28,12 +42,18 @@ object Streaming {
   private[graft] def streamEvents(s: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     val sch = s.read.parquet(path).schema
-    // the streaming file source wants a directory — stage a symlink
-    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream")
-    java.nio.file.Files.createSymbolicLink(
-      streamDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(path).toAbsolutePath) // relative would dangle
-    val raw = s.readStream.schema(sch).parquet(streamDir.toString)
+    // the streaming file source wants a directory — stage a symlink,
+    // once per (JVM, events file)
+    val streamDir = stagedDirs.computeIfAbsent(
+      java.nio.file.Paths.get(path).toAbsolutePath.toString,
+      abs => {
+        val d = java.nio.file.Files.createTempDirectory("graft_stream")
+        java.nio.file.Files.createSymbolicLink(
+          d.resolve("events.parquet"),
+          java.nio.file.Paths.get(abs)) // absolute; relative would dangle
+        d.toString
+      })
+    val raw = s.readStream.schema(sch).parquet(streamDir)
     if (sch.fields.exists(f => f.name == "ts" && f.dataType == LongType))
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
@@ -45,7 +65,12 @@ object Streaming {
     val q = df.writeStream.format("memory").queryName(qn)
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    s.table(qn)
+    // resolve the sink relation eagerly, then drop the catalog entry:
+    // the returned DataFrame's analyzed plan holds the sink rows, so
+    // the temp view would only pin them past the caller's lifetime
+    val t = s.table(qn)
+    s.catalog.dropTempView(qn)
+    t
   }
 
   val q36 = QueryDef("q36_stream_tumbling",
@@ -180,9 +205,13 @@ object Streaming {
     // SparkContext, isolated SQL conf + temp views): toggling the
     // shared session's conf would leak into any query planned
     // concurrently, and a failure between set and restore would leave
-    // the whole suite running at 8 partitions
-    val s2 = s.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions", stateParts)
+    // the whole suite running at 8 partitions. Memoized per root
+    // session — stateParts is a process-constant env var.
+    val s2 = streamSessions.computeIfAbsent(s, parent => {
+      val n = parent.newSession()
+      n.conf.set("spark.sql.shuffle.partitions", stateParts)
+      n
+    })
     import s2.implicits._
     val a = streamEvents(s2, dir).withWatermark("ts", "10 minutes")
       .select($"user_id", $"ts".as("ts_a"))

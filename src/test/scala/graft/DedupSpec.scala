@@ -104,6 +104,18 @@ class DedupSpec extends SparkSpec {
     assert(ex.getMessage.contains("did not converge"))
   }
 
+  test("a budget ending exactly on the converging round passes via the confirming round") {
+    // chain 1-2-3-4: one pointer-jumped round produces the final
+    // labels, but convergence is only OBSERVABLE via a following
+    // zero-change round. maxIters=1 therefore exhausts the budget with
+    // changed>0 — the confirming round must validate the labels
+    // instead of throwing spuriously.
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("da", "db")
+    val got = Dedup.nearDupComponents(chain, maxIters = 1)
+      .orderBy("doc").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, 4L), (2L, 1L, 4L), (3L, 1L, 4L), (4L, 1L, 4L)))
+  }
+
   test("near-dup components match a reference union-find on random graphs") {
     for (seed <- Seq(7, 41, 97)) {
       val rnd = new scala.util.Random(seed)

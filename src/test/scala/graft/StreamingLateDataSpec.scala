@@ -62,4 +62,27 @@ class StreamingLateDataSpec extends SparkSpec {
     assert(out == Map("2024-01-01 00:00:00" -> 4L), out.toString)
     assert(lateDropped == 1, s"expected exactly one watermark-dropped row, got $lateDropped")
   }
+
+  test("repeated streaming queries stage ONE temp dir per dataset and drop sink views") {
+    def stagedDirs: Set[String] = {
+      val tmp = Paths.get(System.getProperty("java.io.tmpdir"))
+      Files.list(tmp).toArray.map(_.toString)
+        .filter(_.contains("graft_stream")).toSet
+    }
+    // first run establishes the (at most one) staged dir for sf0.001
+    graft.queries.Streaming.q36.fn(spark, sf).collect()
+    val after1 = stagedDirs
+    // three more invocations across different queries, same dataset:
+    // no new dirs may appear
+    graft.queries.Streaming.q36.fn(spark, sf).collect()
+    graft.queries.Streaming.q39.fn(spark, sf).collect()
+    graft.queries.Streaming.q37.fn(spark, sf).collect()
+    val after4 = stagedDirs
+    assert(after4 == after1,
+      s"staged dirs grew: ${(after4 -- after1).mkString(", ")}")
+    // runToTable drops its memory-sink view once the result is resolved
+    val leaked = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_sink_"))
+    assert(leaked.isEmpty, s"leaked sink views: ${leaked.mkString(", ")}")
+  }
 }
