@@ -159,6 +159,9 @@ object Ingest {
   private val bucketedDir =
     new java.util.concurrent.atomic.AtomicReference[String](null)
 
+  /** Test hook: force the next bucketedJoinInput call to rebuild. */
+  private[graft] def invalidateBucketedForTest(): Unit = bucketedDir.set(null)
+
   /** The bucketed join itself, exposed for PlanSpec's no-exchange
     * assertion: both sides land in the catalog bucketed 8-ways by the
     * join key, so the sort-merge join reads co-located buckets. */

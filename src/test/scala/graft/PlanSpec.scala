@@ -42,6 +42,21 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("concurrent bucketedJoinInput calls serialize the rebuild (no torn tables)") {
+    // force a rebuild so both threads race the check+build path, then
+    // hit it from two threads: the synchronized block must serialize
+    // the DROP/overwrite sequence — both callers see complete tables
+    graft.queries.Ingest.invalidateBucketedForTest()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val counts = Await.result(
+      Future.sequence(Seq.fill(2)(Future {
+        graft.queries.Ingest.bucketedJoinInput(spark, sf).count()
+      })), 120.seconds)
+    assert(counts.distinct.size == 1 && counts.head > 0, counts.toString)
+  }
+
   test("filters push into the parquet scan") {
     val df = Tables.lineitem(spark, sf).filter($"l_quantity" > 30.0)
       .select("l_orderkey")
