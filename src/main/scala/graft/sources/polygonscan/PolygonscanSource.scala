@@ -158,7 +158,11 @@ class PolygonscanScan(wallets: Array[String], startBlock: Long, endBlock: Long,
     s"polygonscan wallets=${wallets.length} blocks=[$startBlock,$endBlock] pageSize=$pageSize"
 
   override def planInputPartitions(): Array[InputPartition] =
-    wallets.map(w => WalletPartition(w, startBlock, endBlock, pageSize,
+    // contradictory range (e.g. b > 100 AND b < 50): nothing can match,
+    // so plan NO partitions — readers would otherwise issue one empty
+    // probe request per wallet
+    if (startBlock > endBlock) Array.empty
+    else wallets.map(w => WalletPartition(w, startBlock, endBlock, pageSize,
       source, mode, baseUrl, apiKey, maxRetries, retryBackoffMs))
 
   override def createReaderFactory(): PartitionReaderFactory =

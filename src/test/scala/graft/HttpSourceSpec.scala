@@ -134,6 +134,19 @@ class HttpSourceSpec extends SparkSpec {
     }
   }
 
+  test("wallet pruning: filtered-out wallets issue ZERO HTTP requests") {
+    withStubServer { (base, requests, _) =>
+      import spark.implicits._
+      // 3 configured wallets, predicate keeps one: only 0xw7's pages
+      // (243 txs @100/page -> 3 requests) may reach the server
+      val rows = readHttp(base, "0xw5,0xw7,0xw8")
+        .filter($"wallet_address" === "0xw7").count()
+      assert(rows == FixturePageSource.totalTxs(7, 100))
+      assert(requests.get() == 3,
+        s"pruned wallets must not be fetched; saw ${requests.get()} requests")
+    }
+  }
+
   test("block-range pushdown reaches the HTTP request parameters") {
     withStubServer { (base, requests, _) =>
       import spark.implicits._

@@ -87,6 +87,13 @@ class PolygonscanSpec extends SparkSpec {
     assert(parts.length == 1)
   }
 
+  test("contradictory block range plans zero partitions") {
+    val df = read("0xw0,0xw1,0xw2")
+      .filter($"block_number" > 100 && $"block_number" < 50)
+    assert(df.rdd.getNumPartitions == 0)
+    assert(df.count() == 0)
+  }
+
   test("column pruning reaches the reader") {
     val df = read("0xw1").select("hash")
     assert(df.schema.fieldNames.sameElements(Array("hash")))
