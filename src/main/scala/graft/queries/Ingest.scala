@@ -84,7 +84,11 @@ object Ingest {
          |  ${Canon.sql.dsum("quantity")} AS qty
          |FROM wallet_txs GROUP BY token_symbol ORDER BY token_symbol""".stripMargin) { (s, dir) =>
     import s.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_load").toString + "/wallet_txs"
+    // scratch sink memoized per dataset (same rationale as q02): each
+    // run's double-overwrite fully replaces the files, so a fresh temp
+    // dir per invocation only accumulated parquet copies across runs
+    val tmp = loadScratch.computeIfAbsent(dir,
+      _ => java.nio.file.Files.createTempDirectory("graft_load").toString + "/wallet_txs")
     // load twice: the second overwrite must fully replace the first
     // (no duplicates — resources/redshift.py:124's contract)
     Fixtures.walletTxs(s, dir).limit(10).write.mode("overwrite").parquet(tmp)
@@ -161,6 +165,10 @@ object Ingest {
 
   /** Test hook: force the next bucketedJoinInput call to rebuild. */
   private[graft] def invalidateBucketedForTest(): Unit = bucketedDir.set(null)
+
+  /** q46's parquet scratch paths, one per dataset (see q46's comment). */
+  private val loadScratch =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** The bucketed join itself, exposed for PlanSpec's no-exchange
     * assertion: both sides land in the catalog bucketed 8-ways by the

@@ -10,6 +10,10 @@ import org.apache.spark.sql.types._
   */
 object Scans {
 
+  /** q02's CSV scratch dirs, one per dataset (see q02's comment). */
+  private val csvScratch =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** All wallet_txs columns, timestamps canonically rendered. */
   private def walletCanon(s: SparkSession, dir: String): DataFrame = {
     Fixtures.walletTxs(s, dir).select(
@@ -36,7 +40,11 @@ object Scans {
     * schema — result must equal the parquet-derived original. */
   val q02 = QueryDef("q02_scan_csv",
     Fixtures.cte + walletCanonSql + "\nORDER BY tx_hash") { (s, dir) =>
-    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    // scratch sink memoized per dataset: mode=overwrite fully replaces
+    // the previous run's files, so one dir per (JVM, dataset) suffices —
+    // a fresh dir per invocation accumulated a CSV copy per bench run
+    val tmp = Scans.csvScratch.computeIfAbsent(dir,
+      _ => java.nio.file.Files.createTempDirectory("graft_csv").toString)
     walletCanon(s, dir).write.mode("overwrite").option("header", true).csv(tmp)
     val schema = StructType(Seq(
       StructField("wallet_address", StringType), StructField("tx_hash", StringType),
