@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Or}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -102,15 +102,27 @@ class PolygonscanScanBuilder(options: CaseInsensitiveStringMap)
   private var pushed: Array[Filter] = Array.empty
   private var requiredSchema: StructType = PolygonscanSource.schema
 
+  /** The wallet set a filter restricts to, if it is built ONLY from
+    * wallet equalities: `=`, `IN`, and `OR`-trees of those (the shapes
+    * `w === a || w === b` and `w.isin(...)` plan to). null literals
+    * can't equal any wallet (SQL null semantics drop the row), so
+    * skipping them prunes exactly as the filter would. */
+  private def walletValues(f: Filter): Option[Set[String]] = f match {
+    case EqualTo("wallet_address", v: String) => Some(Set(v))
+    case In("wallet_address", vs) if vs.forall(v => v == null || v.isInstanceOf[String]) =>
+      Some(vs.collect { case s: String => s }.toSet)
+    case Or(l, r) =>
+      for { a <- walletValues(l); b <- walletValues(r) } yield a union b
+    case _ => None
+  }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
       case GreaterThanOrEqual("block_number", _: Long) => true
       case GreaterThan("block_number", _: Long) => true
       case LessThanOrEqual("block_number", _: Long) => true
       case LessThan("block_number", _: Long) => true
-      case EqualTo("wallet_address", _: String) => true
-      case In("wallet_address", vs) => vs.forall(v => v == null || v.isInstanceOf[String])
-      case _ => false
+      case f => walletValues(f).isDefined
     }
     def intersect(ws: Set[String]): Unit =
       walletSet = Some(walletSet.fold(ws)(_ intersect ws))
@@ -119,12 +131,7 @@ class PolygonscanScanBuilder(options: CaseInsensitiveStringMap)
       case GreaterThan("block_number", v: Long) => startBlock = startBlock.max(v + 1)
       case LessThanOrEqual("block_number", v: Long) => endBlock = endBlock.min(v)
       case LessThan("block_number", v: Long) => endBlock = endBlock.min(v - 1)
-      // null literals can't equal any wallet (SQL null semantics drop
-      // the row), so skipping them prunes exactly as the filter would.
-      case EqualTo("wallet_address", v: String) => intersect(Set(v))
-      case In("wallet_address", vs) =>
-        intersect(vs.collect { case s: String => s }.toSet)
-      case _ =>
+      case f => walletValues(f).foreach(intersect)
     }
     pushed = accepted
     rejected // residual filters Spark must still apply

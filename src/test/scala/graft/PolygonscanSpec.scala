@@ -87,6 +87,28 @@ class PolygonscanSpec extends SparkSpec {
     assert(parts.length == 1)
   }
 
+  test("OR of wallet equalities prunes partitions (union semantics)") {
+    val df = read("0xw0,0xw1,0xw2,0xw3,0xw4")
+      .filter($"wallet_address" === "0xw1" || $"wallet_address" === "0xw3")
+    assert(df.rdd.getNumPartitions == 2)
+    assert(df.queryExecution.executedPlan.toString.contains("wallets=2"))
+    val counts = df.groupBy("wallet_address").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts == Map(
+      "0xw1" -> FixturePageSource.totalTxs(1, 100),
+      "0xw3" -> FixturePageSource.totalTxs(3, 100)))
+  }
+
+  test("OR mixing wallet equality with another column is NOT pruned") {
+    // (wallet = w1 OR block_number < 5) can match any wallet — the
+    // whole Or must stay residual and no partition may be dropped
+    val df = read("0xw0,0xw1,0xw2")
+      .filter($"wallet_address" === "0xw1" || $"block_number" < 5)
+    assert(df.rdd.getNumPartitions == 3)
+    val expect = FixturePageSource.totalTxs(1, 100) + 2 * 5
+    assert(df.count() == expect)
+  }
+
   test("contradictory block range plans zero partitions") {
     val df = read("0xw0,0xw1,0xw2")
       .filter($"block_number" > 100 && $"block_number" < 50)
