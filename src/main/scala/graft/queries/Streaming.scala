@@ -28,12 +28,52 @@ object Streaming {
   private val stagedDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** q48's dedicated reduced-partition sessions, one per root session
-    * (not per invocation — each newSession carries listener/conf state
-    * that would otherwise accumulate until GC). The map holds at most
-    * a handful of entries per JVM (root + spec sessions). */
+  /** Dedicated reduced-partition streaming sessions, one per root
+    * session (not per invocation — each newSession carries
+    * listener/conf state that would otherwise accumulate until GC).
+    * The map holds at most a handful of entries per JVM (root + spec
+    * sessions).
+    *
+    * EVERY streaming query runs through this session: each stateful
+    * operator commits one state store per shuffle partition per
+    * trigger, so the session's 32 partitions meant 32 state commits
+    * per trigger where 8 carry the same sf0.1 data — a 4x cut in the
+    * fixed trigger cost (measured: the 6-query streaming floor drops
+    * 13.9 s -> 9.5 s, q36 2.6 -> 1.5 s, isolated n=3 at sf0.1; q48b
+    * is join-bound and barely moves). At cluster scale it is sized to
+    * executor-core
+    * count; the conf lives in a DEDICATED session (shared
+    * SparkContext, isolated SQL conf + temp views) because toggling
+    * the shared session's conf would leak into concurrently-planned
+    * queries, and a failure between set and restore would leave the
+    * whole suite at 8 partitions. */
   private val streamSessions =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+
+  private[graft] def streamSession(s: SparkSession): SparkSession = {
+    val n = streamSessions.computeIfAbsent(s, parent => {
+      val fresh = parent.newSession()
+      fresh.conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTS", "8"))
+      fresh
+    })
+    // newSession() does NOT see the parent's runtime conf mutations —
+    // mirror the caller's streaming knobs (state-store provider etc.)
+    // on every call, including REMOVALS, so a caller-side conf change
+    // (RocksDbStateSpec's provider flip and its restore) reaches the
+    // session the query actually plans on. The dedicated session
+    // overrides only shuffle.partitions, which this prefix never
+    // touches.
+    val prefix = "spark.sql.streaming."
+    val parentStreaming = s.conf.getAll.filter(_._1.startsWith(prefix))
+    n.conf.getAll.keysIterator
+      .filter(k => k.startsWith(prefix) && !parentStreaming.contains(k))
+      .foreach(n.conf.unset)
+    parentStreaming.foreach { case (k, v) =>
+      if (!n.conf.getOption(k).contains(v)) n.conf.set(k, v)
+    }
+    n
+  }
 
   /** Streaming scan of the events table (schema from the batch read;
     * TIMESTAMP(NANOS) arrives as LONG under nanosAsLong — truncate to
@@ -77,7 +117,8 @@ object Streaming {
     s"""SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS ws,
        |  event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
        |  ${Canon.sql.dsum("value")} AS val_sum
-       |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin) { (s, dir) =>
+       |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin) { (s0, dir) =>
+    val s = streamSession(s0)
     import s.implicits._
     val agg = streamEvents(s, dir)
       .groupBy(window($"ts", "10 minutes").as("w"), $"event_type")
@@ -93,7 +134,8 @@ object Streaming {
        |        UNNEST([time_bucket(INTERVAL '5 minutes', ts),
        |                time_bucket(INTERVAL '5 minutes', ts) - INTERVAL 5 MINUTES]) AS ws
        |      FROM events)
-       |GROUP BY ws ORDER BY ws""".stripMargin) { (s, dir) =>
+       |GROUP BY ws ORDER BY ws""".stripMargin) { (s0, dir) =>
+    val s = streamSession(s0)
     import s.implicits._
     val agg = streamEvents(s, dir)
       .withWatermark("ts", "15 minutes")
@@ -123,7 +165,8 @@ object Streaming {
       |           THEN 1 ELSE 0 END AS is_new
       |    FROM events)
       |) GROUP BY user_id, session_id
-      |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+      |ORDER BY user_id, session_start""".stripMargin) { (s0, dir) =>
+    val s = streamSession(s0)
     import s.implicits._
     val agg = streamEvents(s, dir)
       .groupBy(session_window($"ts", "5 minutes").as("w"), $"user_id")
@@ -137,7 +180,8 @@ object Streaming {
     * dropDuplicatesWithinWatermark on event_id must restore exactly-once. */
   val q39 = QueryDef("q39_stream_dedup",
     """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt
-      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s0, dir) =>
+    val s = streamSession(s0)
     import s.implicits._
     val deduped = streamEvents(s, dir)
       .withColumn("dup", explode(array(lit(1), lit(2), lit(3))))
@@ -156,7 +200,8 @@ object Streaming {
   val q39b = QueryDef("q39b_stream_resume_cursor",
     """SELECT user_id % 29 AS wallet_key,
       |  MAX(event_id * 7 + user_id) AS resume_block
-      |FROM events GROUP BY user_id % 29 ORDER BY wallet_key""".stripMargin) { (s, dir) =>
+      |FROM events GROUP BY user_id % 29 ORDER BY wallet_key""".stripMargin) { (s0, dir) =>
+    val s = streamSession(s0)
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val cursors = streamEvents(s, dir)
@@ -199,19 +244,7 @@ object Streaming {
       |  ON a.user_id = b.user_id
       | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTES
       |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin) { (s, dir) =>
-    val stateParts =
-      sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTS", "8")
-    // the partition override lives in a DEDICATED session (shared
-    // SparkContext, isolated SQL conf + temp views): toggling the
-    // shared session's conf would leak into any query planned
-    // concurrently, and a failure between set and restore would leave
-    // the whole suite running at 8 partitions. Memoized per root
-    // session — stateParts is a process-constant env var.
-    val s2 = streamSessions.computeIfAbsent(s, parent => {
-      val n = parent.newSession()
-      n.conf.set("spark.sql.shuffle.partitions", stateParts)
-      n
-    })
+    val s2 = streamSession(s)
     import s2.implicits._
     val a = streamEvents(s2, dir).withWatermark("ts", "10 minutes")
       .select($"user_id", $"ts".as("ts_a"))
@@ -238,7 +271,8 @@ object Streaming {
         |SELECT e.user_id % 29 AS wkey, CAST(COUNT(*) AS BIGINT) AS ev_cnt,
         |  MIN(wallet_txn_cnt) AS dim_cnt
         |FROM events e JOIN dim ON e.user_id % 29 = dim.wkey
-        |GROUP BY 1 ORDER BY wkey""".stripMargin) { (s, dir) =>
+        |GROUP BY 1 ORDER BY wkey""".stripMargin) { (s0, dir) =>
+    val s = streamSession(s0)
     import s.implicits._
     val dim = graft.Fixtures.walletTxs(s, dir)
       .groupBy((substring($"wallet_address", 3, 40).cast("long") % 29).as("wkey"))

@@ -35,6 +35,10 @@ class RocksDbStateSpec extends SparkSpec {
       Streaming.q39.fn(spark, sf).collect().toSeq
     }
     val rocks = withProvider(Some(rocksProvider)) {
+      // q39 plans on the dedicated stream session — the provider flip
+      // must reach it, or this comparison silently tests nothing
+      assert(Streaming.streamSession(spark).conf.get(confKey) == rocksProvider,
+        "provider conf did not propagate to the stream session")
       Streaming.q39.fn(spark, sf).collect().toSeq
     }
     assert(rocks == default,
