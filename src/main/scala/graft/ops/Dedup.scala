@@ -65,17 +65,27 @@ object Dedup {
     * at 100 TB the signature stage is a pure map over the corpus. */
   def minHashSignaturesFast(df: DataFrame, idCol: String, textCol: String,
       k: Int, numHashes: Int): DataFrame =
-    df.select(col(idCol).as("doc"),
+    spreadToCores(df).select(col(idCol).as("doc"),
         graft.functions.MinHashSigs(
           split(lower(col(textCol)), "\\s+"), k, numHashes).as("sig"))
       .filter(col("sig").isNotNull)
 
   /** Map-only SimHash (fused twin of [[simHash]], same packing). */
   def simHashFast(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("doc"),
+    spreadToCores(df).select(col(idCol).as("doc"),
         graft.functions.SimHash64(
           split(lower(col(textCol)), "\\s+")).as("simhash"))
       .filter(col("simhash").isNotNull)
+
+  /** The signature maps are CPU-dense, not byte-dense: a compact
+    * corpus arrives as one input split (sf0.1 documents.parquet is
+    * <1 MB), which would run the tokenize+hash pass serially on one
+    * core — widen to the core count first (never shrinks an
+    * already-wide scan). Same rationale as ngramJaccardStages. */
+  private def spreadToCores(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
 
   /** LSH banding: split the signature into `bands` bands of `rowsPer`
     * values; docs sharing any band-hash become candidates; candidates

@@ -144,8 +144,14 @@ object NorthStar {
       |WHERE levenshtein(substr(a.text, 1, 60), substr(b.text, 1, 60)) <= 20
       |ORDER BY da, db""".stripMargin) { (s, dir) =>
     import s.implicits._
+    // explicit core-count repartition on the join keys: the blocked
+    // self-join's output is byte-small, so AQE would coalesce the
+    // shuffle to 1-2 partitions and serialize the CPU-dense
+    // levenshtein verify; an explicit repartition(n, keys) satisfies
+    // the join's distribution requirement and is never re-coalesced
     val d = Tables.documents(s, dir)
       .select($"doc_id", $"text", $"lang", ($"n_chars" / 10).cast("long").as("lb"))
+      .repartition(s.sparkContext.defaultParallelism, $"lang", $"lb")
     val a = d.as("a"); val b = d.as("b")
     a.join(b, $"a.lang" === $"b.lang" && $"a.lb" === $"b.lb" &&
         $"a.doc_id" < $"b.doc_id")
