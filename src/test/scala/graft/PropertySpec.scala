@@ -60,6 +60,66 @@ class PropertySpec extends AnyFunSuite {
       assert(graft.functions.Fixed14.round14(v) == ref(v), s"mismatch at $v")
   }
 
+  test("wallet partition pruning == SQL filter semantics on random filter trees") {
+    import org.apache.spark.sql.sources._
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import graft.sources.polygonscan.{PolygonscanScanBuilder, WalletPartition}
+    val pool = (0 to 9).map(w => s"0xw$w")
+    val walletLeaf: Gen[Filter] = Gen.oneOf(
+      Gen.oneOf(pool :+ "0xNOPE").map(v => EqualTo("wallet_address", v)),
+      Gen.listOf(Gen.oneOf[Any](Gen.oneOf(pool :+ "0xNOPE"), Gen.const(null)))
+        .map(vs => In("wallet_address", vs.toArray)))
+    val otherLeaf: Gen[Filter] =
+      Gen.choose(0L, 300L).map(v => GreaterThan("block_number", v))
+    def tree(depth: Int): Gen[Filter] =
+      if (depth == 0) Gen.frequency(4 -> walletLeaf, 1 -> otherLeaf)
+      else Gen.frequency(
+        3 -> walletLeaf, 1 -> otherLeaf,
+        2 -> (for { l <- tree(depth - 1); r <- tree(depth - 1) } yield Or(l, r)))
+    // Three-valued SQL evaluation of a wallet-only filter for rows of
+    // wallet w (every row of the partition agrees — the filter touches
+    // only the partition-constant column). A WHERE clause keeps a row
+    // only on TRUE, so NULL (null IN-element, no match) prunes too.
+    def eval(f: Filter, w: String): Option[Boolean] = f match {
+      case EqualTo("wallet_address", v) => Some(w == v)
+      case In("wallet_address", vs) =>
+        if (vs.contains(w)) Some(true)
+        else if (vs.contains(null)) None // null IN-element: non-match is NULL
+        else Some(false)
+      case Or(l, r) => (eval(l, w), eval(r, w)) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false)) => Some(false)
+        case _ => None
+      }
+      case other => sys.error(s"not wallet-only: $other")
+    }
+    def fullyWalletBased(g: Filter): Boolean = g match {
+      case EqualTo("wallet_address", _) => true
+      case In("wallet_address", _) => true
+      case Or(l, r) => fullyWalletBased(l) && fullyWalletBased(r)
+      case _ => false
+    }
+    check(Prop.forAll(tree(2)) { f =>
+      val builder = new PolygonscanScanBuilder(new CaseInsensitiveStringMap(
+        java.util.Map.of("wallets", pool.mkString(","), "source", "fixture")))
+      val residual = builder.pushFilters(Array(f))
+      val planned = builder.build().toBatch.planInputPartitions()
+        .map(_.asInstanceOf[WalletPartition].wallet).toSet
+      if (fullyWalletBased(f))
+        // pruning must be EXACT: keep precisely the wallets where the
+        // predicate is TRUE (FALSE and NULL rows are dropped anyway),
+        // and consume the filter completely
+        residual.isEmpty &&
+          planned == pool.filter(w => eval(f, w).contains(true)).toSet
+      else
+        // a block-range leaf makes the outcome row-dependent: nothing
+        // may be pruned, and an untranslatable Or must stay residual
+        // (standalone block ranges are consumed as [startblock,endblock])
+        planned == pool.toSet &&
+          (residual.contains(f) || !f.isInstanceOf[Or])
+    })
+  }
+
   test("union-all accumulation (R8) is associative on row multisets") {
     check(Prop.forAll(Gen.listOf(Gen.choose(0, 100)), Gen.listOf(Gen.choose(0, 100)),
         Gen.listOf(Gen.choose(0, 100))) { (a, b, c) =>
