@@ -143,9 +143,13 @@ object Dedup {
   /** Internal stages of [[ngramJaccardPairs]] — (cand, candShingles,
     * result) — exposed so DedupSpec can bound the pair-enumeration
     * volume on a stopword-heavy fixture. */
-  private[graft] def ngramJaccardStages(docs: DataFrame, idCol: String,
-      textCol: String, k: Int, maxDf: Int, threshold: Double)
-      : (DataFrame, DataFrame, DataFrame) = {
+  /** Shared candidate stage: hashed shingles + rare-shingle-blocked
+    * DISTINCT (da, db) pairs — the pair generator behind both the
+    * jaccard verify (ngramJaccardStages) and the scaled edit-distance
+    * verify (editDistanceNearDupsScaled). Returns (sh, cand), both
+    * eagerly localCheckpointed. */
+  private[graft] def shingleCandidates(docs: DataFrame, idCol: String,
+      textCol: String, k: Int, maxDf: Int): (DataFrame, DataFrame) = {
     // The shingle map is CPU-dense, not byte-dense: a small corpus
     // arrives as a handful of input splits, which would serialize the
     // tokenize/shingle/hash pass — widen to the core count first
@@ -162,14 +166,21 @@ object Dedup {
     val docFreq = sh.groupBy("sh").agg(count(lit(1)).as("c"))
     val rare = sh.join(docFreq.filter(col("c") <= maxDf), "sh")
     // cand is the small DISTINCT (da, db) pair relation; deduplicated
-    // because the pair-bounded common-count below uses it as a real
-    // inner-join input (a duplicate pair would double its cm), and
-    // eagerly materialized because three consumers derive from it.
+    // because consumers use it as a real inner-join input (a duplicate
+    // pair would double a pair-bounded count), and eagerly
+    // materialized because several consumers derive from it.
     val cand = rare.as("a").join(rare.as("b"), col("a.sh") === col("b.sh") &&
         col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("da"), col("b.doc").as("db"))
       .distinct()
       .localCheckpoint()
+    (sh, cand)
+  }
+
+  private[graft] def ngramJaccardStages(docs: DataFrame, idCol: String,
+      textCol: String, k: Int, maxDf: Int, threshold: Double)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val (sh, cand) = shingleCandidates(docs, idCol, textCol, k, maxDf)
     // Common-shingle counts touch only CANDIDATE docs' shingles: the
     // full-corpus relation is semi-joined down to docs appearing in a
     // candidate pair (a small fraction of the corpus — at 100 TB this
@@ -200,6 +211,42 @@ object Dedup {
       .filter(col("j") >= threshold)
       .select(col("da"), col("db"), round(col("j"), 6).as("jaccard"))
     (cand, shc, result)
+  }
+
+  /** Scale path for edit-distance near-dup (q41g; the q42c
+    * `cosineNearDupsScaled` precedent). The declared q41e blocks on
+    * (lang, length-bucket) alone, which is QUADRATIC in block
+    * occupancy — measured 16.9x wall at 10x data (SCALING.md), because
+    * a 10x corpus grows every (lang, bucket) block 10x and pairs 100x.
+    * Here candidate pairs come from the rare-shingle generator
+    * (df <= maxDf bounds each shingle's fan-out at maxDf^2/2 — work is
+    * pair-bounded, never block-quadratic), then the same
+    * (lang, length-bucket) constraint and thresholded banded
+    * levenshtein verify run per CANDIDATE. Rationale for recall: docs
+    * within a small edit distance share almost all shingles, including
+    * rare ones — the same blocking argument the jaccard/minhash family
+    * rests on. Returns (da, db, dist). */
+  def editDistanceNearDupsScaled(docs: DataFrame, idCol: String,
+      textCol: String, langCol: String, lenCol: String,
+      prefixLen: Int = 60, maxDist: Int = 20,
+      k: Int = 2, maxDf: Int = 20): DataFrame = {
+    val (_, cand) = shingleCandidates(docs, idCol, textCol, k, maxDf)
+    val meta = docs.select(col(idCol).as("doc"),
+      substring(col(textCol), 1, prefixLen).as("pfx"), col(langCol).as("lang"),
+      (col(lenCol) / 10).cast("long").as("lb"))
+    val paired = cand
+      .join(meta.as("ma"), col("ma.doc") === col("da"))
+      .join(meta.as("mb"), col("mb.doc") === col("db") &&
+        col("ma.lang") === col("mb.lang") && col("ma.lb") === col("mb.lb"))
+      // the surviving pair sliver is byte-small: AQE would coalesce it
+      // to 1-2 partitions and serialize the CPU-dense DP — explicit
+      // core-count repartition is never re-coalesced
+      .select(col("da"), col("db"), col("ma.pfx").as("pa"), col("mb.pfx").as("pb"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("da"), col("db"))
+    paired
+      .withColumn("dist", levenshtein(col("pa"), col("pb"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .select(col("da"), col("db"), col("dist"))
   }
 
   /** Connected components over a near-dup pair relation — the cluster

@@ -164,6 +164,27 @@ object NorthStar {
       .orderBy("da", "db")
   }
 
+  /** Scale path for q41e (the q42c `cosineNearDupsScaled` precedent):
+    * q41e's (lang, length-bucket) blocking is quadratic in block
+    * occupancy (measured 16.9x wall at 10x data — SCALING.md); here
+    * the SAME verify runs only on rare-shingle candidate pairs, whose
+    * enumeration is pair-bounded (df <= 20 caps each shingle's
+    * fan-out). The oracle reuses q41d's candidate CTEs verbatim. */
+  val q41g = QueryDef("q41g_dedup_edit_scaled",
+    s"""WITH $ngramPairCtes
+       |SELECT c.da, c.db,
+       |  CAST(levenshtein(substr(a.text, 1, 60), substr(b.text, 1, 60)) AS INTEGER) AS dist
+       |FROM cand c
+       |JOIN documents a ON a.doc_id = c.da
+       |JOIN documents b ON b.doc_id = c.db
+       |WHERE a.lang = b.lang AND a.n_chars // 10 = b.n_chars // 10
+       |  AND levenshtein(substr(a.text, 1, 60), substr(b.text, 1, 60)) <= 20
+       |ORDER BY da, db""".stripMargin) { (s, dir) =>
+    Dedup.editDistanceNearDupsScaled(Tables.documents(s, dir),
+      "doc_id", "text", "lang", "n_chars")
+      .orderBy("da", "db")
+  }
+
   /** Brute-force cosine top-k (exact baseline), decimal-exact dots. */
   val q42 = QueryDef("q42_similarity_bruteforce",
     """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
@@ -458,6 +479,6 @@ object NorthStar {
       .orderBy("media_id", "frame_idx")
   }
 
-  val defs: Seq[QueryDef] = Seq(q41a, q41b, q41c, q41d, q41e, q41f, q42,
-    q42b, q42c, q42d, q43a, q43b, q43c, q43d, q43e, q44, q44b)
+  val defs: Seq[QueryDef] = Seq(q41a, q41b, q41c, q41d, q41e, q41f, q41g,
+    q42, q42b, q42c, q42d, q43a, q43b, q43c, q43d, q43e, q44, q44b)
 }

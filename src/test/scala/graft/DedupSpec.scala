@@ -80,6 +80,47 @@ class DedupSpec extends SparkSpec {
     assert(cand.count() == 20)
   }
 
+  test("scaled edit-distance: subset of block-join pairs, full recall on exact dups") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "n_chars")
+    val dup = docs.unionByName(docs.filter($"doc_id" % 10 === 0)
+      .withColumn("doc_id", $"doc_id" + 1000000))
+    val scaled = Dedup.editDistanceNearDupsScaled(dup,
+      "doc_id", "text", "lang", "n_chars")
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    // the plain (lang, length-bucket) block join — q41e's relation
+    val d = dup.select($"doc_id", substring($"text", 1, 60).as("pfx"),
+      $"lang", ($"n_chars" / 10).cast("long").as("lb"))
+    val plain = d.as("a").join(d.as("b"), $"a.lang" === $"b.lang" &&
+        $"a.lb" === $"b.lb" && $"a.doc_id" < $"b.doc_id")
+      .withColumn("dist", levenshtein($"a.pfx", $"b.pfx", 20))
+      .filter($"dist" >= 0 && $"dist" <= 20)
+      .select($"a.doc_id", $"b.doc_id").as[(Long, Long)].collect().toSet
+    assert(scaled.subsetOf(plain),
+      s"scaled emitted pairs outside the blocked relation: ${(scaled -- plain).take(5)}")
+    // Recall on a corpus where rare shingles EXIST per doc (the
+    // documented limit of rare-shingle blocking: a doc whose every
+    // shingle is hot has no candidate — same tradeoff as q41d): 50
+    // distinct-vocabulary docs, each with a same-length 1-char-edit
+    // copy. Every pair must be found at distance 1.
+    val words = (0 until 2000).map(i => f"w$i%04d")
+    val base = (0 until 50).map { i =>
+      (i.toLong, (0 until 8).map(j => words(i * 8 + j)).mkString(" "))
+    }
+    val copies = base.map { case (i, t) =>
+      val ws = t.split(" "); ws(3) = "x" + ws(3).drop(1)
+      (i + 1000L, ws.mkString(" "))
+    }
+    val fixture = (base ++ copies).toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length($"text"))
+    val got = Dedup.editDistanceNearDupsScaled(fixture,
+      "doc_id", "text", "lang", "n_chars")
+      .as[(Long, Long, Int)].collect().toSet
+    val want = (0 until 50).map(i => (i.toLong, i + 1000L, 1)).toSet
+    assert(got == want, s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
   test("near-dup components collapse transitive chains to min-id clusters") {
     // chain 1-2-3-4 (diameter 3, exercises multiple propagation
     // rounds), pair 10-11, triangle 20-21-22
