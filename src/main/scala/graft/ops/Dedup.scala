@@ -234,17 +234,19 @@ object Dedup {
     val meta = docs.select(col(idCol).as("doc"),
       substring(col(textCol), 1, prefixLen).as("pfx"), col(langCol).as("lang"),
       (col(lenCol) / 10).cast("long").as("lb"))
-    val paired = cand
+    // Catalyst pushes the dist filter into the meta broadcast-join as a
+    // join condition, so the CPU-dense levenshtein verify executes in
+    // cand's layout — which is byte-small and AQE-coalesced to 1-2
+    // partitions. Spread cand (the streamed join side; BHJ preserves
+    // its partitioning) to the core count BEFORE the joins; a
+    // post-verify repartition would run too late to help.
+    val spread = cand
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    spread
       .join(meta.as("ma"), col("ma.doc") === col("da"))
       .join(meta.as("mb"), col("mb.doc") === col("db") &&
         col("ma.lang") === col("mb.lang") && col("ma.lb") === col("mb.lb"))
-      // the surviving pair sliver is byte-small: AQE would coalesce it
-      // to 1-2 partitions and serialize the CPU-dense DP — explicit
-      // core-count repartition is never re-coalesced
-      .select(col("da"), col("db"), col("ma.pfx").as("pa"), col("mb.pfx").as("pb"))
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("da"), col("db"))
-    paired
-      .withColumn("dist", levenshtein(col("pa"), col("pb"), maxDist))
+      .withColumn("dist", levenshtein(col("ma.pfx"), col("mb.pfx"), maxDist))
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("da"), col("db"), col("dist"))
   }
