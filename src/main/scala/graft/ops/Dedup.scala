@@ -150,13 +150,10 @@ object Dedup {
     * eagerly localCheckpointed. */
   private[graft] def shingleCandidates(docs: DataFrame, idCol: String,
       textCol: String, k: Int, maxDf: Int): (DataFrame, DataFrame) = {
-    // The shingle map is CPU-dense, not byte-dense: a small corpus
-    // arrives as a handful of input splits, which would serialize the
-    // tokenize/shingle/hash pass — widen to the core count first
-    // (never shrinks an already-wide scan).
-    val cores = docs.sparkSession.sparkContext.defaultParallelism
-    val spread =
-      if (docs.rdd.getNumPartitions < cores) docs.repartition(cores) else docs
+    // The shingle map is CPU-dense, not byte-dense — widen a
+    // byte-small corpus to the core count first (spreadToCores, the
+    // same rule the signature maps use).
+    val spread = spreadToCores(docs)
     // Eager localCheckpoint, not cache(): the relation feeds several
     // downstream joins; checkpoint blocks are freed with the RDD
     // instead of pinning the session cache across a long-lived session.

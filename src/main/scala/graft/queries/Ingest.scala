@@ -90,10 +90,17 @@ object Ingest {
     val tmp = loadScratch.computeIfAbsent(dir,
       _ => java.nio.file.Files.createTempDirectory("graft_load").toString + "/wallet_txs")
     // load twice: the second overwrite must fully replace the first
-    // (no duplicates — resources/redshift.py:124's contract)
-    Fixtures.walletTxs(s, dir).limit(10).write.mode("overwrite").parquet(tmp)
-    Fixtures.walletTxs(s, dir).write.mode("overwrite").parquet(tmp)
-    s.read.parquet(tmp)
+    // (no duplicates — resources/redshift.py:124's contract).
+    // Writes + readback run under a per-dir lock (the memoized String
+    // is one instance per dataset) with the readback pinned eagerly:
+    // a concurrent invocation's overwrite deletes the files a
+    // lazily-consumed scan would read, so localCheckpoint materializes
+    // the rows before the lock is released (same fix as q02).
+    tmp.synchronized {
+      Fixtures.walletTxs(s, dir).limit(10).write.mode("overwrite").parquet(tmp)
+      Fixtures.walletTxs(s, dir).write.mode("overwrite").parquet(tmp)
+      s.read.parquet(tmp).localCheckpoint()
+    }
       .groupBy("token_symbol")
       .agg(count(lit(1)).as("cnt"), Canon.dsum($"quantity").as("qty"))
       .orderBy("token_symbol")

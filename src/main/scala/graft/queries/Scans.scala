@@ -45,7 +45,6 @@ object Scans {
     // a fresh dir per invocation accumulated a CSV copy per bench run
     val tmp = Scans.csvScratch.computeIfAbsent(dir,
       _ => java.nio.file.Files.createTempDirectory("graft_csv").toString)
-    walletCanon(s, dir).write.mode("overwrite").option("header", true).csv(tmp)
     val schema = StructType(Seq(
       StructField("wallet_address", StringType), StructField("tx_hash", StringType),
       StructField("block_number", LongType), StructField("tx_time", StringType),
@@ -53,7 +52,17 @@ object Scans {
       StructField("token_contract", StringType), StructField("token_name", StringType),
       StructField("token_symbol", StringType), StructField("token_decimal", IntegerType),
       StructField("value_raw", LongType), StructField("quantity", DoubleType)))
-    s.read.option("header", true).schema(schema).csv(tmp).orderBy("tx_hash")
+    // write + readback under a per-dir lock (the map stores one String
+    // instance per dataset, so it doubles as the lock), with the
+    // readback pinned EAGERLY: mode=overwrite first deletes the dir's
+    // files, so a concurrent invocation's lazily-consumed CSV scan
+    // could read mid-replace; localCheckpoint materializes the rows
+    // before the lock is released, decoupling the result from the
+    // files (mirrors the bucketedDir lock in Ingest).
+    tmp.synchronized {
+      walletCanon(s, dir).write.mode("overwrite").option("header", true).csv(tmp)
+      s.read.option("header", true).schema(schema).csv(tmp).localCheckpoint()
+    }.orderBy("tx_hash")
   }
 
   /** Raw PolygonScan API pages (FIXTURES.md §1.2): envelope check (R2),

@@ -64,13 +64,22 @@ object Streaming {
     // session the query actually plans on. The dedicated session
     // overrides only shuffle.partitions, which this prefix never
     // touches.
-    val prefix = "spark.sql.streaming."
-    val parentStreaming = s.conf.getAll.filter(_._1.startsWith(prefix))
-    n.conf.getAll.keysIterator
-      .filter(k => k.startsWith(prefix) && !parentStreaming.contains(k))
-      .foreach(n.conf.unset)
-    parentStreaming.foreach { case (k, v) =>
-      if (!n.conf.getOption(k).contains(v)) n.conf.set(k, v)
+    // The mirror runs under the dedicated session's monitor: the
+    // session is shared per root session, so a concurrent streaming
+    // query planning on `n` while a caller flips a streaming conf
+    // (the RocksDbStateSpec pattern) must not observe a half-applied
+    // unset/set sequence. (Queries that PLAN outside the lock still
+    // race a concurrent flip by nature — the lock guarantees the
+    // mirror itself is atomic.)
+    n.synchronized {
+      val prefix = "spark.sql.streaming."
+      val parentStreaming = s.conf.getAll.filter(_._1.startsWith(prefix))
+      n.conf.getAll.keysIterator
+        .filter(k => k.startsWith(prefix) && !parentStreaming.contains(k))
+        .foreach(n.conf.unset)
+      parentStreaming.foreach { case (k, v) =>
+        if (!n.conf.getOption(k).contains(v)) n.conf.set(k, v)
+      }
     }
     n
   }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Or}
+import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Or}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -109,6 +109,12 @@ class PolygonscanScanBuilder(options: CaseInsensitiveStringMap)
     * skipping them prunes exactly as the filter would. */
   private def walletValues(f: Filter): Option[Set[String]] = f match {
     case EqualTo("wallet_address", v: String) => Some(Set(v))
+    // `<=>` never evaluates to NULL: for a non-null literal it is
+    // exactly EqualTo here, and `<=> NULL` keeps only null-wallet rows
+    // — every connector row stamps its partition's non-null wallet
+    // constant, so the empty wallet set prunes exactly.
+    case EqualNullSafe("wallet_address", v) if v == null || v.isInstanceOf[String] =>
+      Some(Option(v).map(_.asInstanceOf[String]).toSet)
     case In("wallet_address", vs) if vs.forall(v => v == null || v.isInstanceOf[String]) =>
       Some(vs.collect { case s: String => s }.toSet)
     case Or(l, r) =>

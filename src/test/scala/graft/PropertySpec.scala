@@ -67,6 +67,10 @@ class PropertySpec extends AnyFunSuite {
     val pool = (0 to 9).map(w => s"0xw$w")
     val walletLeaf: Gen[Filter] = Gen.oneOf(
       Gen.oneOf(pool :+ "0xNOPE").map(v => EqualTo("wallet_address", v)),
+      // null-safe equality: `<=> NULL` is a legal leaf (matches only
+      // null wallets, i.e. nothing the connector emits)
+      Gen.oneOf((pool :+ "0xNOPE") :+ (null: String))
+        .map(v => EqualNullSafe("wallet_address", v)),
       Gen.listOf(Gen.oneOf[Any](Gen.oneOf(pool :+ "0xNOPE"), Gen.const(null)))
         .map(vs => In("wallet_address", vs.toArray)))
     val otherLeaf: Gen[Filter] =
@@ -82,6 +86,9 @@ class PropertySpec extends AnyFunSuite {
     // only on TRUE, so NULL (null IN-element, no match) prunes too.
     def eval(f: Filter, w: String): Option[Boolean] = f match {
       case EqualTo("wallet_address", v) => Some(w == v)
+      // <=> is never NULL; partition wallets are never null, so a
+      // null literal is simply FALSE
+      case EqualNullSafe("wallet_address", v) => Some(w == v)
       case In("wallet_address", vs) =>
         if (vs.contains(w)) Some(true)
         else if (vs.contains(null)) None // null IN-element: non-match is NULL
@@ -95,6 +102,7 @@ class PropertySpec extends AnyFunSuite {
     }
     def fullyWalletBased(g: Filter): Boolean = g match {
       case EqualTo("wallet_address", _) => true
+      case EqualNullSafe("wallet_address", _) => true
       case In("wallet_address", _) => true
       case Or(l, r) => fullyWalletBased(l) && fullyWalletBased(r)
       case _ => false

@@ -80,8 +80,12 @@ class StreamingLateDataSpec extends SparkSpec {
     val after4 = stagedDirs
     assert(after4 == after1,
       s"staged dirs grew: ${(after4 -- after1).mkString(", ")}")
-    // runToTable drops its memory-sink view once the result is resolved
-    val leaked = spark.catalog.listTables().collect()
+    // runToTable drops its memory-sink view once the result is
+    // resolved. The views live on the DEDICATED stream session (its
+    // temp views are invisible to the parent), so the assertion must
+    // list THAT session's catalog — the parent's is trivially empty.
+    val leaked = graft.queries.Streaming.streamSession(spark)
+      .catalog.listTables().collect()
       .map(_.name).filter(_.startsWith("graft_sink_"))
     assert(leaked.isEmpty, s"leaked sink views: ${leaked.mkString(", ")}")
   }
