@@ -121,6 +121,98 @@ class DedupSpec extends SparkSpec {
     assert(got == want, s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
   }
 
+  test("scaled edit-distance: full recall on known-distance 1..20 pairs; misses confined to all-hot docs") {
+    // Quantifies q41g's near-miss recall (SCALING.md "q41g near-miss
+    // recall"). Two doc families:
+    //  - VOCAB (the near-miss probe): 60 base docs of 40 doc-unique
+    //    words; each copy mutates exactly d = (i mod 20)+1 chars inside
+    //    the 60-char prefix (never a word's FIRST char, so the
+    //    substitutions are independent and banded levenshtein == d
+    //    exactly) plus three tail words — mutations spread through the
+    //    whole doc, and the intact remainder still shares rare
+    //    (df <= 20) shingles. These pairs must ALL come back, at the
+    //    exact distance.
+    //  - HOT (the documented miss class): stopword-cycle docs whose
+    //    every bigram occurs in all 50 family docs (df 50 > maxDf 20),
+    //    so no rare shingle exists and the candidate generator cannot
+    //    see the pair. Every miss vs the q41e block join must lie in
+    //    this family. (The pipeline answer for its dist-0 core is
+    //    exact dedup, q41a.)
+    def mutated(text: String, d: Int): String = {
+      val ws = text.split(" ")
+      def hit(wi: Int, ci: Int): Unit = {
+        val a = ws(wi).toCharArray; a(ci) = if (a(ci) == 'z') 'q' else 'z'
+        ws(wi) = new String(a)
+      }
+      for (wi <- 0 until math.min(d, 10)) hit(wi, 2)   // prefix, 1 char
+      for (wi <- 0 until d - 10) hit(wi, 3)            // prefix, 2nd char
+      for (wi <- Seq(15, 25, 35)) hit(wi, 2)           // tail spread
+      ws.mkString(" ")
+    }
+    // pseudo-random 5-letter words (hash-derived, deterministic): two
+    // DIFFERENT docs' prefixes then differ in ~55 of 60 chars, so no
+    // cross-doc pair sneaks under the dist<=20 band (sequential ids
+    // like "w1520 w1521" differed from "w1920 w1921" by 1 char/word)
+    def word(i: Int, j: Int): String = {
+      val h = scala.util.hashing.MurmurHash3.productHash((i, j))
+      (0 until 5).map(k => ('a' + ((h >>> (k * 5)) & 31) % 26).toChar).mkString
+    }
+    val vocabBase = (0 until 60).map { i =>
+      (i.toLong, (0 until 40).map(j => word(i, j)).mkString(" "))
+    }
+    val vocabCopies = vocabBase.map { case (i, t) =>
+      (10000L + i, mutated(t, (i % 20).toInt + 1))
+    }
+    val stops = Seq("the", "of", "and", "to", "in")
+    // 3-word length steps keep distinct hot docs in distinct length
+    // buckets (>= 10 chars apart), so the miss set is exactly the 25
+    // base-copy pairs, not a cloud of phase-shifted cross pairs
+    val hotBase = (0 until 25).map { m =>
+      (5000L + m, (0 until 30 + 3 * m).map(j => stops((j + m) % 5)).mkString(" "))
+    }
+    val hotCopies = hotBase.map { case (id, t) =>
+      val a = t.toCharArray; a(1) = 'z' // 1-char edit in the first word
+      (id + 10000L, new String(a))
+    }
+    val fixture = (vocabBase ++ vocabCopies ++ hotBase ++ hotCopies)
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length($"text"))
+    val got = Dedup.editDistanceNearDupsScaled(fixture,
+      "doc_id", "text", "lang", "n_chars")
+      .as[(Long, Long, Int)].collect().toSet
+    // ground truth: q41e's plain (lang, length-bucket) block join
+    val d = fixture.select($"doc_id", substring($"text", 1, 60).as("pfx"),
+      $"lang", ($"n_chars" / 10).cast("long").as("lb"))
+    val truth = d.as("a").join(d.as("b"), $"a.lang" === $"b.lang" &&
+        $"a.lb" === $"b.lb" && $"a.doc_id" < $"b.doc_id")
+      .withColumn("dist", levenshtein($"a.pfx", $"b.pfx", 20))
+      .filter($"dist" >= 0 && $"dist" <= 20)
+      .select($"a.doc_id", $"b.doc_id", $"dist")
+      .as[(Long, Long, Int)].collect().toSet
+    // fixture sanity: every vocab pair is in the block-join truth at
+    // its constructed distance
+    val vocabWant = (0 until 60).map(i => (i.toLong, 10000L + i, (i % 20) + 1)).toSet
+    assert(vocabWant.subsetOf(truth),
+      s"fixture broken, truth lacks: ${(vocabWant -- truth).take(5)}")
+    // FULL near-miss recall: every known-distance pair recovered, at
+    // the exact banded-levenshtein distance
+    assert(vocabWant.subsetOf(got),
+      s"scaled path missed near-miss pairs: ${(vocabWant -- got).take(5)}")
+    // no false positives vs the blocked relation
+    assert(got.subsetOf(truth),
+      s"pairs outside the blocked relation: ${(got -- truth).take(5)}")
+    // every miss involves only hot-family docs (both sides all-hot)
+    val hotIds = (hotBase ++ hotCopies).map(_._1).toSet
+    val missed = truth -- got
+    assert(missed.nonEmpty, "fixture broken: the miss class never materialized")
+    assert(missed.forall(p => hotIds(p._1) && hotIds(p._2)),
+      s"missed a pair with a rare-vocab doc: ${missed.filterNot(p => hotIds(p._1) && hotIds(p._2)).take(5)}")
+    val recall = (truth.size - missed.size).toDouble / truth.size
+    info(f"q41g recall vs block join: $recall%.3f (${truth.size - missed.size}/${truth.size}; all ${missed.size} misses hot-only)")
+    assert(recall >= 0.65, f"recall floor breached: $recall%.3f")
+  }
+
   test("near-dup components collapse transitive chains to min-id clusters") {
     // chain 1-2-3-4 (diameter 3, exercises multiple propagation
     // rounds), pair 10-11, triangle 20-21-22
