@@ -86,4 +86,88 @@ object Multimodal {
         col("text").cast("binary").as("payload"))
       .as[MediaRow]
   }
+
+  // ── Real decode path (q44c): binary PPM, the one image format a
+  // bare JVM can decode. The fixture ENCODES an actual P6 byte stream
+  // per document — ASCII header + 3-byte RGB raster, pixel values a
+  // deterministic function of (id, x, y) so the oracle can enumerate
+  // the same pixels — and the decode step PARSES it back: a real
+  // header tokenizer and raster walk, not a checksum. Codec-dependent
+  // formats (JPEG/H.264) keep the documented [[decodeStub]]; this
+  // path proves the partition-wise plumbing end-to-end with features
+  // derived from decoded pixels.
+
+  /** Pixel-derived features: dimensions from the parsed header,
+    * per-channel sums from the decoded raster. */
+  case class PixelFeatures(media_id: Long, width: Int, height: Int,
+      r_sum: Long, g_sum: Long, b_sum: Long)
+
+  /** Deterministic P6 encoder — the fixture's "camera". */
+  def encodePpm(id: Long, w: Int, h: Int): Array[Byte] = {
+    val header = s"P6\n$w $h\n255\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = new Array[Byte](header.length + w * h * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = header.length
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        out(i) = ((id + 7L * x + 13L * y) % 256).toByte
+        out(i + 1) = ((id * 3L + 5L * x + 11L * y) % 256).toByte
+        out(i + 2) = ((id * 5L + 3L * x + 17L * y) % 256).toByte
+        i += 3; x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Real P6 parser: whitespace-tokenized header (magic, dims,
+    * maxval), then the raw RGB raster. Throws on malformed input —
+    * it is a decoder, not a fingerprint. */
+  def decodePpm(id: Long, bytes: Array[Byte]): PixelFeatures = {
+    var pos = 0
+    def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\r' || b == '\t'
+    def token(): String = {
+      while (pos < bytes.length && isWs(bytes(pos))) pos += 1
+      val start = pos
+      while (pos < bytes.length && !isWs(bytes(pos))) pos += 1
+      new String(bytes, start, pos - start,
+        java.nio.charset.StandardCharsets.US_ASCII)
+    }
+    require(token() == "P6", "not a binary PPM (P6) stream")
+    val w = token().toInt
+    val h = token().toInt
+    require(token().toInt == 255, "unsupported maxval")
+    pos += 1 // exactly one whitespace byte separates header from raster
+    require(bytes.length - pos == w * h * 3,
+      s"truncated raster: ${bytes.length - pos} bytes for ${w}x$h")
+    var r = 0L; var g = 0L; var b = 0L
+    var i = pos
+    while (i < bytes.length) {
+      r += bytes(i) & 0xFF; g += bytes(i + 1) & 0xFF; b += bytes(i + 2) & 0xFF
+      i += 3
+    }
+    PixelFeatures(id, w, h, r, g, b)
+  }
+
+  /** Media table with REAL image payloads: one P6 per document,
+    * dimensions 8–16 × 8–14 derived from the id (oracle-mirrorable). */
+  def fromDocumentsPpm(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      MediaRow(id, "img_ppm", encodePpm(id, (8 + id % 9).toInt, (8 + id % 7).toInt))
+    }
+  }
+
+  /** Partition-wise REAL decode — the same batch shape as
+    * [[extractFeatures]], with an actual parser in the hot spot. */
+  def extractPixelFeatures(media: Dataset[MediaRow]): Dataset[PixelFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition init would go here (codec handles, buffers)
+      rows.map(r => decodePpm(r.media_id, r.payload))
+    }
+  }
 }

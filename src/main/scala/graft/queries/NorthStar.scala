@@ -479,6 +479,32 @@ object NorthStar {
       .orderBy("media_id", "frame_idx")
   }
 
+  /** Multimodal REAL decode: each document carries an actual binary
+    * PPM (P6) payload — ASCII header + RGB raster, pixel values a
+    * deterministic function of (id, x, y) — and the partition-wise
+    * decoder PARSES it back (real header tokenizer + raster walk,
+    * [[Multimodal.decodePpm]]), emitting channel sums derived from
+    * decoded pixels. The oracle enumerates the same pixels from the
+    * same arithmetic. Codec-dependent formats (JPEG/H.264) keep the
+    * documented stub (q44/q44b); this query pins the decode plumbing
+    * end-to-end on a format a bare JVM can really decode. */
+  val q44c = QueryDef("q44c_multimodal_ppm_decode",
+    """SELECT doc_id AS media_id,
+      |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+      |  CAST(SUM((doc_id + 7 * x + 13 * y) % 256) AS BIGINT) AS r_sum,
+      |  CAST(SUM((doc_id * 3 + 5 * x + 11 * y) % 256) AS BIGINT) AS g_sum,
+      |  CAST(SUM((doc_id * 5 + 3 * x + 17 * y) % 256) AS BIGINT) AS b_sum
+      |FROM (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM documents),
+      |  UNNEST(generate_series(0, w - 1)) AS xs(x),
+      |  UNNEST(generate_series(0, h - 1)) AS ys(y)
+      |GROUP BY doc_id, w, h ORDER BY media_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val media = Multimodal.fromDocumentsPpm(s, Tables.documents(s, dir))
+    Multimodal.extractPixelFeatures(media).toDF()
+      .select("media_id", "width", "height", "r_sum", "g_sum", "b_sum")
+      .orderBy("media_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(q41a, q41b, q41c, q41d, q41e, q41f, q41g,
-    q42, q42b, q42c, q42d, q43a, q43b, q43c, q43d, q43e, q44, q44b)
+    q42, q42b, q42c, q42d, q43a, q43b, q43c, q43d, q43e, q44, q44b, q44c)
 }

@@ -1,0 +1,53 @@
+package graft
+
+import graft.ops.Multimodal
+import graft.ops.Multimodal.MediaRow
+
+/** The real (non-stub) multimodal decode path: a binary PPM (P6)
+  * payload must round-trip encoder → opaque bytes → parser with
+  * features derived from the DECODED raster, and the parser must
+  * reject malformed streams instead of fingerprinting them. */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("P6 round-trip: decoded channel sums equal the analytic pixel sums") {
+    for (id <- Seq(0L, 1L, 7L, 123L, 4096L)) {
+      val w = (8 + id % 9).toInt; val h = (8 + id % 7).toInt
+      val f = Multimodal.decodePpm(id, Multimodal.encodePpm(id, w, h))
+      // dims come from the PARSED header, not the caller
+      assert((f.width, f.height) == (w, h))
+      def want(a: Long, bx: Long, by: Long): Long =
+        (for (y <- 0 until h; x <- 0 until w)
+          yield (a + bx * x + by * y) % 256).sum
+      assert(f.r_sum == want(id, 7, 13), s"r mismatch for id=$id")
+      assert(f.g_sum == want(id * 3, 5, 11), s"g mismatch for id=$id")
+      assert(f.b_sum == want(id * 5, 3, 17), s"b mismatch for id=$id")
+    }
+  }
+
+  test("P6 parser rejects malformed streams") {
+    val ok = Multimodal.encodePpm(5L, 8, 8)
+    // wrong magic
+    val badMagic = ok.clone(); badMagic(1) = '5'
+    intercept[IllegalArgumentException](Multimodal.decodePpm(5L, badMagic))
+    // truncated raster
+    intercept[IllegalArgumentException](
+      Multimodal.decodePpm(5L, ok.dropRight(1)))
+    // not an image at all
+    intercept[IllegalArgumentException](
+      Multimodal.decodePpm(5L, "hello world".getBytes))
+  }
+
+  test("distributed decode equals a driver-side decode of every payload") {
+    val docs = Tables.documents(spark, sf).select("doc_id").limit(64)
+    val media = Multimodal.fromDocumentsPpm(spark, docs)
+    val viaSpark = Multimodal.extractPixelFeatures(media)
+      .collect().sortBy(_.media_id).toSeq
+    val direct = media.collect().sortBy(_.media_id)
+      .map(r => Multimodal.decodePpm(r.media_id, r.payload)).toSeq
+    assert(viaSpark == direct)
+    // the payloads really are opaque binary image bytes in transit
+    assert(media.schema("payload").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+  }
+}
