@@ -49,6 +49,43 @@ object Bench {
     catch { case _: Throwable => -1 }
   }
 
+  /** Committed reference for [[cpuProbeSec]] — calibrated IN CONTEXT
+    * (inside a Bench JVM with the Spark session machinery loaded,
+    * quiet box, Java 17: 0.53 ± 0.03 s across runs; the bare
+    * standalone loop reads ~0.49 s, so the in-JVM context costs a few
+    * percent and the reference must come from the same context).
+    * Override with SPARK_GRAFT_CPU_REF after a hardware change. */
+  private val CpuProbeRefSec = 0.53
+
+  /** Absolute CPU yardstick: one fixed single-thread integer mixing
+    * loop (400M xxhash-style rounds, ~0.5 s at reference speed). Its
+    * wall time depends only on effective single-core speed — not on
+    * data, Spark state, or the code under test — so comparing it to
+    * the committed reference catches MACHINE-level slowdown (the
+    * uniform 1.4× windows BENCHLOG round 9 had to adjudicate by
+    * per-query ratio analysis) that the load/JVM-count guard cannot
+    * see: that guard proves the box isn't BUSY, not that it isn't
+    * SLOW. min-of-3 so a scheduler blip doesn't read as slowdown. */
+  private def cpuProbeSec(): Double = {
+    def mix(iters: Long): Long = {
+      var h = 0x9E3779B97F4A7C15L; var i = 0L
+      while (i < iters) {
+        h ^= i * 0xC2B2AE3D27D4EB4FL
+        h = java.lang.Long.rotateLeft(h, 31) * 0x9E3779B185EBCA87L
+        i += 1
+      }
+      h
+    }
+    var sink = mix(20000000L) // JIT warmup, untimed
+    val samples = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      sink ^= mix(400000000L)
+      (System.nanoTime() - t0) / 1e9
+    }
+    if (sink == 42L) System.err.println("(unreachable dce guard)")
+    samples.min
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -60,6 +97,9 @@ object Bench {
     if (contended) System.err.println(
       s"[bench] WARNING: machine busy before run (load=$load0, otherJvms=$jvms0)" +
         " — timings unreliable, re-run on a quiet machine")
+    val cpuRef = sys.env.get("SPARK_GRAFT_CPU_REF").map(_.toDouble)
+      .getOrElse(CpuProbeRefSec)
+    val probe0 = cpuProbeSec()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -109,6 +149,14 @@ object Bench {
       (name, med, times.head, times.last)
     }
     val load1 = loadAvg1m()
+    // probe AGAIN after the suite: a slowdown window that opened
+    // mid-run shows up in probe_end even when probe_start was clean
+    val probe1 = cpuProbeSec()
+    val cpuSlow = math.max(probe0, probe1) > cpuRef * 1.2
+    if (cpuSlow) System.err.println(
+      f"[bench] WARNING: CPU probe off reference (start=$probe0%.3f s, " +
+        f"end=$probe1%.3f s, ref=$cpuRef%.3f s, tol 20%%) — the machine " +
+        "is uniformly slow; timings are inflated, re-run before grading")
     val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
     // min/trimmed-med/max per query: makes cold-vs-warm spread visible
@@ -117,7 +165,9 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val env = s"""{"load_start":$load0,"load_end":$load1,"other_jvms":$jvms0,""" +
-      s""""contended":$contended,"runs":$runs}"""
+      s""""contended":$contended,"runs":$runs,""" +
+      s""""cpu_probe_start":$probe0,"cpu_probe_end":$probe1,""" +
+      s""""cpu_probe_ref":$cpuRef,"cpu_slow":$cpuSlow}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$st,"env":$env,"sf":"$sfDir"}"""
     println(json)
