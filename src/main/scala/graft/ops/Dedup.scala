@@ -191,6 +191,10 @@ object Dedup {
       .unionByName(cand.select(col("db").as("doc")))
     val shc = sh.join(candDocs, Seq("doc"), "left_semi")
       .localCheckpoint()
+    // the full-corpus shingle relation has no consumer past the shc
+    // build (cand was materialized inside shingleCandidates) — drop
+    // its blocks now instead of carrying them to query end
+    graft.CheckpointJanitor.dropNow(sh)
     val sizes = shc.groupBy("doc").agg(count(lit(1)).as("n"))
     // PAIR-BOUNDED common counts: enumerate per candidate pair — join
     // each pair to da's shingles, then probe db's shingles on
@@ -227,7 +231,10 @@ object Dedup {
       textCol: String, langCol: String, lenCol: String,
       prefixLen: Int = 60, maxDist: Int = 20,
       k: Int = 2, maxDf: Int = 20): DataFrame = {
-    val (_, cand) = shingleCandidates(docs, idCol, textCol, k, maxDf)
+    val (sh, cand) = shingleCandidates(docs, idCol, textCol, k, maxDf)
+    // this path never reads the shingle relation again (cand is
+    // already materialized): drop its blocks on the spot
+    graft.CheckpointJanitor.dropNow(sh)
     val meta = docs.select(col(idCol).as("doc"),
       substring(col(textCol), 1, prefixLen).as("pfx"), col(langCol).as("lang"),
       (col(lenCol) / 10).cast("long").as("lb"))
@@ -304,6 +311,9 @@ object Dedup {
     var iters = 0
     while (changed > 0 && iters < maxIters) {
       val (next, c) = round(labels)
+      // round() fully consumed the previous labels (next-build +
+      // changed-count) — drop its blocks now, not at a later GC
+      graft.CheckpointJanitor.dropNow(labels)
       labels = next
       changed = c
       iters += 1
@@ -313,9 +323,13 @@ object Dedup {
       // one — convergence is only observable via a FOLLOWING zero-change
       // round, so run one confirming round before failing loudly
       val (next, c) = round(labels)
+      graft.CheckpointJanitor.dropNow(labels)
       labels = next
       changed = c
     }
+    // no round runs again: the edge list is dead (the returned plan
+    // derives from `labels` alone)
+    graft.CheckpointJanitor.dropNow(edges)
     // partially-converged labels would silently split one component in
     // several — fail loudly instead (pointer jumping makes the bound
     // O(log diameter), so 20 rounds covers ~1M-doc chains; hitting it

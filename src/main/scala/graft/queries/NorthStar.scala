@@ -47,8 +47,13 @@ object NorthStar {
       d.filter($"doc_id" % 10 === 0).withColumn("doc_id", $"doc_id" + 1000000))
     val sigs = Dedup.minHashSignaturesFast(dup, "doc_id", "text",
       k = 2, numHashes = 32)
-    Dedup.minHashNearDups(sigs, bands = 8, rowsPer = 4, threshold = 0.8)
-      .orderBy("doc_a", "doc_b")
+    // query-level janitor registration: this DataFrame is consumed
+    // exactly once per invocation (Verify write / Bench count), so the
+    // signature checkpoint inside its plan dies with that action
+    // instead of a later GC (the q41-family bench-jitter fix)
+    graft.CheckpointJanitor.evictAfterConsumption(
+      Dedup.minHashNearDups(sigs, bands = 8, rowsPer = 4, threshold = 0.8)
+        .orderBy("doc_a", "doc_b"))
   }
 
   /** SimHash near-dup pairs (≤3 bits apart, 16-bit chunk blocking). */
@@ -57,8 +62,9 @@ object NorthStar {
     val d = Tables.documents(s, dir).select("doc_id", "text")
     val dup = d.unionByName(
       d.filter($"doc_id" % 10 === 0).withColumn("doc_id", $"doc_id" + 1000000))
-    Dedup.simHashNearDups(Dedup.simHashFast(dup, "doc_id", "text"), maxHamming = 3)
-      .orderBy("doc_a", "doc_b")
+    graft.CheckpointJanitor.evictAfterConsumption(
+      Dedup.simHashNearDups(Dedup.simHashFast(dup, "doc_id", "text"), maxHamming = 3)
+        .orderBy("doc_a", "doc_b"))
   }
 
   /** Shared DuckDB CTE chain producing the q41d near-dup pair relation
@@ -99,9 +105,10 @@ object NorthStar {
     // hashed shingles (the oracle joins strings; equality is all either
     // side uses), rare-shingle blocking, semi-joined sliver, and
     // PAIR-BOUNDED common-count enumeration (no hot-shingle self-join).
-    Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-      k = 2, maxDf = 20, threshold = 0.2)
-      .orderBy("da", "db")
+    graft.CheckpointJanitor.evictAfterConsumption(
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        k = 2, maxDf = 20, threshold = 0.2)
+        .orderBy("da", "db"))
   }
 
   /** Near-dup CLUSTER resolution over the q41d pair relation:
@@ -128,7 +135,8 @@ object NorthStar {
        |ORDER BY doc""".stripMargin) { (s, dir) =>
     val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir),
       "doc_id", "text", k = 2, maxDf = 20, threshold = 0.2)
-    Dedup.nearDupComponents(pairs).orderBy("doc")
+    graft.CheckpointJanitor.evictAfterConsumption(
+      Dedup.nearDupComponents(pairs).orderBy("doc"))
   }
 
   /** Edit-distance near-dups: block by (lang, length bucket), verify
@@ -180,9 +188,10 @@ object NorthStar {
        |WHERE a.lang = b.lang AND a.n_chars // 10 = b.n_chars // 10
        |  AND levenshtein(substr(a.text, 1, 60), substr(b.text, 1, 60)) <= 20
        |ORDER BY da, db""".stripMargin) { (s, dir) =>
-    Dedup.editDistanceNearDupsScaled(Tables.documents(s, dir),
-      "doc_id", "text", "lang", "n_chars")
-      .orderBy("da", "db")
+    graft.CheckpointJanitor.evictAfterConsumption(
+      Dedup.editDistanceNearDupsScaled(Tables.documents(s, dir),
+        "doc_id", "text", "lang", "n_chars")
+        .orderBy("da", "db"))
   }
 
   /** Brute-force cosine top-k (exact baseline), decimal-exact dots. */
