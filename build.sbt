@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Raw pass-through for the forked run's stdout: the bench/verify
+// mains print machine-read JSON lines, and sbt's default LoggedOutput
+// would prefix them with "[info] " — which breaks any line-based JSON
+// parse of the captured output (the driver keeps only a 2000-char
+// stdout tail; see Bench.scala).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
