@@ -149,7 +149,7 @@ object Dedup {
     * verify (editDistanceNearDupsScaled). Returns (sh, cand), both
     * eagerly localCheckpointed. */
   private[graft] def shingleCandidates(docs: DataFrame, idCol: String,
-      textCol: String, k: Int, maxDf: Int): (DataFrame, DataFrame) = {
+      textCol: String, k: Int, maxDf: Int): (DataFrame, DataFrame, DataFrame) = {
     // The shingle map is CPU-dense, not byte-dense — widen a
     // byte-small corpus to the core count first (spreadToCores, the
     // same rule the signature maps use).
@@ -171,13 +171,16 @@ object Dedup {
       .select(col("a.doc").as("da"), col("b.doc").as("db"))
       .distinct()
       .localCheckpoint()
-    (sh, cand)
+    // rare is returned LAZY (a plan over the checkpointed sh, no extra
+    // cost to callers that ignore it) — q41g derives its all-hot doc
+    // set from it before dropping sh.
+    (sh, rare, cand)
   }
 
   private[graft] def ngramJaccardStages(docs: DataFrame, idCol: String,
       textCol: String, k: Int, maxDf: Int, threshold: Double)
       : (DataFrame, DataFrame, DataFrame) = {
-    val (sh, cand) = shingleCandidates(docs, idCol, textCol, k, maxDf)
+    val (sh, _, cand) = shingleCandidates(docs, idCol, textCol, k, maxDf)
     // Common-shingle counts touch only CANDIDATE docs' shingles: the
     // full-corpus relation is semi-joined down to docs appearing in a
     // candidate pair (a small fraction of the corpus — at 100 TB this
@@ -219,32 +222,84 @@ object Dedup {
     * (lang, length-bucket) alone, which is QUADRATIC in block
     * occupancy — measured 16.9x wall at 10x data (SCALING.md), because
     * a 10x corpus grows every (lang, bucket) block 10x and pairs 100x.
-    * Here candidate pairs come from the rare-shingle generator
-    * (df <= maxDf bounds each shingle's fan-out at maxDf^2/2 — work is
-    * pair-bounded, never block-quadratic), then the same
+    * Candidate pairs come from TWO bounded generators, then the same
     * (lang, length-bucket) constraint and thresholded banded
-    * levenshtein verify run per CANDIDATE. Rationale for recall: docs
-    * within a small edit distance share almost all shingles, including
-    * rare ones — the same blocking argument the jaccard/minhash family
-    * rests on. Returns (da, db, dist). */
+    * levenshtein verify run per CANDIDATE:
+    *
+    *  1. The rare-shingle generator (df <= maxDf bounds each shingle's
+    *     fan-out at maxDf^2/2 — pair-bounded, never block-quadratic).
+    *     Rationale for recall: docs within a small edit distance share
+    *     almost all shingles, including rare ones — the same blocking
+    *     argument the jaccard/minhash family rests on.
+    *  2. For pairs involving an ALL-HOT doc (no rare shingle at all —
+    *     boilerplate / stopword text, invisible to generator 1 by
+    *     construction; round-10 measured them as the whole 0.706→1.0
+    *     recall gap): two-pass SORTED-NEIGHBORHOOD blocking within
+    *     (lang, length-bucket) — rank ALL block docs by the verify
+    *     prefix and by its REVERSE (so an edit near either end of the
+    *     prefix still leaves the other key's sort order intact), and
+    *     pair each doc with its `window` rank-neighbors per pass,
+    *     emitting only pairs where >= 1 side is all-hot (both-rare
+    *     pairs are generator 1's job). The ranking is a linear
+    *     sort-shuffle over the corpus and the emitted volume is
+    *     <= 2·2·window·|hot| pairs — LINEAR in hot-doc count, where
+    *     the naive hot×block join is quadratic in block occupancy
+    *     (the testdata corpus at sf0.1 is 95% hot: 62.8k block pairs,
+    *     100x growth at 10x data). Both passes are strings-and-window-
+    *     functions only, so the DuckDB oracle computes identical ranks
+    *     (binary collation, total order via the doc-id tiebreak) and
+    *     q41g stays fully hash-checked.
+    *
+    * Returns (da, db, dist). */
   def editDistanceNearDupsScaled(docs: DataFrame, idCol: String,
       textCol: String, langCol: String, lenCol: String,
       prefixLen: Int = 60, maxDist: Int = 20,
-      k: Int = 2, maxDf: Int = 20): DataFrame = {
-    val (sh, cand) = shingleCandidates(docs, idCol, textCol, k, maxDf)
-    // this path never reads the shingle relation again (cand is
-    // already materialized): drop its blocks on the spot
+      k: Int = 2, maxDf: Int = 20, window: Int = 3): DataFrame = {
+    val (sh, rare, cand) = shingleCandidates(docs, idCol, textCol, k, maxDf)
+    // Docs with >= 1 rare shingle, i.e. the docs generator 1 can see.
+    // One extra agg over the checkpointed 8-byte (doc, sh) relation;
+    // eagerly materialized (it is sh's LAST consumer — sh's blocks
+    // drop right after, instead of living to query end).
+    val rareDocs = rare.select("doc").distinct().localCheckpoint()
     graft.CheckpointJanitor.dropNow(sh)
     val meta = docs.select(col(idCol).as("doc"),
       substring(col(textCol), 1, prefixLen).as("pfx"), col(langCol).as("lang"),
       (col(lenCol) / 10).cast("long").as("lb"))
+    // generator 2: sorted-neighborhood passes over ALL block docs,
+    // emitting only pairs that touch an all-hot doc
+    val flagged = meta.join(rareDocs.withColumn("has_rare", lit(true)),
+        Seq("doc"), "left")
+      .withColumn("hot", coalesce(col("has_rare"), lit(false)) === lit(false))
+    def neighborPass(key: Column): DataFrame = {
+      val w = Window.partitionBy("lang", "lb").orderBy(key, col("doc"))
+      val ranked = flagged.withColumn("rk", row_number().over(w))
+        .select(col("doc"), col("hot"), col("lang"), col("lb"), col("rk"))
+      // rank-window pairing as an EQUI-join: each doc probes its next
+      // `window` ranks (explode of a window-sized sequence), so the
+      // join shuffles on (lang, lb, rk) instead of theta-banding
+      ranked.select(col("lang"), col("lb"), col("doc").as("doc_a"),
+          col("hot").as("hot_a"),
+          explode(sequence(col("rk") + 1, col("rk") + window)).as("rk"))
+        .join(ranked.select(col("lang"), col("lb"), col("rk"),
+          col("doc").as("doc_b"), col("hot").as("hot_b")), Seq("lang", "lb", "rk"))
+        .filter(col("hot_a") || col("hot_b"))
+        .select(least(col("doc_a"), col("doc_b")).as("da"),
+          greatest(col("doc_a"), col("doc_b")).as("db"))
+    }
+    val hotCand = neighborPass(col("pfx"))
+      .unionByName(neighborPass(reverse(col("pfx"))))
+      .distinct()
+    // The union is disjoint-by-construction from cand (a cand pair's
+    // docs BOTH have a rare shingle — neither is hot), so no cross-
+    // source distinct is needed.
+    val allCand = cand.unionByName(hotCand)
     // Catalyst pushes the dist filter into the meta broadcast-join as a
     // join condition, so the CPU-dense levenshtein verify executes in
-    // cand's layout — which is byte-small and AQE-coalesced to 1-2
-    // partitions. Spread cand (the streamed join side; BHJ preserves
-    // its partitioning) to the core count BEFORE the joins; a
-    // post-verify repartition would run too late to help.
-    val spread = cand
+    // the candidate relation's layout — which is byte-small and
+    // AQE-coalesced to 1-2 partitions. Spread it (the streamed join
+    // side; BHJ preserves its partitioning) to the core count BEFORE
+    // the joins; a post-verify repartition would run too late to help.
+    val spread = allCand
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
     spread
       .join(meta.as("ma"), col("ma.doc") === col("da"))
@@ -276,7 +331,16 @@ object Dedup {
     *
     * Returns (doc, comp, comp_size) for every doc in a pair. */
   def nearDupComponents(pairs: DataFrame, aCol: String = "da",
-      bCol: String = "db", maxIters: Int = 20): DataFrame = {
+      bCol: String = "db", maxIters: Int = 20): DataFrame =
+    nearDupComponentsWithRounds(pairs, aCol, bCol, maxIters)._1
+
+  /** [[nearDupComponents]] plus the number of label-propagation rounds
+    * actually executed (including the confirming round) — the loop is
+    * driver-eager, so the count is exact at return. Exposed so
+    * DedupSpec can pin the O(log diameter) claim: a 10x corpus must
+    * grow rounds by at most +1, not linearly. */
+  def nearDupComponentsWithRounds(pairs: DataFrame, aCol: String = "da",
+      bCol: String = "db", maxIters: Int = 20): (DataFrame, Int) = {
     val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
       .unionByName(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
       .localCheckpoint()
@@ -326,6 +390,7 @@ object Dedup {
       graft.CheckpointJanitor.dropNow(labels)
       labels = next
       changed = c
+      iters += 1
     }
     // no round runs again: the edge list is dead (the returned plan
     // derives from `labels` alone)
@@ -338,7 +403,7 @@ object Dedup {
       s"nearDupComponents did not converge within $maxIters rounds " +
         s"(+1 confirming round; $changed labels still changing)")
     val sizes = labels.groupBy("comp").agg(count(lit(1)).as("comp_size"))
-    labels.join(sizes, "comp").select("doc", "comp", "comp_size")
+    (labels.join(sizes, "comp").select("doc", "comp", "comp_size"), iters)
   }
 
   /** 64-bit SimHash over word tokens: per-bit majority vote of token

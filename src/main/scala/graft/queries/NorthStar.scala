@@ -175,14 +175,39 @@ object NorthStar {
   /** Scale path for q41e (the q42c `cosineNearDupsScaled` precedent):
     * q41e's (lang, length-bucket) blocking is quadratic in block
     * occupancy (measured 16.9x wall at 10x data — SCALING.md); here
-    * the SAME verify runs only on rare-shingle candidate pairs, whose
-    * enumeration is pair-bounded (df <= 20 caps each shingle's
-    * fan-out). The oracle reuses q41d's candidate CTEs verbatim. */
+    * the SAME verify runs only on bounded candidate pairs: rare-shingle
+    * pairs (df <= 20 caps each shingle's fan-out) plus, for ALL-HOT
+    * docs no rare shingle can reach, two-pass sorted-neighborhood
+    * blocking within (lang, length-bucket) — linear in hot-doc count
+    * (see Dedup.editDistanceNearDupsScaled). The oracle reuses q41d's
+    * candidate CTEs and mirrors the neighborhood passes with window
+    * functions — identical ranks under binary collation, so q41g stays
+    * fully hash-checked. */
   val q41g = QueryDef("q41g_dedup_edit_scaled",
-    s"""WITH $ngramPairCtes
+    s"""WITH $ngramPairCtes,
+       |meta AS (SELECT doc_id AS doc, lang, n_chars // 10 AS lb,
+       |                substr(text, 1, 60) AS pfx,
+       |                NOT EXISTS (SELECT 1 FROM rare r WHERE r.doc = doc_id) AS hot
+       |         FROM documents),
+       |rkf AS (SELECT doc, hot, lang, lb,
+       |          row_number() OVER (PARTITION BY lang, lb ORDER BY pfx, doc) AS rk
+       |        FROM meta),
+       |rkr AS (SELECT doc, hot, lang, lb,
+       |          row_number() OVER (PARTITION BY lang, lb ORDER BY reverse(pfx), doc) AS rk
+       |        FROM meta),
+       |hotcand AS (
+       |  SELECT DISTINCT least(a.doc, b.doc) AS da, greatest(a.doc, b.doc) AS db
+       |  FROM rkf a JOIN rkf b ON a.lang = b.lang AND a.lb = b.lb
+       |   AND b.rk BETWEEN a.rk + 1 AND a.rk + 3 AND (a.hot OR b.hot)
+       |  UNION
+       |  SELECT DISTINCT least(a.doc, b.doc) AS da, greatest(a.doc, b.doc) AS db
+       |  FROM rkr a JOIN rkr b ON a.lang = b.lang AND a.lb = b.lb
+       |   AND b.rk BETWEEN a.rk + 1 AND a.rk + 3 AND (a.hot OR b.hot)),
+       |cand2 AS (SELECT da, db FROM cand
+       |          UNION ALL SELECT da, db FROM hotcand)
        |SELECT c.da, c.db,
        |  CAST(levenshtein(substr(a.text, 1, 60), substr(b.text, 1, 60)) AS INTEGER) AS dist
-       |FROM cand c
+       |FROM cand2 c
        |JOIN documents a ON a.doc_id = c.da
        |JOIN documents b ON b.doc_id = c.db
        |WHERE a.lang = b.lang AND a.n_chars // 10 = b.n_chars // 10
