@@ -107,6 +107,14 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // The generated-code cache defaults to 100 entries; a 122-query
+      // suite cycles it completely between a query's warmup pass and
+      // its timed runs, so every first timed run pays full Janino
+      // recompilation of its codegen stages (round-11 trace: run-1
+      // wall up to 2.9x run-3 with flat GC and +0.2-1.3 s compile —
+      // the BENCHLOG round-9/10 "first-run outlier" class). Static
+      // conf, so it must be set before the session exists.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // session warmup: JIT/codegen/file-listing paths out of the timings
@@ -126,17 +134,35 @@ object Bench {
         catch { case _: Throwable => () }
         System.gc()
       }
+    // SPARK_GRAFT_BENCH_TRACE=1: per-run stderr line with the JVM-level
+    // deltas that adjudicate outlier causes — GC pause time, JIT/codegen
+    // compile time, cached-RDD block count/bytes (BENCHLOG round-11
+    // outlier investigation).
+    val trace = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRACE", "0") == "1"
+    import scala.jdk.CollectionConverters._
+    def gcMs: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    def jitMs: Long = java.lang.management.ManagementFactory
+      .getCompilationMXBean.getTotalCompilationTime
     val results = selected
       .map { case (name, fn) =>
       var failed = false
-      val times = (1 to runs).map { _ =>
+      val times = (1 to runs).map { r =>
+        val (gc0, jit0) = (gcMs, jitMs)
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
         catch { case e: Throwable =>
           failed = true
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        if (trace) {
+          val cached = spark.sparkContext.getRDDStorageInfo
+          System.err.println(f"[trace] $name run=$r t=$t%.3f gc=+${gcMs - gc0}ms " +
+            f"jit=+${jitMs - jit0}ms cachedRdds=${cached.length} " +
+            f"cachedMB=${cached.map(_.memSize).sum / 1e6}%.1f")
+        }
+        t
       }.sorted
       // reclaim dropped localCheckpoint / shuffle blocks NOW so this
       // query's garbage doesn't become the next query's GC pause
