@@ -1,7 +1,12 @@
 #!/usr/bin/env python3
 """Local emulation of the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
+Usage: python3 scripts/check.py <sfDir> <verifyOutDir> [jsonOut]
+
+With jsonOut, also writes a driver-format correctness artifact: one
+record per query dir under <verifyOutDir> — rows/schema/hash match
+flags + row counts for oracle-checked queries, err="no_oracle" with
+the spark row count for rows-only queries (q41b/q41c).
 
 Reads each <outDir>/<name> parquet (Spark result) and runs
 <outDir>/oracle_sql.json[name] in DuckDB with views over <sfDir>'s
@@ -33,21 +38,36 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main():
-    sfdir, outdir = sys.argv[1], sys.argv[2]
+    sfdir, outdir = sys.argv[1], sys.argv[2]  # optional sys.argv[3]: json artifact
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+    records = {}
+    def rec(name, **kw):
+        base = {"rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": None, "oracle_rows": None, "err": None}
+        base.update(kw)
+        records[name] = base
+    # rows-only queries: present as output dirs but absent from the oracle
+    for d in sorted(os.listdir(outdir)):
+        p = os.path.join(outdir, d)
+        if os.path.isdir(p) and d not in oracle:
+            files = glob.glob(os.path.join(p, "*.parquet"))
+            n = sum(len(pd.read_parquet(f)) for f in files) if files else None
+            rec(d, spark_rows=n, err="no_oracle")
     n_ok = n_bad = 0
     for name in sorted(oracle):
         files = glob.glob(os.path.join(outdir, name, "*.parquet"))
         if not files:
-            print(f"FAIL {name}: no spark output");  n_bad += 1;  continue
+            print(f"FAIL {name}: no spark output");  n_bad += 1
+            rec(name, err="no spark output");  continue
         try:
             spark_df = canon(pd.concat([pd.read_parquet(f) for f in sorted(files)]))
             duck_df = canon(con.sql(oracle[name]).df())
         except Exception as e:
-            print(f"FAIL {name}: {type(e).__name__}: {e}");  n_bad += 1;  continue
+            print(f"FAIL {name}: {type(e).__name__}: {e}");  n_bad += 1
+            rec(name, err=f"{type(e).__name__}: {e}");  continue
         # surface dtype drift (a stricter driver may compare schemas)
         for c in set(spark_df.columns) & set(duck_df.columns):
             a, d = str(spark_df[c].dtype), str(duck_df[c].dtype)
@@ -55,6 +75,9 @@ def main():
                               "uint32": "int64"}.get(t, t)
             if norm(a) != norm(d):
                 print(f"WARN {name}.{c}: spark dtype {a} vs duck {d}")
+        rec(name, spark_rows=len(spark_df), oracle_rows=len(duck_df),
+            schema_match=list(spark_df.columns) == list(duck_df.columns),
+            rows_match=len(spark_df) == len(duck_df), hash_match=False)
         if list(spark_df.columns) != list(duck_df.columns):
             print(f"FAIL {name}: columns {list(spark_df.columns)} vs {list(duck_df.columns)}")
             n_bad += 1;  continue
@@ -73,8 +96,13 @@ def main():
             print("  duck :", duck_df.loc[ridx].to_dict())
             n_bad += 1;  continue
         print(f"ok   {name} ({len(spark_df)} rows)")
+        records[name]["hash_match"] = True
         n_ok += 1
     print(f"\n{n_ok} ok, {n_bad} failed")
+    if len(sys.argv) > 3:
+        with open(sys.argv[3], "w") as f:
+            json.dump(records, f, indent=2)
+        print(f"wrote {sys.argv[3]} ({len(records)} records)")
     sys.exit(1 if n_bad else 0)
 
 
