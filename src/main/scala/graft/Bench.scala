@@ -212,22 +212,38 @@ object Bench {
     spark.stop()
     // Stdout gets ONE compact line (<1.9 KB incl. sbt's ~80-char
     // "[success]" trailer inside the 2000-char window), printed LAST —
-    // after spark.stop(), so no shutdown logging can follow it. Keys
-    // are the unique qNN id prefix ("q41f"), "_sql" twins get an "s"
-    // suffix ("q04s"); medians at ms precision. Full names/stats live
-    // in BENCH_full.json (the "full" field points there).
-    def shortKey(n: String) = n.split('_')(0) + (if (n.endsWith("_sql")) "s" else "")
-    val collide = results.groupBy(r => shortKey(r._1)).exists(_._2.size > 1)
-    val cqs = results.map { case (k, med, _, _) =>
-      val key = if (collide) k else shortKey(k)
-      f""""$key":$med%.3f"""
-    }.mkString("{", ",", "}")
-    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
-      f""""queries":$cqs,"sf":"$sfDir","full":"BENCH_full.json",""" +
-      f""""cpu_probe":${math.max(probe0, probe1)}%.3f,"cpu_slow":$cpuSlow,""" +
-      f""""contended":$contended,"runs":$runs}"""
+    // after spark.stop(), so no shutdown logging can follow it.
+    val compact = compactJson(results.map(r => (r._1, r._2)), total, sfDir,
+      math.max(probe0, probe1), cpuSlow, contended, runs)
     if (compact.length > 1900) System.err.println(
       s"[bench] WARNING: compact line ${compact.length} B may overflow the capture window")
     println(compact)
+  }
+
+  /** The driver-facing stdout record. Keys are the unique qNN id
+    * prefix ("q41f"), "_sql" twins get an "s" suffix ("q04s"); medians
+    * at ms precision. Full names/stats live in BENCH_full.json (the
+    * "full" field points there). BenchFormatSpec pins key uniqueness
+    * and the capture-window fit against the REAL query set — adding
+    * queries in a future round must not silently overflow the
+    * 2000-char window that ate every pre-round-11 bench artifact. */
+  private[graft] def compactJson(medians: Seq[(String, Double)], total: Double,
+      sfDir: String, probe: Double, cpuSlow: Boolean, contended: Boolean,
+      runs: Int): String = {
+    def shortKey(n: String) = n.split('_')(0) + (if (n.endsWith("_sql")) "s" else "")
+    val collide = medians.groupBy(r => shortKey(r._1)).exists(_._2.size > 1)
+    // adaptive width (<= 6 chars): ms precision where it matters
+    // (sub-10 s), 10 ms above, 100 ms above 100 s — keeps the
+    // worst-case line inside the window (BenchFormatSpec)
+    def fmt(v: Double): String =
+      if (v < 10) f"$v%.3f" else if (v < 100) f"$v%.2f" else f"$v%.1f"
+    val cqs = medians.map { case (k, med) =>
+      val key = if (collide) k else shortKey(k)
+      s""""$key":${fmt(med)}"""
+    }.mkString("{", ",", "}")
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
+      f""""queries":$cqs,"sf":"$sfDir","full":"BENCH_full.json",""" +
+      f""""cpu_probe":$probe%.3f,"cpu_slow":$cpuSlow,""" +
+      f""""contended":$contended,"runs":$runs}"""
   }
 }

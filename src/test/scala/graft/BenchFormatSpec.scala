@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver keeps only the last ~2000 chars of bench stdout (every
+  * BENCH_r01-r10 artifact is a truncated tail with parsed:null), so
+  * the compact line Bench prints last must stay parseable inside that
+  * window — against the REAL query set, at worst-case value widths,
+  * with room for sbt's "[success] Total time: ..." trailer. This spec
+  * fails the build the moment a future round's query additions would
+  * silently overflow the window or collide a short key. */
+class BenchFormatSpec extends AnyFunSuite {
+
+  private val names = SparkEntry.queries.keys.toSeq.sorted
+
+  test("short keys are collision-free over the declared query set") {
+    def shortKey(n: String) = n.split('_')(0) + (if (n.endsWith("_sql")) "s" else "")
+    val keys = names.map(shortKey)
+    val dup = keys.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dup.isEmpty, s"short-key collisions (compact line would fall " +
+      s"back to full names and overflow the window): ${dup.take(5)}")
+  }
+
+  test("compact line fits the 2000-char capture window at worst-case widths") {
+    // worst case: every median 3 digits before the point ("999.999"),
+    // total likewise, longest sf path the driver uses
+    val line = Bench.compactJson(names.map(n => (n, 999.999)), 999.999,
+      "/root/testdata/sf0.1", 99.999, cpuSlow = true, contended = true, runs = 5)
+    assert(line.startsWith("{") && line.endsWith("}"))
+    assert(line.length <= 1900,
+      s"compact line ${line.length} B leaves <100 B for the sbt trailer " +
+        "inside the 2000-char capture window — shorten keys or drop a field")
+    // shape check without a JSON lib: balanced braces, the fields the
+    // driver contract names, and no unescaped newline
+    assert(line.count(_ == '{') == line.count(_ == '}'))
+    Seq("\"metric\":", "\"value\":", "\"unit\":\"sec\"", "\"queries\":", "\"sf\":")
+      .foreach(f => assert(line.contains(f), s"missing $f"))
+    assert(!line.contains("\n"))
+    assert(line.count(_ == ':') >= names.size + 5)
+  }
+}

@@ -57,6 +57,24 @@ class PlanSpec extends SparkSpec {
     assert(counts.distinct.size == 1 && counts.head > 0, counts.toString)
   }
 
+  test("q41g neighborhood pairing stays an equi-join (no cartesian/BNLJ)") {
+    // the rank-window pairing is built as explode(sequence) + equi-join
+    // precisely so a theta band "b.rk BETWEEN a.rk+1 AND a.rk+w" never
+    // degenerates into a per-block nested-loop product — pin that the
+    // executed plan contains neither
+    val df = graft.ops.Dedup.editDistanceNearDupsScaled(
+      Tables.documents(spark, sf), "doc_id", "text", "lang", "n_chars")
+    df.collect() // force the final AQE plan
+    def render(p: org.apache.spark.sql.execution.SparkPlan): String = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case other => other.toString
+    }
+    val plan = render(df.queryExecution.executedPlan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("filters push into the parquet scan") {
     val df = Tables.lineitem(spark, sf).filter($"l_quantity" > 30.0)
       .select("l_orderkey")
