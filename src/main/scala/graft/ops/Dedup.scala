@@ -250,11 +250,30 @@ object Dedup {
     *     (binary collation, total order via the doc-id tiebreak) and
     *     q41g stays fully hash-checked.
     *
+    * Oracle-parity assumptions, stated: (a) NULL keys sort LAST on
+    * both engines — Spark's window uses asc_nulls_last explicitly to
+    * match DuckDB's ASC default (a NULL text/pfx would otherwise
+    * diverge the ranks); (b) reverse() is CODEPOINT-level on Spark but
+    * grapheme-level on DuckDB — identical on the ASCII/BMP-no-
+    * combining-mark corpora this targets, divergent on combining
+    * characters (use an NFC-normalizing prep stage for such corpora).
+    * Rank-pass scale note: row_number over (lang, lb) sorts each block
+    * in ONE task — fine while no single (lang, length-bucket) block
+    * dominates the corpus (true here: buckets are 10-char slices). If
+    * one block were corpus-scale hot, the mitigation is finer bucketing
+    * or a range-partitioned global rank; the candidate volume bound is
+    * unaffected either way.
+    *
     * Returns (da, db, dist). */
+  /** Default sorted-neighborhood rank window (generator 2). The q41g
+    * oracle SQL interpolates THIS constant into its BETWEEN bound, so
+    * changing it can never silently desynchronize Spark from DuckDB. */
+  val NeighborWindow = 3
+
   def editDistanceNearDupsScaled(docs: DataFrame, idCol: String,
       textCol: String, langCol: String, lenCol: String,
       prefixLen: Int = 60, maxDist: Int = 20,
-      k: Int = 2, maxDf: Int = 20, window: Int = 3): DataFrame = {
+      k: Int = 2, maxDf: Int = 20, window: Int = NeighborWindow): DataFrame = {
     val (sh, rare, cand) = shingleCandidates(docs, idCol, textCol, k, maxDf)
     // Docs with >= 1 rare shingle, i.e. the docs generator 1 can see.
     // One extra agg over the checkpointed 8-byte (doc, sh) relation;
@@ -271,7 +290,9 @@ object Dedup {
         Seq("doc"), "left")
       .withColumn("hot", coalesce(col("has_rare"), lit(false)) === lit(false))
     def neighborPass(key: Column): DataFrame = {
-      val w = Window.partitionBy("lang", "lb").orderBy(key, col("doc"))
+      // asc_nulls_last: DuckDB's ASC puts NULLs last, Spark's first —
+      // pin the Spark side so a NULL pfx cannot diverge the ranks
+      val w = Window.partitionBy("lang", "lb").orderBy(key.asc_nulls_last, col("doc"))
       val ranked = flagged.withColumn("rk", row_number().over(w))
         .select(col("doc"), col("hot"), col("lang"), col("lb"), col("rk"))
       // rank-window pairing as an EQUI-join: each doc probes its next

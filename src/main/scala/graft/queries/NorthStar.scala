@@ -190,19 +190,19 @@ object NorthStar {
        |                NOT EXISTS (SELECT 1 FROM rare r WHERE r.doc = doc_id) AS hot
        |         FROM documents),
        |rkf AS (SELECT doc, hot, lang, lb,
-       |          row_number() OVER (PARTITION BY lang, lb ORDER BY pfx, doc) AS rk
+       |          row_number() OVER (PARTITION BY lang, lb ORDER BY pfx NULLS LAST, doc) AS rk
        |        FROM meta),
        |rkr AS (SELECT doc, hot, lang, lb,
-       |          row_number() OVER (PARTITION BY lang, lb ORDER BY reverse(pfx), doc) AS rk
+       |          row_number() OVER (PARTITION BY lang, lb ORDER BY reverse(pfx) NULLS LAST, doc) AS rk
        |        FROM meta),
        |hotcand AS (
        |  SELECT DISTINCT least(a.doc, b.doc) AS da, greatest(a.doc, b.doc) AS db
        |  FROM rkf a JOIN rkf b ON a.lang = b.lang AND a.lb = b.lb
-       |   AND b.rk BETWEEN a.rk + 1 AND a.rk + 3 AND (a.hot OR b.hot)
+       |   AND b.rk BETWEEN a.rk + 1 AND a.rk + ${Dedup.NeighborWindow} AND (a.hot OR b.hot)
        |  UNION
        |  SELECT DISTINCT least(a.doc, b.doc) AS da, greatest(a.doc, b.doc) AS db
        |  FROM rkr a JOIN rkr b ON a.lang = b.lang AND a.lb = b.lb
-       |   AND b.rk BETWEEN a.rk + 1 AND a.rk + 3 AND (a.hot OR b.hot)),
+       |   AND b.rk BETWEEN a.rk + 1 AND a.rk + ${Dedup.NeighborWindow} AND (a.hot OR b.hot)),
        |cand2 AS (SELECT da, db FROM cand
        |          UNION ALL SELECT da, db FROM hotcand)
        |SELECT c.da, c.db,

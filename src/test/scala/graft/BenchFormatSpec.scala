@@ -22,9 +22,10 @@ class BenchFormatSpec extends AnyFunSuite {
   }
 
   test("compact line fits the 2000-char capture window at worst-case widths") {
-    // worst case: every median 3 digits before the point ("999.999"),
-    // total likewise, longest sf path the driver uses
-    val line = Bench.compactJson(names.map(n => (n, 999.999)), 999.999,
+    // worst case: fmt() is unbounded above 100 s, so certify the widest
+    // rendering a real suite could plausibly hit — four digits before
+    // the point per median ("9999.9" at %.1f), total likewise
+    val line = Bench.compactJson(names.map(n => (n, 9999.9)), 9999.9,
       "/root/testdata/sf0.1", 99.999, cpuSlow = true, contended = true, runs = 5)
     assert(line.startsWith("{") && line.endsWith("}"))
     assert(line.length <= 1900,
