@@ -176,7 +176,93 @@ object SqlQueries {
           |  get_json_object(props, '$.k') AS k_str,
           |  CAST(get_json_object(props, '$.k') AS BIGINT) AS k_num,
           |  get_json_object(props, '$.missing') AS missing
-          |FROM events ORDER BY event_id""".stripMargin))
+          |FROM events ORDER BY event_id""".stripMargin),
+      // north-star family (round-12): the SQL-able dedup/text-analysis
+      // queries get SQL-text twins too — UNNEST→explode/LATERAL VIEW is
+      // spelled as a subquery-projected explode, list_* HOFs→filter/
+      // aggregate/transform, string_split_regex→split
+      (NorthStar.q41a,
+        """WITH dup AS (SELECT doc_id, text, lang FROM documents
+          |             UNION ALL
+          |             SELECT doc_id + 1000000 AS doc_id, text, lang FROM documents
+          |             WHERE doc_id % 10 = 0)
+          |SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper,
+          |  CAST(COUNT(*) AS BIGINT) AS copies
+          |FROM dup
+          |GROUP BY md5(text) HAVING COUNT(*) > 1
+          |ORDER BY content_hash""".stripMargin),
+      (NorthStar.q43a,
+        """SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+          |FROM (SELECT explode(split(lower(text), '\\s+')) AS token FROM documents)
+          |WHERE token <> ''
+          |GROUP BY token ORDER BY cnt DESC, token LIMIT 100""".stripMargin),
+      (NorthStar.q43b, sparkLanguageIdSql),
+      (NorthStar.q43c,
+        """SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, avg_word_len,
+          |  punct_ratio, stopword_ratio, quality FROM (
+          |  SELECT doc_id,
+          |    size(toks) AS n_tokens,
+          |    ROUND(nchar / greatest(CAST(size(toks) AS DOUBLE), 1.0D), 6) AS avg_word_len,
+          |    ROUND(punct / greatest(nchar, 1.0D), 6) AS punct_ratio,
+          |    ROUND(stop_hits / greatest(CAST(size(toks) AS DOUBLE), 1.0D), 6) AS stopword_ratio,
+          |    ROUND(least(CAST(size(toks) AS DOUBLE) / 100.0D, 1.0D) * 0.4D +
+          |      (1.0D - punct / greatest(nchar, 1.0D)) * 0.3D +
+          |      least(stop_hits / greatest(CAST(size(toks) AS DOUBLE), 1.0D) * 5.0D, 1.0D) * 0.3D, 6) AS quality
+          |  FROM (
+          |    SELECT doc_id,
+          |      split(lower(text), '\\s+') AS toks,
+          |      CAST(length(text) AS DOUBLE) AS nchar,
+          |      CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '')) AS DOUBLE) AS punct,
+          |      CAST(size(filter(split(lower(text), '\\s+'),
+          |        t -> array_contains(array('the','of','and','to','in','is','on','for'), t))) AS DOUBLE) AS stop_hits
+          |    FROM documents))
+          |ORDER BY doc_id""".stripMargin),
+      (NorthStar.q43d,
+        """SELECT doc_id,
+          |  CAST(ws_tokens AS INT) AS ws_tokens,
+          |  CAST(bpe_tokens AS INT) AS bpe_tokens,
+          |  CAST(regexp_count(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS INT) AS re_tokens,
+          |  aggregate(
+          |    transform(filter(split(lower(trim(text)), ''), c -> c <> ''),
+          |      c -> CAST(ascii(c) AS BIGINT)),
+          |    CAST(7 AS BIGINT),
+          |    (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+          |FROM (
+          |  SELECT doc_id, text,
+          |    size(split(trim(text), '\\s+')) AS ws_tokens,
+          |    aggregate(split(trim(text), '\\s+'), 0,
+          |      (acc, w) -> acc + CAST(ceil(CAST(length(w) AS DOUBLE) / 4.0D) AS INT)) AS bpe_tokens
+          |  FROM documents)
+          |ORDER BY doc_id""".stripMargin))
+  }
+
+  /** Spark-SQL text of q43b, generated from the SAME stopword profiles
+    * and argmax construction as the DataFrame twin / DuckDB oracle
+    * (NorthStar.q43b) — one source of truth for the lists and the
+    * tie-break CASE. Spark's `greatest` needs ≥ 2 args, so a single
+    * earlier score is referenced bare. */
+  private def sparkLanguageIdSql: String = {
+    val langs = graft.ops.TextAnalysis.stopwords.keys.toSeq.sorted
+    def lst(l: String) =
+      graft.ops.TextAnalysis.stopwords(l).map(w => s"'$w'").mkString("array(", ", ", ")")
+    val scoreCols = langs.map(l =>
+      s"ROUND(CAST(size(filter(toks, t -> array_contains(${lst(l)}, t))) AS DOUBLE) / greatest(size(toks), 1), 6) AS score_$l")
+      .mkString(",\n  ")
+    val pred = langs.tail.reverse.map { l =>
+      val earlier = langs.takeWhile(_ != l).map(e => s"score_$e")
+      val hi = if (earlier.size == 1) earlier.head
+               else earlier.mkString("greatest(", ", ", ")")
+      s"WHEN score_$l > $hi THEN '$l'"
+    }.mkString("CASE ", " ", s" ELSE '${langs.head}' END")
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang,
+       |  $scoreCols
+       |  FROM (SELECT doc_id, lang,
+       |          split(lower(text), '\\\\s+') AS toks
+       |        FROM documents))
+       |SELECT doc_id, lang, ${langs.map(l => s"score_$l").mkString(", ")},
+       |  $pred AS pred_lang
+       |FROM scored ORDER BY doc_id""".stripMargin
   }
 
   /** The `_sql`-suffixed QueryDefs: Spark side is `spark.sql(text)`

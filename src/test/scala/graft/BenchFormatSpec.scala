@@ -26,7 +26,8 @@ class BenchFormatSpec extends AnyFunSuite {
     // rendering a real suite could plausibly hit — four digits before
     // the point per median ("9999.9" at %.1f), total likewise
     val line = Bench.compactJson(names.map(n => (n, 9999.9)), 9999.9,
-      "/root/testdata/sf0.1", 99.999, cpuSlow = true, contended = true, runs = 5)
+      "/root/testdata/sf0.1", 99.999, cpuSlow = true, contended = true, runs = 5,
+      normValue = Some(9999.9))
     assert(line.startsWith("{") && line.endsWith("}"))
     assert(line.length <= 1900,
       s"compact line ${line.length} B leaves <100 B for the sbt trailer " +
