@@ -251,8 +251,20 @@ object Similarity {
     * assignments, probes, ranks — is DuckDB-hash-checkable (the oracle
     * recomputes identical centroids from the table; see [[ivfSql]]). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      cells: Int = 16, nprobe: Int = 4): DataFrame = {
-    val cents = ivfCentroids(corpus, cells)
+      cells: Int = 16, nprobe: Int = 4): DataFrame =
+    ivfTopKWith(ivfCentroids(corpus, cells), corpus, queries, k, nprobe)
+
+  /** Probe-only IVF top-k against PREBUILT centroids — the production
+    * split: [[ivfCentroids]] (or [[IvfIndex.buildOrLoad]]) runs once
+    * per corpus version, this runs per query batch. At 100 TB the
+    * rebuild-per-query a bare [[ivfTopK]] performs (a full corpus pass
+    * + a cells×dim shuffle) is the anti-pattern; the loaded index is a
+    * few KB of literals and the probe touches ∝ nprobe/cells of the
+    * corpus. Bit-identical to the inline build for the same centroids
+    * (IvfIndexSpec). */
+  def ivfTopKWith(cents: Seq[(Int, Array[Double], Double)],
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      nprobe: Int = 4): DataFrame = {
     val c = corpus.select(col("vec_id").as("vid"), col("embedding").as("ce"))
       .withColumn("cnorm", normSqDecimal(col("ce")))
       .withColumn("cell", -element_at(bestCells(cents)(col("ce"), col("cnorm"), 1), 1)
