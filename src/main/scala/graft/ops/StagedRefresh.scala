@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.hadoop.fs.{FileContext, Options, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Stage-and-swap full refresh for a path-addressed dataset (round-12
+  * verdict item 3; the contract the reference's TRUNCATE+COPY
+  * transaction gives its warehouse, resources/redshift.py:76-112).
+  *
+  * A plain `mode("overwrite").parquet(path)` DELETES the live files and
+  * then writes — any reader arriving in between sees an empty (or
+  * half-written) dataset. Here the live data is never touched:
+  *
+  *  1. STAGE: the new generation writes COMPLETELY to `root/gen-N/`
+  *     (N = highest existing generation + 1). A crash here leaves only
+  *     an orphan staging dir; the live pointer still names the old
+  *     generation.
+  *  2. SWAP: `root/CURRENT` (a one-line pointer file naming the live
+  *     generation dir) is replaced via write-temp + atomic rename —
+  *     `FileContext.rename(OVERWRITE)`, atomic on both the local FS
+  *     and HDFS (the S3 analog is a conditional PUT of the pointer
+  *     object). Readers resolve the pointer, then read that
+  *     generation: they see the OLD data or the NEW data, never an
+  *     empty window, whatever instant the writer dies.
+  *  3. GC: generations other than the new one and its immediate
+  *     predecessor are deleted (the predecessor survives one cycle for
+  *     readers that resolved the pointer just before the swap).
+  *
+  * Single-writer discipline (the standard warehouse-load contract):
+  * concurrent refreshes of one root must be externally serialized —
+  * q46 holds a per-root lock. Readers need no lock at any point.
+  *
+  * At 100 TB this is strictly better than overwrite-in-place: the
+  * extra cost is one pointer-file rename and double transient storage
+  * for the staging window — and the swap is O(1), independent of data
+  * size, where a delete-then-write window GROWS with data size.
+  */
+object StagedRefresh {
+
+  private val PointerName = "CURRENT"
+  private val GenPrefix = "gen-"
+
+  private def fc(spark: SparkSession, p: Path): FileContext =
+    FileContext.getFileContext(p.toUri, spark.sparkContext.hadoopConfiguration)
+
+  /** The live generation dir name, if a refresh ever completed. */
+  def currentGen(spark: SparkSession, root: String): Option[String] = {
+    val ptr = new Path(root, PointerName)
+    val ctx = fc(spark, ptr)
+    if (!ctx.util.exists(ptr)) None
+    else {
+      val in = ctx.open(ptr)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
+      finally in.close()
+    }
+  }
+
+  /** Read the live generation. Fails loudly when no refresh has ever
+    * completed — never fabricates an empty dataset. */
+  def readCurrent(spark: SparkSession, root: String): DataFrame = {
+    val gen = currentGen(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"no completed generation under $root (pointer file absent)"))
+    spark.read.parquet(new Path(root, gen).toString)
+  }
+
+  /** Stage `df` as the next generation, atomically swap the pointer,
+    * GC old generations. Returns the new generation dir name.
+    *
+    * `hook` is a failure-injection seam for the crash spec: it runs at
+    * "staged" (data written, pointer not yet swapped) and "swapped"
+    * (pointer swapped, GC not yet run); a hook that throws simulates a
+    * writer killed between stages. */
+  def refresh(df: DataFrame, root: String,
+      hook: String => Unit = _ => ()): String = {
+    val spark = df.sparkSession
+    val rootPath = new Path(root)
+    val ctx = fc(spark, rootPath)
+    ctx.mkdir(rootPath, org.apache.hadoop.fs.permission.FsPermission.getDirDefault, true)
+    val existing = ctx.util.listStatus(rootPath).toSeq
+      .map(_.getPath.getName).filter(_.startsWith(GenPrefix))
+      .flatMap(n => n.stripPrefix(GenPrefix).toLongOption)
+    val gen = GenPrefix + (existing.maxOption.getOrElse(0L) + 1L)
+    // STAGE: a crash below leaves the live pointer untouched
+    df.write.mode("overwrite").parquet(new Path(rootPath, gen).toString)
+    hook("staged")
+    // SWAP: write-temp + atomic rename of the pointer file
+    val tmp = new Path(rootPath, s".$PointerName.tmp-${java.util.UUID.randomUUID}")
+    val out = ctx.create(tmp,
+      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+        org.apache.hadoop.fs.CreateFlag.OVERWRITE))
+    try out.write(gen.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    ctx.rename(tmp, new Path(rootPath, PointerName), Options.Rename.OVERWRITE)
+    hook("swapped")
+    // GC: keep the new generation and its immediate predecessor; drop
+    // older generations, orphaned staging dirs, and stale pointer temps
+    val keep = Set(gen, GenPrefix + existing.maxOption.getOrElse(0L))
+    ctx.util.listStatus(rootPath).foreach { st =>
+      val n = st.getPath.getName
+      val stale = (n.startsWith(GenPrefix) && !keep.contains(n)) ||
+        n.startsWith(s".$PointerName.tmp-")
+      if (stale) ctx.delete(st.getPath, true)
+    }
+    gen
+  }
+}

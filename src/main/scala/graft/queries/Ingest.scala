@@ -77,29 +77,34 @@ object Ingest {
   }
 
   /** Full-refresh load (R14–R16): the reference's upload→TRUNCATE→COPY
-    * becomes one atomic SaveMode.Overwrite; read back and aggregate. */
+    * becomes a STAGE-AND-SWAP generation load (graft.ops.StagedRefresh):
+    * the new generation writes completely beside the live one, then an
+    * atomic pointer rename makes it live — readers see old XOR new,
+    * never the empty window a delete-then-write overwrite opens
+    * (StageSwapSpec injects crashes between the stages). Read back via
+    * the pointer and aggregate. */
   val q46 = QueryDef("q46_full_refresh_load",
     Fixtures.cte +
       s"""SELECT token_symbol, CAST(COUNT(*) AS BIGINT) AS cnt,
          |  ${Canon.sql.dsum("quantity")} AS qty
          |FROM wallet_txs GROUP BY token_symbol ORDER BY token_symbol""".stripMargin) { (s, dir) =>
     import s.implicits._
-    // scratch sink memoized per dataset (same rationale as q02): each
-    // run's double-overwrite fully replaces the files, so a fresh temp
-    // dir per invocation only accumulated parquet copies across runs
-    val tmp = loadScratch.computeIfAbsent(dir,
+    // scratch root memoized per dataset (same rationale as q02): each
+    // refresh GCs older generations, so a fresh temp dir per invocation
+    // would only accumulate parquet copies across runs
+    val root = loadScratch.computeIfAbsent(dir,
       _ => java.nio.file.Files.createTempDirectory("graft_load").toString + "/wallet_txs")
-    // load twice: the second overwrite must fully replace the first
+    // load twice: the second refresh must fully replace the first
     // (no duplicates — resources/redshift.py:124's contract).
-    // Writes + readback run under a per-dir lock (the memoized String
-    // is one instance per dataset) with the readback pinned eagerly:
-    // a concurrent invocation's overwrite deletes the files a
-    // lazily-consumed scan would read, so localCheckpoint materializes
-    // the rows before the lock is released (same fix as q02).
-    tmp.synchronized {
-      Fixtures.walletTxs(s, dir).limit(10).write.mode("overwrite").parquet(tmp)
-      Fixtures.walletTxs(s, dir).write.mode("overwrite").parquet(tmp)
-      s.read.parquet(tmp).localCheckpoint()
+    // StagedRefresh assumes a single writer per root, so both loads +
+    // readback run under the per-root lock (the memoized String is one
+    // instance per dataset); the readback pins eagerly because a LATER
+    // invocation's GC may drop the generation a lazily-consumed scan
+    // would read (same fix as q02).
+    root.synchronized {
+      graft.ops.StagedRefresh.refresh(Fixtures.walletTxs(s, dir).limit(10), root)
+      graft.ops.StagedRefresh.refresh(Fixtures.walletTxs(s, dir), root)
+      graft.ops.StagedRefresh.readCurrent(s, root).localCheckpoint()
     }
       .groupBy("token_symbol")
       .agg(count(lit(1)).as("cnt"), Canon.dsum($"quantity").as("qty"))
@@ -109,34 +114,70 @@ object Ingest {
   /** R15 fidelity: the COPY target is a CATALOG table
     * (`polygonscan.wallet_txs`, resources/redshift.py:89-112) — the
     * reference's output contract is a warehouse table any SQL client
-    * can query, not a bare path. `saveAsTable(Overwrite)` is the
-    * Spark-catalog analog of TRUNCATE+COPY: the double load proves the
-    * second overwrite atomically replaces the first (the aggregate
-    * would double-count any leaked rows), and the readback goes
-    * through the session catalog by table NAME. */
+    * can query, not a bare path. The catalog analog of stage-and-swap:
+    * each load lands in a fresh GENERATION table
+    * (`wallet_txs_g<N>`), then `CREATE OR REPLACE VIEW
+    * polygonscan.wallet_txs` repoints the queryable name — one catalog
+    * operation, so a reader resolving the name sees the old or the new
+    * generation, never a dropped/empty table (the previous
+    * DROP+saveAsTable sequence had exactly that window). The double
+    * load proves the repoint fully replaces (the aggregate would
+    * double-count leaked rows), and the readback goes through the
+    * session catalog by NAME. Older generation tables are dropped,
+    * keeping the immediate predecessor for in-flight readers. */
   val q46b = QueryDef("q46b_full_refresh_catalog",
     Fixtures.cte +
       s"""SELECT token_symbol, CAST(COUNT(*) AS BIGINT) AS cnt,
          |  ${Canon.sql.dsum("quantity")} AS qty
          |FROM wallet_txs GROUP BY token_symbol ORDER BY token_symbol""".stripMargin) { (s, dir) =>
     import s.implicits._
-    s.sql("CREATE DATABASE IF NOT EXISTS polygonscan")
-    s.sql("DROP TABLE IF EXISTS polygonscan.wallet_txs")
-    // a FRESH session's in-memory catalog doesn't know a previous
-    // JVM's managed-table location — clear any leftover so
-    // saveAsTable can recreate it (idempotent re-runs)
-    val loc = new org.apache.hadoop.fs.Path(
-      s.sessionState.conf.warehousePath, "polygonscan.db/wallet_txs")
-    loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
-    Fixtures.walletTxs(s, dir).limit(10).write.mode("overwrite")
-      .saveAsTable("polygonscan.wallet_txs")
-    Fixtures.walletTxs(s, dir).write.mode("overwrite")
-      .saveAsTable("polygonscan.wallet_txs")
+    catalogRefresh(s, Fixtures.walletTxs(s, dir).limit(10))
+    catalogRefresh(s, Fixtures.walletTxs(s, dir))
     s.table("polygonscan.wallet_txs")
       .groupBy("token_symbol")
       .agg(count(lit(1)).as("cnt"), Canon.dsum($"quantity").as("qty"))
       .orderBy("token_symbol")
   }
+
+  /** One catalog stage-and-swap load: stage `df` into the next
+    * `polygonscan.wallet_txs_g<N>` generation table, repoint the
+    * `polygonscan.wallet_txs` view in one catalog op, GC generations
+    * older than the predecessor. Serialized per JVM (single-writer
+    * discipline, like the path-sink refresh). `hook` is the crash-
+    * injection seam ("staged" = table written, view not yet
+    * repointed). Returns the new generation table name. */
+  private[graft] def catalogRefresh(s: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame,
+      hook: String => Unit = _ => ()): String = catalogLock.synchronized {
+    s.sql("CREATE DATABASE IF NOT EXISTS polygonscan")
+    val existing = s.catalog.listTables("polygonscan").collect()
+      .map(_.name).filter(_.startsWith("wallet_txs_g"))
+      .flatMap(n => n.stripPrefix("wallet_txs_g").toLongOption)
+    val n = existing.maxOption.getOrElse(0L) + 1
+    val gen = s"wallet_txs_g$n"
+    // a FRESH session's in-memory catalog doesn't know a previous
+    // JVM's managed-table location — clear any leftover dir so
+    // saveAsTable can create the generation table (idempotent re-runs)
+    val loc = new org.apache.hadoop.fs.Path(
+      s.sessionState.conf.warehousePath, s"polygonscan.db/$gen")
+    loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+    df.write.mode("overwrite").saveAsTable(s"polygonscan.$gen")
+    hook("staged")
+    // migration guard: a TABLE named wallet_txs (the pre-round-12
+    // scheme) blocks CREATE OR REPLACE VIEW — drop it once
+    if (s.catalog.tableExists("polygonscan.wallet_txs") &&
+        s.catalog.getTable("polygonscan.wallet_txs").tableType != "VIEW")
+      s.sql("DROP TABLE polygonscan.wallet_txs")
+    // THE swap: one catalog operation repoints the queryable name
+    s.sql(s"CREATE OR REPLACE VIEW polygonscan.wallet_txs AS " +
+      s"SELECT * FROM polygonscan.$gen")
+    hook("swapped")
+    existing.filter(_ < n - 1).foreach(old =>
+      s.sql(s"DROP TABLE IF EXISTS polygonscan.wallet_txs_g$old"))
+    gen
+  }
+
+  private val catalogLock = new Object
 
   /** Storage-layout scale demo: orders/lineitem bucketed by join key
     * into the session catalog, then joined WITHOUT any shuffle — the
