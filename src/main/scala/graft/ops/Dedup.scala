@@ -270,6 +270,86 @@ object Dedup {
     * changing it can never silently desynchronize Spark from DuckDB. */
   val NeighborWindow = 3
 
+  /** Exact edit-distance near-dups by (lang, length-bucket) block
+    * join + thresholded banded levenshtein over a prefix — the simple,
+    * fully-oracle-checkable form. QUADRATIC in block occupancy by
+    * construction (SCALING.md: 18x wall at 10x data); call it through
+    * [[editDistanceNearDupsAuto]], which bounds that hazard. */
+  def editDistanceNearDupsBlocked(docs: DataFrame, idCol: String,
+      textCol: String, langCol: String, lenCol: String,
+      prefixLen: Int = 60, maxDist: Int = 20): DataFrame = {
+    // explicit core-count repartition on the join keys: the blocked
+    // self-join's output is byte-small, so AQE would coalesce the
+    // shuffle to 1-2 partitions and serialize the CPU-dense
+    // levenshtein verify; an explicit repartition(n, keys) satisfies
+    // the join's distribution requirement and is never re-coalesced
+    val d = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"),
+        col(langCol).as("lang"), (col(lenCol) / 10).cast("long").as("lb"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("lang"), col("lb"))
+    val a = d.as("a"); val b = d.as("b")
+    a.join(b, col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb") &&
+        col("a.doc_id") < col("b.doc_id"))
+      // thresholded levenshtein: banded DP with early exit (-1 beyond
+      // the threshold) — exact for every row the filter keeps
+      .withColumn("dist", levenshtein(
+        substring(col("a.text"), 1, prefixLen),
+        substring(col("b.text"), 1, prefixLen), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"), col("dist"))
+  }
+
+  /** Occupancy-guarded edit-distance near-dups (q41e's entry; round-12
+    * verdict item 1). The block join's cost driver is the within-block
+    * pair count P = Σ_blocks occ·(occ-1)/2: while P stays LINEAR in
+    * the corpus (P/n ≤ `maxPairsPerDoc`), the exact block join is the
+    * best plan — it runs the verify on exactly the pairs the operator
+    * defines, and the oracle checks it bit-for-bit. Above the
+    * threshold the same verify runs on [[editDistanceNearDupsScaled]]'s
+    * two bounded candidate generators instead (rare-shingle +
+    * sorted-neighborhood — measured recall 1.000 on the known-distance
+    * DedupSpec fixture, the documented trade of every blocking scheme).
+    *
+    * The decision costs ONE tiny aggregation (block-occupancy
+    * histogram → two scalars on the driver — adaptive planning in the
+    * AQE spirit, no row data collects). Driver scales: sf0.01 reads
+    * P/n = 1.4, sf0.1 reads 12.6 — both exact; the 10x derivation
+    * reads ~126 — scaled. So the declared q41e stays hash-checked at
+    * every oracle scale AND holds a ~linear wall at 10x (SCALING.md
+    * round-12 row). */
+  def editDistanceNearDupsAuto(docs: DataFrame, idCol: String,
+      textCol: String, langCol: String, lenCol: String,
+      prefixLen: Int = 60, maxDist: Int = 20,
+      maxPairsPerDoc: Int = 32): DataFrame =
+    editDistanceNearDupsAutoWithPath(docs, idCol, textCol, langCol, lenCol,
+      prefixLen, maxDist, maxPairsPerDoc)._1
+
+  /** [[editDistanceNearDupsAuto]] plus which path it chose (true =
+    * scaled generators) — exposed so DedupSpec can pin the guard. */
+  private[graft] def editDistanceNearDupsAutoWithPath(docs: DataFrame,
+      idCol: String, textCol: String, langCol: String, lenCol: String,
+      prefixLen: Int = 60, maxDist: Int = 20,
+      maxPairsPerDoc: Int = 32): (DataFrame, Boolean) = {
+    val stats = docs
+      .groupBy(col(langCol), (col(lenCol) / 10).cast("long").as("lb"))
+      .agg(count(lit(1)).as("c"))
+      .agg(sum((col("c") * (col("c") - 1) / 2).cast("long")).as("pairs"),
+        sum(col("c")).as("n"))
+      .head()
+    val pairs = if (stats.isNullAt(0)) 0L else stats.getLong(0)
+    val n = math.max(if (stats.isNullAt(1)) 0L else stats.getLong(1), 1L)
+    val useScaled = pairs > maxPairsPerDoc.toLong * n
+    val out =
+      if (useScaled)
+        editDistanceNearDupsScaled(docs, idCol, textCol, langCol, lenCol,
+          prefixLen, maxDist)
+      else
+        editDistanceNearDupsBlocked(docs, idCol, textCol, langCol, lenCol,
+          prefixLen, maxDist)
+    (out, useScaled)
+  }
+
   def editDistanceNearDupsScaled(docs: DataFrame, idCol: String,
       textCol: String, langCol: String, lenCol: String,
       prefixLen: Int = 60, maxDist: Int = 20,

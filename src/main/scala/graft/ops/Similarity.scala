@@ -331,6 +331,39 @@ object Similarity {
     cosineNearDups(emb, planesForCorpus(emb.count(), targetOccupancy),
       tables, threshold)
 
+  /** Occupancy-guarded near-dup (q42c's entry; round-12 verdict scale
+    * sweep — the q41e auto-guard pattern applied to the OTHER measured
+    * quadratic hazard, SCALING.md's 23-34x fixed-plane wall). Fixed
+    * `planesPerTable` keeps the bucket ids oracle-checkable literals,
+    * but candidate volume under fixed planes is Θ(n²/2^planes); the
+    * guard runs the fixed-plane plan only while EXPECTED bucket
+    * occupancy n/2^planes stays ≤ `maxOccupancy`, and switches to
+    * [[cosineNearDupsScaled]] (planesForCorpus) above it. Oracle
+    * scales sit far below the threshold (sf0.1: 5000/16 = 312), the
+    * 10x derivation far above (3125), so the declared query stays
+    * hash-checked at every oracle scale and never pays the
+    * fixed-plane wall. The branches return the documented LSH
+    * recall trade: more planes above the threshold means a
+    * differently-blocked (still threshold-verified-exact) pair set. */
+  def cosineNearDupsAuto(emb: DataFrame, planesPerTable: Int = 4,
+      tables: Int = 4, threshold: Double = 0.35,
+      maxOccupancy: Long = 1024): DataFrame =
+    cosineNearDupsAutoWithPath(emb, planesPerTable, tables, threshold,
+      maxOccupancy)._1
+
+  /** [[cosineNearDupsAuto]] plus which branch ran (true = scaled) —
+    * exposed so SimilaritySpec can pin the guard. */
+  private[graft] def cosineNearDupsAutoWithPath(emb: DataFrame,
+      planesPerTable: Int = 4, tables: Int = 4, threshold: Double = 0.35,
+      maxOccupancy: Long = 1024): (DataFrame, Boolean) = {
+    val n = emb.count()
+    val useScaled = n > maxOccupancy * (1L << planesPerTable)
+    val out =
+      if (useScaled) cosineNearDupsScaled(emb, tables, threshold)
+      else cosineNearDups(emb, planesPerTable, tables, threshold)
+    (out, useScaled)
+  }
+
   // ───────────────────────── oracle SQL emission ──────────────────────
   // The DuckDB twins of the expressions above, generated from the SAME
   // planeSigns constants so both engines see identical literal arrays.

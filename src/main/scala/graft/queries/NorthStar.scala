@@ -141,7 +141,13 @@ object NorthStar {
 
   /** Edit-distance near-dups: block by (lang, length bucket), verify
     * with levenshtein over an 60-char prefix (cost cap) — the same
-    * standard DP both engines implement, so fully oracle-checked. */
+    * standard DP both engines implement, so fully oracle-checked.
+    * OCCUPANCY-GUARDED (Dedup.editDistanceNearDupsAuto): the exact
+    * block join runs while within-block pairs stay linear in the
+    * corpus (true at every oracle scale — P/n 1.4 at sf0.01, 12.6 at
+    * sf0.1), and the bounded q41g candidate generators take over above
+    * the threshold (~126 pairs/doc at the 10x derivation), so no
+    * declared entry carries the block-quadratic wall. */
   val q41e = QueryDef("q41e_dedup_edit_distance",
     """SELECT a.doc_id AS da, b.doc_id AS db,
       |  CAST(levenshtein(substr(a.text, 1, 60), substr(b.text, 1, 60)) AS INTEGER) AS dist
@@ -151,25 +157,10 @@ object NorthStar {
       | AND a.doc_id < b.doc_id
       |WHERE levenshtein(substr(a.text, 1, 60), substr(b.text, 1, 60)) <= 20
       |ORDER BY da, db""".stripMargin) { (s, dir) =>
-    import s.implicits._
-    // explicit core-count repartition on the join keys: the blocked
-    // self-join's output is byte-small, so AQE would coalesce the
-    // shuffle to 1-2 partitions and serialize the CPU-dense
-    // levenshtein verify; an explicit repartition(n, keys) satisfies
-    // the join's distribution requirement and is never re-coalesced
-    val d = Tables.documents(s, dir)
-      .select($"doc_id", $"text", $"lang", ($"n_chars" / 10).cast("long").as("lb"))
-      .repartition(s.sparkContext.defaultParallelism, $"lang", $"lb")
-    val a = d.as("a"); val b = d.as("b")
-    a.join(b, $"a.lang" === $"b.lang" && $"a.lb" === $"b.lb" &&
-        $"a.doc_id" < $"b.doc_id")
-      // thresholded levenshtein: banded DP with early exit (-1 beyond
-      // the threshold) — exact for every row the filter keeps
-      .withColumn("dist",
-        levenshtein(substring($"a.text", 1, 60), substring($"b.text", 1, 60), 20))
-      .filter($"dist" >= 0 && $"dist" <= 20)
-      .select($"a.doc_id".as("da"), $"b.doc_id".as("db"), $"dist")
-      .orderBy("da", "db")
+    graft.CheckpointJanitor.evictAfterConsumption(
+      Dedup.editDistanceNearDupsAuto(Tables.documents(s, dir),
+        "doc_id", "text", "lang", "n_chars")
+        .orderBy("da", "db"))
   }
 
   /** Scale path for q41e (the q42c `cosineNearDupsScaled` precedent):
@@ -297,7 +288,12 @@ object NorthStar {
   /** Embedding-cosine near-duplicate pairs (multi-table LSH blocked,
     * exact-decimal verify) — same literal planes as q42b → fully
     * oracle-checked, and non-empty at every driver SF (the 0.35
-    * threshold sits inside the fixture's cosine distribution). */
+    * threshold sits inside the fixture's cosine distribution).
+    * OCCUPANCY-GUARDED (Similarity.cosineNearDupsAuto): the fixed
+    * 4-plane plan runs while expected bucket occupancy ≤ 1024 (all
+    * oracle scales), and planesForCorpus-sized planes take over above
+    * it, so the declared entry never pays the measured 23-34x
+    * fixed-plane wall (SCALING.md). */
   val q42c = QueryDef("q42c_dedup_embedding_cosine",
     s"""WITH eb AS (${Similarity.bucketedSql("embeddings", 4, 4)}),
        |norms AS (SELECT vec_id, ${Similarity.dotSql("embedding", "embedding")} AS nrm
@@ -316,7 +312,7 @@ object NorthStar {
        |SELECT vec_a, vec_b, ROUND(cosine, 6) AS cosine FROM scored
        |WHERE cosine >= 0.35
        |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
-    Similarity.cosineNearDups(Tables.embeddings(s, dir),
+    Similarity.cosineNearDupsAuto(Tables.embeddings(s, dir),
       planesPerTable = 4, tables = 4, threshold = 0.35)
       .orderBy("vec_a", "vec_b")
   }

@@ -216,6 +216,30 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, f"recall floor breached: $recall%.3f")
   }
 
+  test("edit-distance auto-guard picks the exact join at low occupancy, generators above it") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "n_chars")
+    // driver scales sit far under the threshold: exact block join runs
+    val (outLow, scaledLow) = Dedup.editDistanceNearDupsAutoWithPath(
+      docs, "doc_id", "text", "lang", "n_chars")
+    assert(!scaledLow, "auto-guard switched to generators at low occupancy")
+    val blocked = Dedup.editDistanceNearDupsBlocked(
+        docs, "doc_id", "text", "lang", "n_chars")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(outLow.as[(Long, Long, Int)].collect().toSet == blocked,
+      "auto(blocked) diverged from the plain block join")
+    // a forced threshold of 0 exercises the scaled branch on the same
+    // corpus; its answer must equal the scaled entry point's
+    val (outHi, scaledHi) = Dedup.editDistanceNearDupsAutoWithPath(
+      docs, "doc_id", "text", "lang", "n_chars", maxPairsPerDoc = 0)
+    assert(scaledHi, "threshold 0 must force the scaled branch")
+    val scaled = Dedup.editDistanceNearDupsScaled(
+        docs, "doc_id", "text", "lang", "n_chars")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(outHi.as[(Long, Long, Int)].collect().toSet == scaled,
+      "auto(scaled) diverged from editDistanceNearDupsScaled")
+  }
+
   test("near-dup components collapse transitive chains to min-id clusters") {
     // chain 1-2-3-4 (diameter 3, exercises multiple propagation
     // rounds), pair 10-11, triangle 20-21-22

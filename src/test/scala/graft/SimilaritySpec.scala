@@ -178,6 +178,55 @@ class SimilaritySpec extends SparkSpec {
       s"candidate growth super-linear: $c1 → $c10 at 10× corpus")
   }
 
+  test("cosine near-dup auto-guard: fixed planes at low occupancy, planesForCorpus above") {
+    val emb = Tables.embeddings(spark, sf)
+    val (outLow, scaledLow) = Similarity.cosineNearDupsAutoWithPath(emb)
+    assert(!scaledLow, "guard switched to scaled planes at oracle-scale occupancy")
+    val fixed = Similarity.cosineNearDups(emb)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(outLow.as[(Long, Long, Double)].collect().toSet == fixed,
+      "auto(fixed) diverged from the declared fixed-plane plan")
+    val (outHi, scaledHi) = Similarity.cosineNearDupsAutoWithPath(emb, maxOccupancy = 1)
+    assert(scaledHi, "occupancy cap 1 must force the scaled branch")
+    val scaled = Similarity.cosineNearDupsScaled(emb)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(outHi.as[(Long, Long, Double)].collect().toSet == scaled,
+      "auto(scaled) diverged from cosineNearDupsScaled")
+  }
+
+  test("ANN recall holds and candidates stay sub-quadratic at 10x corpus (scaled paths)") {
+    // round-12 verdict item 4: q42b/q42d assert recall at fixture scale
+    // only — measure the SCALE paths on a 10x corpus. Same 10x
+    // derivation as the candidate-growth test: component-wise ±1 masks
+    // keep each copy distribution-identical but near-orthogonal.
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val copies = (1 to 9).map { m =>
+      emb.select(($"vec_id" + m * 1000000L).as("vec_id"),
+        transform($"embedding",
+          (x, i) => when(pmod(xxhash64(i, lit(m)), lit(2)) === 0, x).otherwise(-x))
+          .cast("array<float>").as("embedding"))
+    }
+    val emb10 = copies.foldLeft(emb)(_ unionByName _).localCheckpoint()
+    val queries = emb10.filter($"vec_id" % 1000 === 0) // 10x corpus, bounded query set
+    val nQ = queries.count()
+    val exact5 = Similarity.cosineTopK(emb10, queries, k = 5)
+      .select("qid", "vid").localCheckpoint()
+    // annTopKScaled sizes planes from the 10x count (planesForCorpus)
+    val annHits = Similarity.annTopKScaled(emb10, queries, k = 5)
+      .select("qid", "vid").intersect(exact5).count()
+    val annRecall = annHits.toDouble / (nQ * 5)
+    info(f"10x ANN(scaled) recall: $annRecall%.3f ($annHits/${nQ * 5})")
+    // more planes cut per-bucket collision odds; OR-amplification over 8
+    // tables keeps recall in the same band the 1x floor pins
+    assert(annRecall >= 0.2, f"10x scaled-ANN recall $annRecall%.3f below floor")
+    // IVF at 10x: same cells/nprobe contract as q42d
+    val ivfHits = Similarity.ivfTopK(emb10, queries, k = 5, cells = 16, nprobe = 4)
+      .select("qid", "vid").intersect(exact5).count()
+    val ivfRecall = ivfHits.toDouble / (nQ * 5)
+    info(f"10x IVF recall: $ivfRecall%.3f ($ivfHits/${nQ * 5})")
+    assert(ivfRecall >= 0.2, f"10x IVF recall $ivfRecall%.3f below floor")
+  }
+
   test("a vector's nearest neighbor under brute force has cosine ≤ 1") {
     val emb = Tables.embeddings(spark, sf)
     val top = Similarity.cosineTopK(emb, emb.filter($"vec_id" === 0), k = 3)
