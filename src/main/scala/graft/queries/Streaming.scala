@@ -91,15 +91,26 @@ object Streaming {
   private[graft] def streamEvents(s: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     val sch = s.read.parquet(path).schema
-    // the streaming file source wants a directory — stage a symlink,
-    // once per (JVM, events file)
+    // The streaming file source wants a directory of DATA FILES — stage
+    // symlinks, once per (JVM, events path). A single-file table links
+    // as-is; a directory-shaped table (every real table at scale is
+    // multi-file) links each part file, because the source's listing
+    // does NOT recurse into a nested dir — a symlinked directory is
+    // silently skipped and the stream reads ZERO rows (found at the
+    // round-12 10x run; StreamScaleSpec pins directory-shaped input).
     val streamDir = stagedDirs.computeIfAbsent(
       java.nio.file.Paths.get(path).toAbsolutePath.toString,
       abs => {
         val d = java.nio.file.Files.createTempDirectory("graft_stream")
-        java.nio.file.Files.createSymbolicLink(
-          d.resolve("events.parquet"),
-          java.nio.file.Paths.get(abs)) // absolute; relative would dangle
+        val target = java.nio.file.Paths.get(abs) // absolute; relative would dangle
+        if (java.nio.file.Files.isDirectory(target)) {
+          val parts = java.nio.file.Files.list(target)
+          try parts.filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .forEach(p => java.nio.file.Files.createSymbolicLink(
+              d.resolve(p.getFileName.toString), p))
+          finally parts.close()
+        } else
+          java.nio.file.Files.createSymbolicLink(d.resolve("events.parquet"), target)
         d.toString
       })
     val raw = s.readStream.schema(sch).parquet(streamDir)

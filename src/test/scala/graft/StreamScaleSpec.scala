@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQueryProgress, Trigger}
+
+/** Streaming state at 10x events (round-12 verdict item 5): the three
+  * stateful families — session-window agg (q38 shape), stateful dedup
+  * (q39 shape), stream-stream join (q48 shape) — must run a
+  * DATA-INDEPENDENT trigger count under AvailableNow: per-trigger
+  * state-commit machinery is the fixed cost, data volume only grows
+  * the per-trigger row work. A trigger count that grows with input
+  * means the source regressed to per-file batching and every streaming
+  * bench number changes meaning. Runs under the RocksDB provider (the
+  * 100 TB state story) and records state rows/commit counts for
+  * SCALING.md. */
+class StreamScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rocksProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** 1x and 10x event dirs: 10 disjoint id-shifted shards (ts
+    * unchanged — watermark behavior identical; ids disjoint — per-shard
+    * results independent). Built once per suite. */
+  private lazy val base: String = {
+    val b = java.nio.file.Files.createTempDirectory("graft_sscale").toString
+    val ev = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val e = ev.agg(max("event_id")).head().getLong(0) + 1
+    val u = ev.agg(max("user_id")).head().getLong(0) + 1
+    // driver-testdata layout ($dir/events.parquet), DIRECTORY-shaped —
+    // Spark writes create a dir of part files, the layout every real
+    // table has at scale (and the one the round-12 staging bug ate)
+    ev.write.parquet(s"$b/x1/events.parquet")
+    (0 until 10).map(k => ev.select(
+        ($"event_id" + k * e).as("event_id"), $"ts",
+        ($"user_id" + k * u).as("user_id"), $"event_type", $"value"))
+      .reduce(_ unionByName _)
+      .write.parquet(s"$b/x10/events.parquet")
+    b
+  }
+
+  private lazy val dirs: (String, String) =
+    (s"$base/x1/events.parquet", s"$base/x10/events.parquet")
+
+  private def events(dir: String): DataFrame = {
+    val sch = spark.read.parquet(dir).schema
+    spark.readStream.schema(sch).parquet(dir)
+  }
+
+  private val sinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Run a streaming DF to completion, return (sink rows, progresses). */
+  private def run(df: DataFrame, mode: String): (Long, Seq[StreamingQueryProgress]) = {
+    val name = s"sscale_${sinkCounter.incrementAndGet()}"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table(name).count()
+    spark.catalog.dropTempView(name)
+    (rows, q.recentProgress.toSeq)
+  }
+
+  private def sessionAgg(dir: String): DataFrame =
+    events(dir)
+      .groupBy(session_window($"ts", "5 minutes").as("w"), $"user_id")
+      .agg(count(lit(1)).as("cnt"))
+
+  private def dedup(dir: String): DataFrame =
+    events(dir)
+      .withColumn("dup", explode(array(lit(1), lit(2), lit(3)))).drop("dup")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  private def streamJoin(dir: String): DataFrame = {
+    val a = events(dir).withWatermark("ts", "10 minutes")
+      .select($"user_id", $"ts".as("ts_a"))
+    val b = events(dir).withWatermark("ts", "10 minutes")
+      .select($"user_id".as("user_b"), $"ts".as("ts_b"))
+    a.join(b, $"user_id" === $"user_b" &&
+      $"ts_b" > $"ts_a" && $"ts_b" <= $"ts_a" + expr("INTERVAL 5 MINUTES"))
+  }
+
+  test("declared streaming queries read a DIRECTORY-shaped events table") {
+    // the staging layer must link part files, not the table dir itself
+    // (a symlinked dir is skipped by the source listing → silent empty
+    // stream — the round-12 10x finding)
+    val r1 = graft.queries.Streaming.q36.fn(spark, s"$base/x1").count()
+    val r10 = graft.queries.Streaming.q36.fn(spark, s"$base/x10").count()
+    assert(r1 > 0, "q36 read zero rows from a directory-shaped events table")
+    assert(r10 == r1, // same (user-agnostic) tumbling buckets, 10x counts inside
+      s"q36 window-bucket count changed with sharding ($r1 -> $r10)")
+  }
+
+  test("trigger count is invariant at 10x events for all three stateful families (RocksDB)") {
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, rocksProvider)
+    try {
+      val cases = Seq(
+        ("session_window", sessionAgg(_: String), "complete"),
+        ("dedup", dedup(_: String), "append"),
+        ("stream_stream_join", streamJoin(_: String), "append"))
+      cases.foreach { case (label, mk, mode) =>
+        val t1 = System.nanoTime()
+        val (rows1, prog1) = run(mk(dirs._1), mode)
+        val w1 = (System.nanoTime() - t1) / 1e9
+        val t10 = System.nanoTime()
+        val (rows10, prog10) = run(mk(dirs._2), mode)
+        val w10 = (System.nanoTime() - t10) / 1e9
+        // disjoint id-shifted shards: output must scale exactly 10x
+        assert(rows10 == 10 * rows1, s"$label: rows $rows1 -> $rows10 at 10x input")
+        // THE pin: trigger count is data-independent (and tiny)
+        assert(prog1.length == prog10.length,
+          s"$label: trigger count grew with input (${prog1.length} -> ${prog10.length})")
+        assert(prog10.length <= 3,
+          s"$label: ${prog10.length} triggers — no longer fixed micro-batch machinery")
+        def stateRows(ps: Seq[StreamingQueryProgress]) =
+          ps.flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).maxOption.getOrElse(0L)
+        def commits(ps: Seq[StreamingQueryProgress]) =
+          ps.flatMap(_.stateOperators.toSeq).length
+        info(f"$label: wall $w1%.2f -> $w10%.2f s (${w10 / w1}%.1fx), " +
+          f"triggers ${prog1.length} -> ${prog10.length}, " +
+          f"state rows ${stateRows(prog1)} -> ${stateRows(prog10)}, " +
+          f"state-op commits/query ${commits(prog1)} -> ${commits(prog10)}")
+      }
+    } finally prev match {
+      case Some(p) => spark.conf.set(confKey, p)
+      case None    => spark.conf.unset(confKey)
+    }
+  }
+}
