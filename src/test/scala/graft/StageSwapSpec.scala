@@ -62,6 +62,44 @@ class StageSwapSpec extends SparkSpec {
     assert(vals(root) == Set(3))
   }
 
+  test("a lock-free reader never observes an empty or partial dataset across live swaps") {
+    // generation g holds exactly 100 rows all valued g — any read that
+    // returns 0 rows, a mixed value set, or a short count caught the
+    // swap mid-flight. Readers take NO lock; a reader that resolved a
+    // pointer and was then lapped TWICE by the writer may lose its
+    // (GC'd) generation and re-resolve — the documented keep-2
+    // contract — so resolution errors retry, but empty/partial/mixed
+    // reads are hard failures.
+    val root = freshRoot()
+    StagedRefresh.refresh(Seq.fill(100)(1).toDF("v"), root)
+    @volatile var stop = false
+    val seen = scala.collection.concurrent.TrieMap[Int, Unit]()
+    val failure = new java.util.concurrent.atomic.AtomicReference[String](null)
+    var attempts = 0L; var successes = 0L
+    val reader = new Thread(() => {
+      while (!stop && failure.get == null) {
+        attempts += 1
+        try {
+          val rows = StagedRefresh.readCurrent(spark, root).as[Int].collect()
+          if (rows.isEmpty) failure.set("EMPTY read — the swap exposed a void window")
+          else if (rows.length != 100 || rows.distinct.length != 1)
+            failure.set(s"PARTIAL/MIXED read: n=${rows.length}, " +
+              s"vals=${rows.distinct.take(3).mkString(",")}")
+          else { successes += 1; seen.put(rows.head, ()) }
+        } catch { case _: Throwable => () } // lapped-twice re-resolve
+      }
+    })
+    reader.start()
+    try (2 to 6).foreach { g =>
+      StagedRefresh.refresh(Seq.fill(100)(g).toDF("v"), root)
+      Thread.sleep(100)
+    } finally { stop = true; reader.join(30000) }
+    assert(failure.get == null, String.valueOf(failure.get))
+    assert(seen.size >= 2, s"reader observed only generations ${seen.keySet} — vacuous run")
+    assert(successes * 5 >= attempts * 4,
+      s"only $successes/$attempts reads resolved — generations vanish faster than keep-2 promises")
+  }
+
   test("catalog refresh: crash between stage and repoint leaves the view on the OLD generation") {
     Ingest.catalogRefresh(spark, Seq(("a", 1)).toDF("token_symbol", "x"))
     val before = spark.table("polygonscan.wallet_txs").collect().toSeq
