@@ -88,14 +88,10 @@ class DedupSpec extends SparkSpec {
     val scaled = Dedup.editDistanceNearDupsScaled(dup,
       "doc_id", "text", "lang", "n_chars")
       .select("da", "db").as[(Long, Long)].collect().toSet
-    // the plain (lang, length-bucket) block join — q41e's relation
-    val d = dup.select($"doc_id", substring($"text", 1, 60).as("pfx"),
-      $"lang", ($"n_chars" / 10).cast("long").as("lb"))
-    val plain = d.as("a").join(d.as("b"), $"a.lang" === $"b.lang" &&
-        $"a.lb" === $"b.lb" && $"a.doc_id" < $"b.doc_id")
-      .withColumn("dist", levenshtein($"a.pfx", $"b.pfx", 20))
-      .filter($"dist" >= 0 && $"dist" <= 20)
-      .select($"a.doc_id", $"b.doc_id").as[(Long, Long)].collect().toSet
+    // the plain (lang, length-bucket) block join — q41e's exact relation
+    val plain = Dedup.editDistanceNearDupsBlocked(dup,
+        "doc_id", "text", "lang", "n_chars")
+      .select("da", "db").as[(Long, Long)].collect().toSet
     assert(scaled.subsetOf(plain),
       s"scaled emitted pairs outside the blocked relation: ${(scaled -- plain).take(5)}")
     // Recall on a corpus where rare shingles EXIST per doc (the
@@ -182,14 +178,9 @@ class DedupSpec extends SparkSpec {
     val got = Dedup.editDistanceNearDupsScaled(fixture,
       "doc_id", "text", "lang", "n_chars")
       .as[(Long, Long, Int)].collect().toSet
-    // ground truth: q41e's plain (lang, length-bucket) block join
-    val d = fixture.select($"doc_id", substring($"text", 1, 60).as("pfx"),
-      $"lang", ($"n_chars" / 10).cast("long").as("lb"))
-    val truth = d.as("a").join(d.as("b"), $"a.lang" === $"b.lang" &&
-        $"a.lb" === $"b.lb" && $"a.doc_id" < $"b.doc_id")
-      .withColumn("dist", levenshtein($"a.pfx", $"b.pfx", 20))
-      .filter($"dist" >= 0 && $"dist" <= 20)
-      .select($"a.doc_id", $"b.doc_id", $"dist")
+    // ground truth: q41e's exact (lang, length-bucket) block join
+    val truth = Dedup.editDistanceNearDupsBlocked(fixture,
+        "doc_id", "text", "lang", "n_chars")
       .as[(Long, Long, Int)].collect().toSet
     // fixture sanity: every vocab pair is in the block-join truth at
     // its constructed distance
