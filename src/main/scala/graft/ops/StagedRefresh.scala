@@ -82,6 +82,12 @@ object StagedRefresh {
       .map(_.getPath.getName).filter(_.startsWith(GenPrefix))
       .flatMap(n => n.stripPrefix(GenPrefix).toLongOption)
     val gen = GenPrefix + (existing.maxOption.getOrElse(0L) + 1L)
+    // The generation the POINTER names now is the one in-flight readers
+    // may hold — THAT is the predecessor GC must spare. (The
+    // max-numbered dir is not it when a crashed refresh left a
+    // higher-numbered orphan: keeping by number would preserve the
+    // orphan and delete the live predecessor under a reader.)
+    val prevLive = currentGen(spark, root)
     // STAGE: a crash below leaves the live pointer untouched
     df.write.mode("overwrite").parquet(new Path(rootPath, gen).toString)
     hook("staged")
@@ -94,9 +100,9 @@ object StagedRefresh {
     finally out.close()
     ctx.rename(tmp, new Path(rootPath, PointerName), Options.Rename.OVERWRITE)
     hook("swapped")
-    // GC: keep the new generation and its immediate predecessor; drop
+    // GC: keep the new generation and the just-replaced live one; drop
     // older generations, orphaned staging dirs, and stale pointer temps
-    val keep = Set(gen, GenPrefix + existing.maxOption.getOrElse(0L))
+    val keep = Set(gen) ++ prevLive
     ctx.util.listStatus(rootPath).foreach { st =>
       val n = st.getPath.getName
       val stale = (n.startsWith(GenPrefix) && !keep.contains(n)) ||

@@ -172,12 +172,23 @@ object Ingest {
     s.sql(s"CREATE OR REPLACE VIEW polygonscan.wallet_txs AS " +
       s"SELECT * FROM polygonscan.$gen")
     hook("swapped")
-    existing.filter(_ < n - 1).foreach(old =>
+    // GC keeps the generation the view NAMED before this swap (the one
+    // in-flight readers may hold) — not the max-numbered table, which
+    // after a crashed load is an orphan nobody reads (the path-sink
+    // refresh makes the same distinction). The view lives only in this
+    // JVM's in-memory catalog, so a lock-guarded JVM var tracks its
+    // target with exactly the view's own durability.
+    val spare = catalogLiveGen
+    existing.filter(g => g != n && !spare.contains(g)).foreach(old =>
       s.sql(s"DROP TABLE IF EXISTS polygonscan.wallet_txs_g$old"))
+    catalogLiveGen = Some(n)
     gen
   }
 
   private val catalogLock = new Object
+  /** Generation the `polygonscan.wallet_txs` view currently targets —
+    * written only inside [[catalogRefresh]] under [[catalogLock]]. */
+  private var catalogLiveGen: Option[Long] = None
 
   /** Storage-layout scale demo: orders/lineitem bucketed by join key
     * into the session catalog, then joined WITHOUT any shuffle — the

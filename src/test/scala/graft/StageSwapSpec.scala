@@ -62,6 +62,30 @@ class StageSwapSpec extends SparkSpec {
     assert(vals(root) == Set(3))
   }
 
+  test("GC after crash recovery spares the LIVE predecessor, not the orphan") {
+    // gen-1 live; gen-2 orphaned by a crash before its swap; the
+    // recovery refresh becomes gen-3. GC by generation NUMBER would
+    // keep the unread orphan gen-2 and delete gen-1 out from under any
+    // reader that resolved the pointer just before the swap — the keep
+    // set must come from what the pointer NAMED, not from numbering.
+    val root = freshRoot()
+    StagedRefresh.refresh(Seq(1, 2, 3).toDF("v"), root)
+    intercept[Crash.type] {
+      StagedRefresh.refresh(Seq(10).toDF("v"), root,
+        hook = { case "staged" => throw Crash; case _ => () })
+    }
+    // a no-lock reader resolves the still-live gen-1 ...
+    val preSwap = StagedRefresh.readCurrent(spark, root)
+    StagedRefresh.refresh(Seq(20, 21).toDF("v"), root)
+    // ... and must still be able to consume it after the swap
+    assert(preSwap.as[Int].collect().toSet == Set(1, 2, 3),
+      "live predecessor was GC'd while the orphan survived")
+    val gens = new java.io.File(root).listFiles()
+      .map(_.getName).filter(_.startsWith("gen-")).toSet
+    assert(gens == Set("gen-1", "gen-3"), s"expected {gen-1, gen-3}, got $gens")
+    assert(vals(root) == Set(20, 21))
+  }
+
   test("a lock-free reader never observes an empty or partial dataset across live swaps") {
     // generation g holds exactly 100 rows all valued g — any read that
     // returns 0 rows, a mixed value set, or a short count caught the
