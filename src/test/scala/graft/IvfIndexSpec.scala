@@ -46,4 +46,45 @@ class IvfIndexSpec extends SparkSpec {
       assert(java.util.Arrays.equals(v0, v1) && n0 == n1)
     }
   }
+
+  test("probed path over the cell-partitioned assignment reads ONLY probed cells") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf3").toString + "/index"
+    val (cents, assigned) =
+      IvfIndex.buildOrLoadWithAssignments(spark, emb, cells = 16, dir)
+    val nCells = cents.length
+    // one query probes exactly nprobe=4 of the 16 cells — the pruning
+    // is only visible when probed < total
+    val q = emb.filter($"vec_id" === 0)
+    val probed = Similarity.ivfTopKProbed(cents, assigned, q, k = 5, nprobe = 4)
+    // answers must match the inline (full-corpus-assignment) plan
+    val inline = Similarity.ivfTopKWith(cents, emb, q, k = 5, nprobe = 4)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(probed.as[(Long, Long, Int, Double)].collect().toSet == inline,
+      "probed-partition answers diverge from the inline assignment")
+    // plan: the assignment scan carries a STATIC partition filter on
+    // cell, and the pruned listing touches at most nprobe partitions
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val assignScans = scans(probed.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(_.toString.endsWith(".assign")))
+    assert(assignScans.nonEmpty, "no scan over the assignment parquet in the plan")
+    assignScans.foreach { sc =>
+      // keep only the STATIC filters (the literal IN over probed cells);
+      // Spark also attaches a DynamicPruning subquery from the cell
+      // join, which cannot be evaluated before execution
+      val static = sc.partitionFilters.filterNot(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruning]))
+      assert(static.nonEmpty,
+        "assignment scan has no static partition filter — probe reads every cell")
+      val parts = sc.relation.location.listFiles(static, sc.dataFilters)
+      assert(parts.length <= 4 && parts.length < nCells,
+        s"probe listed ${parts.length} of $nCells cell partitions (expected <= 4)")
+    }
+  }
 }

@@ -211,14 +211,15 @@ class SimilaritySpec extends SparkSpec {
     val nQ = queries.count()
     val exact5 = Similarity.cosineTopK(emb10, queries, k = 5)
       .select("qid", "vid").localCheckpoint()
-    // annTopKScaled sizes planes from the 10x count (planesForCorpus)
+    // annTopKScaled sizes BOTH dials from the 10x count: planesForCorpus
+    // bounds candidates, tablesForCorpus holds recall (round-12 verdict
+    // item 1 — the fixed tables=8 default read 0.34 here, derived
+    // tables reads 0.52)
     val annHits = Similarity.annTopKScaled(emb10, queries, k = 5)
       .select("qid", "vid").intersect(exact5).count()
     val annRecall = annHits.toDouble / (nQ * 5)
     info(f"10x ANN(scaled) recall: $annRecall%.3f ($annHits/${nQ * 5})")
-    // more planes cut per-bucket collision odds; OR-amplification over 8
-    // tables keeps recall in the same band the 1x floor pins
-    assert(annRecall >= 0.2, f"10x scaled-ANN recall $annRecall%.3f below floor")
+    assert(annRecall >= 0.4, f"10x scaled-ANN recall $annRecall%.3f below floor 0.4")
     // IVF at 10x: same cells/nprobe contract as q42d
     val ivfHits = Similarity.ivfTopK(emb10, queries, k = 5, cells = 16, nprobe = 4)
       .select("qid", "vid").intersect(exact5).count()
