@@ -183,39 +183,59 @@ object Bench {
     // Probe-gated retry (round-11 verdict item 2: BENCH_r11.json
     // shipped with cpu_slow=true and its own "re-run before grading"
     // warning — the artifact must not require a human to re-run it).
-    // A timed pass is accepted only if the CPU probe is within
+    // A timed pass is accepted only if (a) the CPU probe is within
     // tolerance BOTH before and after it (a slowdown window that opens
-    // mid-suite shows up in the end probe); otherwise re-run the whole
-    // timed pass, bounded at SPARK_GRAFT_BENCH_ATTEMPTS (default 2).
-    // The JVM stays warm across attempts, so a retry measures the same
-    // steady state the first pass did.
+    // mid-suite shows up in the end probe), AND (b) no OTHER live JVM
+    // was seen around it (round-12 verdict item 3: the official r12
+    // artifact ran with other_jvms=1 and carried a 3.2x q41g internal
+    // spread — the probe guard proves the box isn't SLOW, not that it
+    // isn't SHARED). Otherwise re-run the whole timed pass, bounded at
+    // SPARK_GRAFT_BENCH_ATTEMPTS (default 2). The JVM stays warm
+    // across attempts, so a retry measures the same steady state.
     val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "2").toInt
     var attempt = 0
     var probeStart = probe0
     var probeEnd = probe0
+    var jvmsRun = jvms0
     var results: Seq[(String, Double, Double, Double)] = Seq.empty
     var cpuSlow = true
-    while (cpuSlow && attempt < maxAttempts) {
+    var jvmsBusy = true
+    while ((cpuSlow || jvmsBusy) && attempt < maxAttempts) {
       attempt += 1
       if (attempt > 1) {
+        Thread.sleep(5000) // a dying sbt/Spark JVM gets time to exit
         probeStart = cpuProbeSec()
         System.err.println(f"[bench] attempt $attempt: re-probed " +
           f"$probeStart%.3f s (ref $cpuRef%.3f s)")
       }
+      val jvmsBefore = if (attempt == 1) jvms0 else otherJvms()
       results = runSuite()
       probeEnd = cpuProbeSec()
+      // max of the before/after samples: a JVM alive at EITHER edge of
+      // the pass may have overlapped the timings (a mid-pass exit or
+      // spawn still shows on one edge)
+      jvmsRun = math.max(jvmsBefore, otherJvms())
       cpuSlow = math.max(probeStart, probeEnd) > cpuRef * 1.2
+      jvmsBusy = jvmsRun > 0
       if (cpuSlow) System.err.println(
         f"[bench] WARNING: CPU probe off reference (start=$probeStart%.3f s, " +
           f"end=$probeEnd%.3f s, ref=$cpuRef%.3f s, tol 20%%) — machine " +
           (if (attempt < maxAttempts) "uniformly slow; retrying the timed pass"
            else "uniformly slow on every attempt; emitting probe-normalized twin"))
+      if (jvmsBusy) System.err.println(
+        s"[bench] WARNING: $jvmsRun other JVM(s) alive around the timed pass — " +
+          (if (attempt < maxAttempts) "contended; retrying the timed pass"
+           else "contended on every attempt; artifact flagged contended_run"))
     }
     val load1 = loadAvg1m()
-    // Normalization factor for a run that stayed slow on every attempt:
-    // the probe is pure single-core integer work, so ref/probe is the
-    // machine-speed ratio; normalized numbers estimate the quiet-box
-    // wall. 1.0 on a clean run (never scales a good number up).
+    // Normalization factor for a run that stayed slow on every attempt.
+    // CAVEAT (round-12 advice): the probe is SINGLE-CORE integer work,
+    // and the round-12 recalibration showed single-core turbo drift
+    // does NOT track 32-way parallel-suite throughput — ref/probe is a
+    // ROUGH BOUND on the quiet-box wall, not a measurement. The value
+    // ships labeled as such ("rough_bound") and only next to
+    // cpu_slow=true; grade the clean re-run, never the normalized twin.
+    // 1.0 on a clean run (never scales a good number up).
     val normFactor =
       if (cpuSlow) math.min(1.0, cpuRef / math.max(probeStart, probeEnd)) else 1.0
     val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + med }
@@ -225,12 +245,18 @@ object Bench {
       "\"" + k + "\":{\"min\":" + mn + ",\"med\":" + med + ",\"max\":" + mx + "}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val env = s"""{"load_start":$load0,"load_end":$load1,"other_jvms":$jvms0,""" +
-      s""""contended":$contended,"runs":$runs,"attempts":$attempt,""" +
+    // other_jvms = the ACCEPTED attempt's max(before, after) sample —
+    // the number that scopes the timings; the launch-time count rides
+    // along for the contention history
+    val env = s"""{"load_start":$load0,"load_end":$load1,"other_jvms":$jvmsRun,""" +
+      s""""other_jvms_launch":$jvms0,"contended":$contended,""" +
+      s""""contended_run":$jvmsBusy,"runs":$runs,"attempts":$attempt,""" +
       s""""cpu_probe_start":$probeStart,"cpu_probe_end":$probeEnd,""" +
-      s""""cpu_probe_ref":$cpuRef,"cpu_slow":$cpuSlow}"""
+      s""""cpu_probe_ref":$cpuRef,"cpu_slow":$cpuSlow,""" +
+      s""""guards":${GuardLog.json}}"""
     val norm = if (cpuSlow)
-      f""","normalized":{"factor":$normFactor%.4f,"value":${total * normFactor}%.3f}"""
+      f""","normalized":{"factor":$normFactor%.4f,"value":${total * normFactor}%.3f,""" +
+        """"note":"rough_bound: single-core probe ratio; does not track 32-way suite throughput — grade a clean re-run"}"""
     else ""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$st,"env":$env$norm,"sf":"$sfDir"}"""
@@ -252,7 +278,7 @@ object Bench {
     // "[success]" trailer inside the 2000-char window), printed LAST —
     // after spark.stop(), so no shutdown logging can follow it.
     val compact = compactJson(results.map(r => (r._1, r._2)), total, sfDir,
-      math.max(probeStart, probeEnd), cpuSlow, contended, runs,
+      math.max(probeStart, probeEnd), cpuSlow, contended || jvmsBusy, runs,
       if (cpuSlow) Some(total * normFactor) else None)
     if (compact.length > 1900) System.err.println(
       s"[bench] WARNING: compact line ${compact.length} B may overflow the capture window")
@@ -283,8 +309,11 @@ object Bench {
       s""""$key":${fmt(med)}"""
     }.mkString("{", ",", "}")
     val norm = normValue.map(v => s""","norm":${fmt(v)}""").getOrElse("")
+    // sf renders as the dir BASENAME ("sf0.1") — the full path lives in
+    // BENCH_full.json; the window budget is tighter than the path
+    val sfShort = java.nio.file.Paths.get(sfDir).getFileName.toString
     f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
-      f""""queries":$cqs,"sf":"$sfDir",""" +
+      f""""queries":$cqs,"sf":"$sfShort",""" +
       f""""probe":$probe%.3f,"slow":$cpuSlow$norm,""" +
       f""""cont":$contended,"runs":$runs}"""
   }

@@ -340,6 +340,7 @@ object Dedup {
     val pairs = if (stats.isNullAt(0)) 0L else stats.getLong(0)
     val n = math.max(if (stats.isNullAt(1)) 0L else stats.getLong(1), 1L)
     val useScaled = pairs > maxPairsPerDoc.toLong * n
+    graft.GuardLog.record("editDistanceNearDupsAuto", useScaled)
     val out =
       if (useScaled)
         editDistanceNearDupsScaled(docs, idCol, textCol, langCol, lenCol,

@@ -422,6 +422,7 @@ object Similarity {
       maxOccupancy: Long = 1024): (DataFrame, Boolean) = {
     val n = emb.count()
     val useScaled = n > maxOccupancy * (1L << planesPerTable)
+    graft.GuardLog.record("cosineNearDupsAuto", useScaled)
     val out =
       if (useScaled) cosineNearDupsScaled(emb, tables, threshold)
       else cosineNearDups(emb, planesPerTable, tables, threshold)

@@ -168,6 +168,19 @@ object Ingest {
     if (s.catalog.tableExists("polygonscan.wallet_txs") &&
         s.catalog.getTable("polygonscan.wallet_txs").tableType != "VIEW")
       s.sql("DROP TABLE polygonscan.wallet_txs")
+    // The generation the view names RIGHT NOW — read from the catalog
+    // ITSELF before the swap, exactly as the path-sink refresh re-reads
+    // its pointer file (round-12 advice: a JVM shadow var desyncs from
+    // the catalog when a refresh crashes between the swap and the var
+    // update, and the NEXT refresh then GCs the real live predecessor
+    // while sparing a stale generation).
+    val spare: Option[Long] =
+      if (s.catalog.tableExists("polygonscan.wallet_txs"))
+        "wallet_txs_g(\\d+)".r
+          .findFirstMatchIn(
+            s.sql("SHOW CREATE TABLE polygonscan.wallet_txs").head().getString(0))
+          .map(_.group(1).toLong)
+      else None
     // THE swap: one catalog operation repoints the queryable name
     s.sql(s"CREATE OR REPLACE VIEW polygonscan.wallet_txs AS " +
       s"SELECT * FROM polygonscan.$gen")
@@ -175,20 +188,13 @@ object Ingest {
     // GC keeps the generation the view NAMED before this swap (the one
     // in-flight readers may hold) — not the max-numbered table, which
     // after a crashed load is an orphan nobody reads (the path-sink
-    // refresh makes the same distinction). The view lives only in this
-    // JVM's in-memory catalog, so a lock-guarded JVM var tracks its
-    // target with exactly the view's own durability.
-    val spare = catalogLiveGen
+    // refresh makes the same distinction)
     existing.filter(g => g != n && !spare.contains(g)).foreach(old =>
       s.sql(s"DROP TABLE IF EXISTS polygonscan.wallet_txs_g$old"))
-    catalogLiveGen = Some(n)
     gen
   }
 
   private val catalogLock = new Object
-  /** Generation the `polygonscan.wallet_txs` view currently targets —
-    * written only inside [[catalogRefresh]] under [[catalogLock]]. */
-  private var catalogLiveGen: Option[Long] = None
 
   /** Storage-layout scale demo: orders/lineitem bucketed by join key
     * into the session catalog, then joined WITHOUT any shuffle — the

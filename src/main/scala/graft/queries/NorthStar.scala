@@ -147,7 +147,12 @@ object NorthStar {
     * corpus (true at every oracle scale — P/n 1.4 at sf0.01, 12.6 at
     * sf0.1), and the bounded q41g candidate generators take over above
     * the threshold (~126 pairs/doc at the 10x derivation), so no
-    * declared entry carries the block-quadratic wall. */
+    * declared entry carries the block-quadratic wall.
+    * ORACLE-VALIDITY: the SQL twin states the exact relation, so the
+    * hash-check is valid only on the exact branch (below the guard —
+    * every driver scale); above it the output is the documented
+    * candidate-generator subset. The branch taken is recorded in
+    * GuardLog (bench env "guards") and stderr-logged when scaled. */
   val q41e = QueryDef("q41e_dedup_edit_distance",
     """SELECT a.doc_id AS da, b.doc_id AS db,
       |  CAST(levenshtein(substr(a.text, 1, 60), substr(b.text, 1, 60)) AS INTEGER) AS dist
@@ -318,7 +323,12 @@ object NorthStar {
     * 4-plane plan runs while expected bucket occupancy ≤ 1024 (all
     * oracle scales), and planesForCorpus-sized planes take over above
     * it, so the declared entry never pays the measured 23-34x
-    * fixed-plane wall (SCALING.md). */
+    * fixed-plane wall (SCALING.md).
+    * ORACLE-VALIDITY: the SQL twin fixes 4-plane buckets, so the
+    * hash-check is valid only on the fixed branch (below the guard —
+    * every driver scale); above it the pair set is differently blocked
+    * (still threshold-verified-exact). Branch recorded in GuardLog
+    * (bench env "guards") and stderr-logged when scaled. */
   val q42c = QueryDef("q42c_dedup_embedding_cosine",
     s"""WITH eb AS (${Similarity.bucketedSql("embeddings", 4, 4)}),
        |norms AS (SELECT vec_id, ${Similarity.dotSql("embedding", "embedding")} AS nrm

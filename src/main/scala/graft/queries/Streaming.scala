@@ -103,14 +103,33 @@ object Streaming {
       abs => {
         val d = java.nio.file.Files.createTempDirectory("graft_stream")
         val target = java.nio.file.Paths.get(abs) // absolute; relative would dangle
+        var linked = 0L
         if (java.nio.file.Files.isDirectory(target)) {
-          val parts = java.nio.file.Files.list(target)
-          try parts.filter(p => p.getFileName.toString.endsWith(".parquet"))
-            .forEach(p => java.nio.file.Files.createSymbolicLink(
-              d.resolve(p.getFileName.toString), p))
+          // WALK the tree, not just the top level (round-12 advice): a
+          // partition-nested table (cell=0/part-*.parquet …) staged
+          // zero files under a flat listing — the same silent-empty-
+          // stream class the flat fix removed. Flatten each data
+          // file's path into a unique link name.
+          val parts = java.nio.file.Files.walk(target)
+          // isRegularFile: the walk yields the root too, and the root
+          // ITSELF is named *.parquet (directory-shaped table)
+          try parts.filter(p => p.getFileName.toString.endsWith(".parquet") &&
+              java.nio.file.Files.isRegularFile(p))
+            .forEach { p =>
+              val flat = target.relativize(p).toString.replace('/', '_')
+              java.nio.file.Files.createSymbolicLink(d.resolve(flat), p)
+              linked += 1
+            }
           finally parts.close()
-        } else
+        } else {
           java.nio.file.Files.createSymbolicLink(d.resolve("events.parquet"), target)
+          linked += 1
+        }
+        // fail LOUDLY on an empty staging dir — the file source would
+        // otherwise stream zero rows and complete "green"
+        require(linked > 0,
+          s"streaming stage of $abs linked no parquet data files — " +
+            "the stream would silently read zero rows")
         d.toString
       })
     val raw = s.readStream.schema(sch).parquet(streamDir)

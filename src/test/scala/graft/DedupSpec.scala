@@ -328,13 +328,19 @@ class DedupSpec extends SparkSpec {
     info(f"CC rounds $rounds1 -> $rounds10, wall $wall1%.2f s -> $wall10%.2f s (${wall10 / wall1}%.1fx) at 10x")
     assert(rounds10 <= rounds1 + 1,
       s"round count grew with corpus size ($rounds1 -> $rounds10) — pointer jumping broken")
-    // wall ratio is INFO-only: the real measured ratio lives in
+    // wall ratio band is INFO-first: the real measured ratio lives in
     // SCALING.md's isolated-bench table, and a load-contended shared
     // JVM can inflate this one spuriously (round-11 advice) — the hard
     // pin above (rounds10 <= rounds1 + 1) is the O(log diameter) law
     if (wall10 > 6.0 * math.max(wall1, 0.5))
       info(f"NOTE: CC wall ratio above 6x here ($wall1%.2f s -> $wall10%.2f s)" +
         " — check SCALING.md's isolated bench before reading this as a regression")
+    // ...but a GROSS blow-up still fails even here (round-12 advice):
+    // shared-JVM jitter has measured ~1.2-3x; a quadratic per-round
+    // regression reads 10x+ and must not hide behind the info note
+    assert(wall10 <= 20.0 * math.max(wall1, 0.5),
+      f"CC wall ratio ${wall10 / math.max(wall1, 0.5)}%.1fx at 10x exceeds the " +
+        f"20x gross-regression ceiling ($wall1%.2f s -> $wall10%.2f s)")
   }
 
   test("simhash: identical texts at distance 0, all true pairs found") {

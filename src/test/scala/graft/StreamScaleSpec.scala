@@ -93,6 +93,22 @@ class StreamScaleSpec extends SparkSpec {
       s"q36 window-bucket count changed with sharding ($r1 -> $r10)")
   }
 
+  test("declared streaming queries read a PARTITION-NESTED events table") {
+    // round-12 advice: a hive-partitioned table (shard=N/part-*.parquet)
+    // staged zero files under the flat listing — the walk must recurse
+    // and the stage must fail loudly rather than stream zero rows
+    val nested = s"$base/nested"
+    Tables.events(spark, sf).withColumn("shard", $"event_id" % 3)
+      .write.partitionBy("shard").parquet(s"$nested/events.parquet")
+    val flat = graft.queries.Streaming.q36.fn(spark, s"$base/x1").count()
+    val part = graft.queries.Streaming.q36.fn(spark, nested).count()
+    assert(part > 0, "q36 read zero rows from a partition-nested events table")
+    // the partition column rides along but the tumbling buckets are the
+    // same ts/event_type payload → identical window-bucket count
+    assert(part == flat,
+      s"q36 window-bucket count diverged on nested layout ($flat -> $part)")
+  }
+
   test("trigger count is invariant at 10x events for all three stateful families (RocksDB)") {
     val confKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(confKey)
