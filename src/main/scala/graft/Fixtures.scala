@@ -33,7 +33,36 @@ import org.apache.spark.sql.functions._
   */
 object Fixtures {
 
+  /** Scratch parquet per (JVM, dataset) for the materialized fixture. */
+  private val matScratch =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The wallet_txs relation every query consumes: the [[walletTxsDerived]]
+    * expression view MATERIALIZED once per (JVM, dataset) to a scratch
+    * parquet and read back (round-12 verdict item 5). The expression
+    * view computed every column at plan time, so scans over it could
+    * never push a filter into a parquet reader (EXPLAINS r12 q05:
+    * `PushedFilters: []`) — production-shaped queries scan a real
+    * table. The derivation is deterministic and every column type
+    * (string/long/int/double/timestamp-micros) round-trips parquet
+    * bit-exactly, so results — and the DuckDB oracle CTE, which still
+    * derives the same rows from `events` — are unchanged. The write
+    * happens at most once per dataset (computeIfAbsent is atomic per
+    * key) and lands in Bench's untimed warmup, never in a timing. */
   def walletTxs(spark: SparkSession, dir: String): DataFrame = {
+    val path = matScratch.computeIfAbsent(dir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft_wtx")
+        .resolve("wallet_txs.parquet").toString
+      walletTxsDerived(spark, dir).write.parquet(d)
+      d
+    })
+    spark.read.parquet(path)
+  }
+
+  /** The fixture DERIVATION (see object doc): wallet_txs as pure
+    * expressions over `events` — the writer behind [[walletTxs]] and
+    * the exact twin of the oracle's [[cte]]. */
+  def walletTxsDerived(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = Tables.events(spark, dir)
     val base = $"event_id" * 31 + $"user_id" * 7

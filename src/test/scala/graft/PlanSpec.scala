@@ -82,6 +82,20 @@ class PlanSpec extends SparkSpec {
     assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"), scan)
   }
 
+  test("q05 filters push into the MATERIALIZED wallet_txs parquet scan") {
+    // round-12 verdict item 5: the fixture used to be an expression
+    // view over events — every column computed at plan time, so q05's
+    // scan showed PushedFilters: []. The materialized twin must push
+    // its conjunction into the reader like any production table.
+    val plan = graft.queries.Scans.q05.fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the plan string truncates metadata lists at 100 chars, so match
+    // the EqualTo prefix rather than the full literal
+    assert(plan.contains("GreaterThan(quantity,100.0)") &&
+      plan.contains("EqualTo(token_symbol,"),
+      s"wallet_txs scan lost filter pushdown:\n$plan")
+  }
+
   test("column pruning: 2-column projection reads a 2-column schema") {
     val df = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
     val scan = df.queryExecution.executedPlan.toString
