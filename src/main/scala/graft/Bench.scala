@@ -72,7 +72,7 @@ object Bench {
     * per-query ratio analysis) that the load/JVM-count guard cannot
     * see: that guard proves the box isn't BUSY, not that it isn't
     * SLOW. min-of-3 so a scheduler blip doesn't read as slowdown. */
-  private def cpuProbeSec(): Double = {
+  private[graft] def cpuProbeSec(): Double = {
     def mix(iters: Long): Long = {
       var h = 0x9E3779B97F4A7C15L; var i = 0L
       while (i < iters) {

@@ -1,0 +1,32 @@
+package graft.tools
+
+/** Standalone CPU-probe runner (round-12 verdict item: the 0.53 → 0.62
+  * reference recalibration was adjudicated in prose — the measurement
+  * itself must be a committed artifact, and future recalibrations need
+  * a template). Runs the EXACT probe kernel Bench gates on
+  * ([[graft.Bench.cpuProbeSec]], min-of-3 of a fixed 400M-round integer
+  * mixing loop) in this one JVM and prints a single JSON line.
+  *
+  * Recalibration protocol (PROBE_CALIBRATION.json + BENCHLOG.md):
+  * quiet the box (zero other JVMs, 1-min load < 1), run
+  *
+  *   for i in 1 2 3 4; do scripts/probe.sh; done
+  *
+  * — four STANDALONE sequential JVMs, so no shared-JVM JIT state or
+  * heap can flatter a sample — and only move the committed reference
+  * when all four agree within a few percent AND full-suite totals at
+  * the same window sit at historical bests (probe drift WITHOUT suite
+  * drift = single-core turbo epoch, the thing a recalibration is for;
+  * probe drift WITH suite drift = the machine got slow — fix the box,
+  * not the reference). */
+object CpuProbe {
+  def main(args: Array[String]): Unit = {
+    val probe = graft.Bench.cpuProbeSec()
+    val jvms = ProcessHandle.allProcesses().filter(p =>
+      p.info().command().map[Boolean](_.endsWith("java")).orElse(false) &&
+        p.pid() != ProcessHandle.current().pid()).count()
+    val load = try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split(" ")(0).toDouble catch { case _: Throwable => -1.0 }
+    println(f"""{"probe_sec":$probe%.4f,"load_1m":$load%.2f,"other_jvms":$jvms}""")
+  }
+}
