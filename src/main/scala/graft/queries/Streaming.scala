@@ -116,8 +116,12 @@ object Streaming {
           try parts.filter(p => p.getFileName.toString.endsWith(".parquet") &&
               java.nio.file.Files.isRegularFile(p))
             .forEach { p =>
+              // index prefix guarantees unique link names: pure
+              // path-flattening aliases ("a/b_c" and "a_b/c" both
+              // flatten to a_b_c) would throw FileAlreadyExists
               val flat = target.relativize(p).toString.replace('/', '_')
-              java.nio.file.Files.createSymbolicLink(d.resolve(flat), p)
+              java.nio.file.Files.createSymbolicLink(
+                d.resolve(s"${linked}_$flat"), p)
               linked += 1
             }
           finally parts.close()
