@@ -31,18 +31,26 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  private def loadAvg1m(): Double =
+  private[graft] def loadAvg1m(): Double =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
-  /** Other live `java` processes (not this JVM) — concurrent sbt/Spark
-    * JVMs are the main source of bench contamination on this box. */
-  private def otherJvms(): Int = {
-    val self = ProcessHandle.current().pid()
+  /** Other live `java` processes (not this JVM, not its ANCESTORS) —
+    * concurrent sbt/Spark JVMs are the main source of bench
+    * contamination on this box. Ancestors are excluded because a
+    * forked `sbt "runMain graft.Bench"` always has the idle sbt parent
+    * JVM alive (round-13 review: counting it made the documented sbt
+    * path permanently contended_run=true and double-ran every pass on
+    * a quiet box); an idle parent blocked on its child does not
+    * contend, while any NON-ancestor JVM still flags. */
+  private[graft] def otherJvms(): Int = {
+    val ancestors = Iterator.iterate(Option(ProcessHandle.current())) {
+      _.flatMap(h => Option(h.parent().orElse(null)))
+    }.takeWhile(_.isDefined).flatten.map(_.pid()).take(32).toSet
     try new java.io.File("/proc").listFiles()
       .filter(f => f.isDirectory && f.getName.forall(_.isDigit))
       .count { f =>
-        f.getName.toLong != self &&
+        !ancestors.contains(f.getName.toLong) &&
         (try java.nio.file.Files.readString(f.toPath.resolve("comm")).trim == "java"
          catch { case _: Throwable => false })
       }

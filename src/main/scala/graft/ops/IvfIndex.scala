@@ -46,7 +46,11 @@ object IvfIndex {
       cells: Int, path: String): Seq[(Int, Array[Double], Double)] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
+    // gate on the commit marker too (same reasoning as the assignment
+    // load below — a torn single-file write is unlikely but free to
+    // exclude)
+    if (fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) &&
+        fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
       load(spark, path)
     else {
       val cents = Similarity.ivfCentroids(corpus, cells)
@@ -87,7 +91,13 @@ object IvfIndex {
     val p = new org.apache.hadoop.fs.Path(assignPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cents = buildOrLoad(spark, corpus, cells, path)
-    if (!fs.exists(p) || !fs.listStatus(p).exists(_.getPath.getName.startsWith("cell=")))
+    // the load gate is the JOB COMMIT MARKER, not "some cell= dir
+    // exists" (round-13 review): a crash mid-commit leaves a SUBSET of
+    // cell partitions that would load as a complete index forever —
+    // _SUCCESS only appears after every partition committed, so a
+    // partial write rebuilds (mode=overwrite clears the debris)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) ||
+        !fs.listStatus(p).exists(_.getPath.getName.startsWith("cell=")))
       saveAssignments(spark, corpus, cents, assignPath)
     (cents, loadAssignments(spark, assignPath))
   }

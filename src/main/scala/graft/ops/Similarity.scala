@@ -100,9 +100,17 @@ object Similarity {
     * round-12/13 tables): (planes=5, tables=8) → 0.52 recall and
     * (planes=9, tables=32) → 0.43 — i.e. tables doubling every ~2
     * planes holds the band, hence 2^((planes+1)/2), anchored at both
-    * measured points. The cost is candidate volume ∝ tables·n·
-    * occupancy — logarithmically more tables per corpus decade, never
-    * the Θ(n²) a fixed-plane plan pays. */
+    * measured points.
+    *
+    * COST CLASS, stated honestly: tables ≈ √(n/occupancy) — GEOMETRIC
+    * in the corpus (~3.2× per decade), so candidate volume
+    * ∝ tables·n·occupancy is Θ(n^1.5·√occupancy). That is the real
+    * price of recall-stable random-hyperplane LSH (the fixed-plane
+    * alternative is Θ(n²) at collapsing recall; fixed tables is
+    * ~linear at collapsing recall — this dial buys flat recall at
+    * n^1.5). When n^1.5 is too steep, the sub-quadratic scale path is
+    * IVF cell probing ([[ivfTopKProbed]]: build Θ(n), probe
+    * ∝ nprobe/cells with recall that HELD 0.60 → 0.67 at 10×). */
   def tablesForCorpus(n: Long, targetOccupancy: Int = 64, floor: Int = 8): Int =
     math.max(floor, 1 << ((planesForCorpus(n, targetOccupancy) + 1) / 2))
 
@@ -150,11 +158,14 @@ object Similarity {
       .select(col("qid"), col("vid"), col("rk"), round(col("cosine"), 6).as("cosine"))
   }
 
-  /** [[annTopK]] with BOTH dials derived from the ACTUAL corpus size —
-    * the 100 TB entry point: [[planesForCorpus]] keeps candidate volume
-    * ~linear, [[tablesForCorpus]] keeps recall flat as the plane count
-    * grows. `tables > 0` overrides the derived table count (probes and
-    * sweeps); the DEFAULT is the recall-stable derivation. */
+  /** [[annTopK]] with BOTH dials derived from the ACTUAL corpus size:
+    * [[planesForCorpus]] keeps PER-TABLE candidate volume ~linear,
+    * [[tablesForCorpus]] keeps recall flat as the plane count grows —
+    * total candidate volume is then Θ(n^1.5) (see the cost-class note
+    * on [[tablesForCorpus]]; IVF is the sub-quadratic path when that
+    * is too steep). `tables > 0` overrides the derived table count
+    * (probes and sweeps); the DEFAULT is the recall-stable
+    * derivation. */
   def annTopKScaled(corpus: DataFrame, queries: DataFrame, k: Int,
       tables: Int = 0, targetOccupancy: Int = 64): DataFrame = {
     val n = corpus.count()
@@ -287,7 +298,8 @@ object Similarity {
   def ivfTopKWith(cents: Seq[(Int, Array[Double], Double)],
       corpus: DataFrame, queries: DataFrame, k: Int,
       nprobe: Int = 4): DataFrame =
-    ivfVerify(assignedCorpus(corpus, cents), cents, queries, k, nprobe)
+    ivfVerify(assignedCorpus(corpus, cents),
+      probeCells(cents, queries, nprobe), k)
 
   /** (vid, ce, cnorm, cell) relation of `corpus` under literal
     * centroids — [[ivfAssign]] plus the embedding/norm columns the
@@ -316,10 +328,12 @@ object Similarity {
   def ivfTopKProbed(cents: Seq[(Int, Array[Double], Double)],
       assigned: DataFrame, queries: DataFrame, k: Int,
       nprobe: Int = 4): DataFrame = {
-    val probed = probeCells(cents, queries, nprobe)
-      .select("cell").distinct().collect().map(_.getInt(0)).sorted
-    ivfVerify(assigned.filter(col("cell").isin(probed.map(Int.box): _*)),
-      cents, queries, k, nprobe)
+    // materialize the probe relation ONCE: the cell-id collect and the
+    // verify join share it, so the queries×cells decimal-dot argmax
+    // doesn't run twice per probe call
+    val q = probeCells(cents, queries, nprobe).localCheckpoint()
+    val probed = q.select("cell").distinct().collect().map(_.getInt(0)).sorted
+    ivfVerify(assigned.filter(col("cell").isin(probed.map(Int.box): _*)), q, k)
   }
 
   /** (qid, qe, qnorm, cell) — each query row exploded to its `nprobe`
@@ -333,11 +347,10 @@ object Similarity {
           s => -s.getField("nc"))))
 
   /** Shared verify stage: exact decimal cosine of every (query, corpus)
-    * pair sharing a probed cell, per-query top-k. */
-  private def ivfVerify(assigned: DataFrame,
-      cents: Seq[(Int, Array[Double], Double)], queries: DataFrame,
-      k: Int, nprobe: Int): DataFrame = {
-    val q = probeCells(cents, queries, nprobe)
+    * pair sharing a probed cell, per-query top-k. `q` is a
+    * [[probeCells]] relation. */
+  private def ivfVerify(assigned: DataFrame, q: DataFrame,
+      k: Int): DataFrame = {
     val scored = assigned.join(broadcast(q), Seq("cell"))
       .filter(col("qid") =!= col("vid"))
       .withColumn("cosine",

@@ -91,50 +91,38 @@ object Streaming {
   private[graft] def streamEvents(s: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     val sch = s.read.parquet(path).schema
-    // The streaming file source wants a directory of DATA FILES — stage
-    // symlinks, once per (JVM, events path). A single-file table links
-    // as-is; a directory-shaped table (every real table at scale is
-    // multi-file) links each part file, because the source's listing
-    // does NOT recurse into a nested dir — a symlinked directory is
-    // silently skipped and the stream reads ZERO rows (found at the
-    // round-12 10x run; StreamScaleSpec pins directory-shaped input).
+    // The streaming file source wants a DIRECTORY. A directory-shaped
+    // table (every real table at scale — flat part files or
+    // hive-partitioned) streams DIRECTLY from its own path: the
+    // source's leaf listing recurses through partition directories and
+    // keeps partition-COLUMN VALUES intact (flattening those files
+    // into a staging dir would silently read every partition column as
+    // NULL — the round-13 review catch). Only the driver testdata's
+    // SINGLE-FILE layout needs staging: one symlink in a scratch dir,
+    // once per (JVM, events path). The round-12 bug — a symlinked
+    // DIRECTORY inside a staging dir is skipped by the listing and the
+    // stream reads ZERO rows — is gone with the staging itself;
+    // StreamScaleSpec pins flat-sharded AND hive-partitioned input.
     val streamDir = stagedDirs.computeIfAbsent(
       java.nio.file.Paths.get(path).toAbsolutePath.toString,
       abs => {
-        val d = java.nio.file.Files.createTempDirectory("graft_stream")
         val target = java.nio.file.Paths.get(abs) // absolute; relative would dangle
-        var linked = 0L
         if (java.nio.file.Files.isDirectory(target)) {
-          // WALK the tree, not just the top level (round-12 advice): a
-          // partition-nested table (cell=0/part-*.parquet …) staged
-          // zero files under a flat listing — the same silent-empty-
-          // stream class the flat fix removed. Flatten each data
-          // file's path into a unique link name.
+          // fail LOUDLY on a dataless table dir — the file source
+          // would otherwise stream zero rows and complete "green"
           val parts = java.nio.file.Files.walk(target)
-          // isRegularFile: the walk yields the root too, and the root
-          // ITSELF is named *.parquet (directory-shaped table)
-          try parts.filter(p => p.getFileName.toString.endsWith(".parquet") &&
+          val hasData =
+            try parts.anyMatch(p => p.getFileName.toString.endsWith(".parquet") &&
               java.nio.file.Files.isRegularFile(p))
-            .forEach { p =>
-              // index prefix guarantees unique link names: pure
-              // path-flattening aliases ("a/b_c" and "a_b/c" both
-              // flatten to a_b_c) would throw FileAlreadyExists
-              val flat = target.relativize(p).toString.replace('/', '_')
-              java.nio.file.Files.createSymbolicLink(
-                d.resolve(s"${linked}_$flat"), p)
-              linked += 1
-            }
-          finally parts.close()
-        } else {
-          java.nio.file.Files.createSymbolicLink(d.resolve("events.parquet"), target)
-          linked += 1
-        }
-        // fail LOUDLY on an empty staging dir — the file source would
-        // otherwise stream zero rows and complete "green"
-        require(linked > 0,
-          s"streaming stage of $abs linked no parquet data files — " +
+            finally parts.close()
+          require(hasData, s"events table $abs contains no parquet data files — " +
             "the stream would silently read zero rows")
-        d.toString
+          abs // stream the table directory itself — no staging
+        } else {
+          val d = java.nio.file.Files.createTempDirectory("graft_stream")
+          java.nio.file.Files.createSymbolicLink(d.resolve("events.parquet"), target)
+          d.toString
+        }
       })
     val raw = s.readStream.schema(sch).parquet(streamDir)
     if (sch.fields.exists(f => f.name == "ts" && f.dataType == LongType))

@@ -21,12 +21,12 @@ package graft.tools
   * not the reference). */
 object CpuProbe {
   def main(args: Array[String]): Unit = {
+    // SAME kernel and SAME environment sensors as the guard being
+    // calibrated (round-13 review: a parallel reimplementation could
+    // disagree with the guard on the very box state it certifies)
     val probe = graft.Bench.cpuProbeSec()
-    val jvms = ProcessHandle.allProcesses().filter(p =>
-      p.info().command().map[Boolean](_.endsWith("java")).orElse(false) &&
-        p.pid() != ProcessHandle.current().pid()).count()
-    val load = try scala.io.Source.fromFile("/proc/loadavg").mkString
-      .split(" ")(0).toDouble catch { case _: Throwable => -1.0 }
+    val jvms = graft.Bench.otherJvms()
+    val load = graft.Bench.loadAvg1m()
     println(f"""{"probe_sec":$probe%.4f,"load_1m":$load%.2f,"other_jvms":$jvms}""")
   }
 }

@@ -96,6 +96,17 @@ class StageSwapSpec extends SparkSpec {
     // reads are hard failures.
     val root = freshRoot()
     StagedRefresh.refresh(Seq.fill(100)(1).toDF("v"), root)
+    // calibrate the writer's pause to THIS box's read latency: the
+    // keep-2 contract promises a reader survives one overlapping swap,
+    // not that reads outrun an arbitrarily fast writer — on a loaded
+    // shared JVM a 100 ms fixed pause starves the reader (round-13
+    // full-suite flake: 13/73 resolved) without any safety violation
+    val readMs = {
+      val t0 = System.nanoTime()
+      StagedRefresh.readCurrent(spark, root).as[Int].collect()
+      (System.nanoTime() - t0) / 1000000L
+    }
+    val pauseMs = math.max(100L, 4 * readMs)
     @volatile var stop = false
     val seen = scala.collection.concurrent.TrieMap[Int, Unit]()
     val failure = new java.util.concurrent.atomic.AtomicReference[String](null)
@@ -116,7 +127,7 @@ class StageSwapSpec extends SparkSpec {
     reader.start()
     try (2 to 6).foreach { g =>
       StagedRefresh.refresh(Seq.fill(100)(g).toDF("v"), root)
-      Thread.sleep(100)
+      Thread.sleep(pauseMs)
     } finally { stop = true; reader.join(30000) }
     assert(failure.get == null, String.valueOf(failure.get))
     assert(seen.size >= 2, s"reader observed only generations ${seen.keySet} — vacuous run")

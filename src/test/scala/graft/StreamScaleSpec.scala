@@ -93,10 +93,12 @@ class StreamScaleSpec extends SparkSpec {
       s"q36 window-bucket count changed with sharding ($r1 -> $r10)")
   }
 
-  test("declared streaming queries read a PARTITION-NESTED events table") {
-    // round-12 advice: a hive-partitioned table (shard=N/part-*.parquet)
-    // staged zero files under the flat listing — the walk must recurse
-    // and the stage must fail loudly rather than stream zero rows
+  test("declared streaming queries read a PARTITION-NESTED events table with partition VALUES intact") {
+    // round-12 advice + round-13 review: a hive-partitioned table
+    // (shard=N/part-*.parquet) must stream (a) non-empty and (b) with
+    // the partition COLUMN VALUES — a staging layer that flattened the
+    // partition dirs away read every partition column as NULL while
+    // row counts looked fine
     val nested = s"$base/nested"
     Tables.events(spark, sf).withColumn("shard", $"event_id" % 3)
       .write.partitionBy("shard").parquet(s"$nested/events.parquet")
@@ -107,6 +109,21 @@ class StreamScaleSpec extends SparkSpec {
     // same ts/event_type payload → identical window-bucket count
     assert(part == flat,
       s"q36 window-bucket count diverged on nested layout ($flat -> $part)")
+    // partition VALUES: stream grouped by the partition column must see
+    // the same per-shard counts the batch read sees (never NULLs)
+    val sch = spark.read.parquet(s"$nested/events.parquet").schema
+    val byShard = spark.readStream.schema(sch).parquet(s"$nested/events.parquet")
+      .groupBy("shard").count()
+    val q = byShard.writeStream.format("memory").queryName("nested_shards")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("nested_shards").as[(Long, Long)].collect().toMap
+    spark.catalog.dropTempView("nested_shards")
+    val want = spark.read.parquet(s"$nested/events.parquet")
+      .groupBy("shard").count().as[(Long, Long)].collect().toMap
+    assert(got == want,
+      s"partition-column values diverged streaming vs batch: $got vs $want")
   }
 
   test("trigger count is invariant at 10x events for all three stateful families (RocksDB)") {
