@@ -307,11 +307,13 @@ object Bench {
       runs: Int, normValue: Option[Double] = None): String = {
     def shortKey(n: String) = n.split('_')(0) + (if (n.endsWith("_sql")) "s" else "")
     val collide = medians.groupBy(r => shortKey(r._1)).exists(_._2.size > 1)
-    // adaptive width (<= 6 chars): ms precision where it matters
-    // (sub-10 s), 10 ms above, 100 ms above 100 s — keeps the
-    // worst-case line inside the window (BenchFormatSpec)
+    // adaptive width (<= 5 chars): ms precision where it matters
+    // (sub-10 s), 10 ms above, 100 ms above 100 s, whole seconds above
+    // 1000 s — a FLAT 5-char worst case keeps the line inside the
+    // window at any plausible suite size (BenchFormatSpec)
     def fmt(v: Double): String =
-      if (v < 10) f"$v%.3f" else if (v < 100) f"$v%.2f" else f"$v%.1f"
+      if (v < 10) f"$v%.3f" else if (v < 100) f"$v%.2f"
+      else if (v < 1000) f"$v%.1f" else f"$v%.0f"
     val cqs = medians.map { case (k, med) =>
       val key = if (collide) k else shortKey(k)
       s""""$key":${fmt(med)}"""

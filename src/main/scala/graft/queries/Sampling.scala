@@ -1,0 +1,78 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.Sampler
+import org.apache.spark.sql.functions._
+
+/** q51 family — deterministic sampling & dataset splitting, the
+  * curation step between dedup/quality-filtering (q41/q43) and a
+  * training run. All three are keyed multiplicative-hash predicates
+  * (see [[graft.ops.Sampler]]): row-stable under repartitioning and
+  * re-runs, map-only at 100 TB, and exactly oracle-checkable because
+  * the hash is plain Int64 arithmetic DuckDB evaluates identically.
+  */
+object Sampling {
+
+  /** 10% deterministic Bernoulli sample of `orders`. Map-only: the
+    * predicate is a codegen'd scalar inside the scan stage — no
+    * shuffle, no RNG state (SamplerSpec pins the no-Exchange plan;
+    * the orderBy here exists only for oracle determinism). */
+  val q51 = QueryDef("q51_sample_bernoulli",
+    s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+       |FROM orders WHERE ${Sampler.bucketSql("o_orderkey")} < 1000
+       |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    Sampler.bernoulli(Tables.orders(s, dir), col("o_orderkey"), rateBp = 1000)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** Stratified rebalance of `documents`: downsample the dominant
+    * language ('en', ~44% of the corpus) to 20% while keeping 50% of
+    * every other stratum — the standard corpus-rebalancing move before
+    * training. Per-stratum rates are a literal CASE chain, so the plan
+    * stays a single map-only filter. */
+  val q51b = QueryDef("q51b_sample_stratified",
+    s"""SELECT doc_id, lang, source
+       |FROM documents
+       |WHERE ${Sampler.bucketSql("doc_id")} <
+       |  CASE WHEN lang = 'en' THEN 2000 ELSE 5000 END
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Sampler.stratified(Tables.documents(s, dir), col("doc_id"), col("lang"),
+      ratesBp = Map("en" -> 2000), defaultBp = 5000)
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic 80/10/10 train/val/test split of `documents`,
+    * reported as per-(split, lang) counts. The assignment is a total
+    * function of doc_id, so splits are disjoint + exhaustive by
+    * construction and a document's split never migrates as the corpus
+    * grows (no eval-set contamination across incremental ingests).
+    * The single hash-aggregate is the only shuffle. */
+  val q51c = QueryDef("q51c_split_train_val_test",
+    s"""SELECT CASE WHEN b < 8000 THEN 'train'
+       |            WHEN b < 9000 THEN 'val' ELSE 'test' END AS split,
+       |  lang, CAST(COUNT(*) AS BIGINT) AS n
+       |FROM (SELECT lang, ${Sampler.bucketSql("doc_id")} AS b FROM documents)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    Sampler.assignSplit(Tables.documents(s, dir), col("doc_id"),
+      trainBp = 8000, valBp = 1000)
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("split", "lang")
+  }
+
+  /** xxhash64 Bernoulli sample — the variant whose selection is
+    * statistically independent of key structure (the multiplicative
+    * permutation in q51 is systematic on sequential keys; see the
+    * [[graft.ops.Sampler]] header). xxhash64 has no DuckDB twin →
+    * rows-only, with the fraction band and structure-independence
+    * pinned in SamplerSpec. */
+  val q51d = QueryDef.rowsOnly("q51d_sample_xxhash") { (s, dir) =>
+    Sampler.bernoulliHashed(Tables.orders(s, dir), col("o_orderkey"), rateBp = 1000)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  val defs: Seq[QueryDef] = Seq(q51, q51b, q51c, q51d)
+}

@@ -1,0 +1,103 @@
+package graft
+
+import graft.ops.Sampler
+import graft.queries.Sampling
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling & splitting (q51 family). The properties
+  * that make hash sampling the 100 TB answer — row-stability under
+  * repartitioning, disjoint+exhaustive splits, map-only plans — are
+  * pinned here; value-level exactness is the driver's DuckDB gate.
+  */
+class SamplerSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bernoulli sample is row-stable under repartitioning") {
+    val orders = Tables.orders(spark, sf)
+    val a = Sampler.bernoulli(orders, $"o_orderkey", 1000)
+      .select("o_orderkey").as[Long].collect().sorted
+    val b = Sampler.bernoulli(orders.repartition(13, $"o_custkey"), $"o_orderkey", 1000)
+      .select("o_orderkey").as[Long].collect().sorted
+    assert(a.nonEmpty, "sample came back empty — rate or hash broken")
+    assert(a.toSeq == b.toSeq,
+      "selected set changed with partitioning — sampling is not layout-deterministic")
+  }
+
+  test("bernoulli sample fraction lands near the requested rate") {
+    val orders = Tables.orders(spark, sf)
+    val total = orders.count().toDouble
+    val kept = Sampler.bernoulli(orders, $"o_orderkey", 1000).count().toDouble
+    val frac = kept / total
+    assert(frac > 0.05 && frac < 0.15,
+      s"10% request yielded ${frac}. multiplicative hash not equidistributing")
+  }
+
+  test("xxhash64 sample: rate band, layout determinism, key-structure independence") {
+    val orders = Tables.orders(spark, sf)
+    val total = orders.count().toDouble
+    val a = Sampler.bernoulliHashed(orders, $"o_orderkey", 1000)
+      .select("o_orderkey").as[Long].collect().sorted
+    val b = Sampler.bernoulliHashed(orders.repartition(7, $"o_custkey"), $"o_orderkey", 1000)
+      .select("o_orderkey").as[Long].collect().sorted
+    assert(a.toSeq == b.toSeq, "xxhash64 selection changed with partitioning")
+    val frac = a.length / total
+    assert(frac > 0.05 && frac < 0.15, s"10% request yielded $frac")
+    // independence from key arithmetic: the multiplicative permutation
+    // picks long runs of a single residue class (e.g. multiples of 7);
+    // a PRF must not — no residue class mod 7 may dominate
+    val byMod7 = a.groupBy(_ % 7).view.mapValues(_.length).toMap
+    assert(byMod7.values.max < a.length / 2,
+      s"selection clusters on a residue class: $byMod7")
+  }
+
+  test("stratified rates are honored per stratum") {
+    val docs = Tables.documents(spark, sf)
+    val totals = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val kept = Sampler.stratified(docs, $"doc_id", $"lang",
+        Map("en" -> 2000), defaultBp = 5000)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val enFrac = kept.getOrElse("en", 0L).toDouble / totals("en")
+    assert(enFrac > 0.05 && enFrac < 0.40, s"en kept at $enFrac, wanted ~0.20")
+    val restKept = (kept - "en").values.sum.toDouble
+    val restTotal = (totals - "en").values.sum.toDouble
+    val restFrac = restKept / restTotal
+    assert(restFrac > 0.30 && restFrac < 0.70, s"non-en kept at $restFrac, wanted ~0.50")
+  }
+
+  test("train/val/test split is disjoint, exhaustive and growth-stable") {
+    val docs = Tables.documents(spark, sf)
+    val split = Sampler.assignSplit(docs, $"doc_id")
+    // exhaustive: every row got a split; counts add up
+    assert(split.filter($"split".isNull).count() == 0)
+    assert(split.count() == docs.count())
+    assert(split.select("split").distinct().as[String].collect().toSet
+      .subsetOf(Set("train", "val", "test")))
+    // growth-stable: assignment on a PREFIX of the corpus agrees with
+    // assignment on the whole corpus row-for-row (no eval-set
+    // contamination when the corpus grows)
+    val whole = split.select("doc_id", "split").as[(Long, String)].collect().toMap
+    val prefix = Sampler.assignSplit(docs.filter($"doc_id" < 100), $"doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(prefix.forall { case (id, sp) => whole(id) == sp },
+      "a document's split changed when the corpus grew")
+  }
+
+  test("sampling plans are map-only — no Exchange below the scan") {
+    val orders = Tables.orders(spark, sf)
+    for (df <- Seq(
+        Sampler.bernoulli(orders, $"o_orderkey", 1000),
+        Sampler.stratified(Tables.documents(spark, sf), $"doc_id", $"lang",
+          Map("en" -> 2000), 5000))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"sampling introduced a shuffle:\n$plan")
+    }
+  }
+
+  test("declared q51 queries run and return plausible shapes") {
+    for (d <- Sampling.defs) {
+      val out = d.fn(spark, sf)
+      assert(out.count() > 0, s"${d.name} returned no rows at $sf")
+    }
+  }
+}
