@@ -80,16 +80,17 @@ object Bench {
     * per-query ratio analysis) that the load/JVM-count guard cannot
     * see: that guard proves the box isn't BUSY, not that it isn't
     * SLOW. min-of-3 so a scheduler blip doesn't read as slowdown. */
-  private[graft] def cpuProbeSec(): Double = {
-    def mix(iters: Long): Long = {
-      var h = 0x9E3779B97F4A7C15L; var i = 0L
-      while (i < iters) {
-        h ^= i * 0xC2B2AE3D27D4EB4FL
-        h = java.lang.Long.rotateLeft(h, 31) * 0x9E3779B185EBCA87L
-        i += 1
-      }
-      h
+  private def mix(iters: Long): Long = {
+    var h = 0x9E3779B97F4A7C15L; var i = 0L
+    while (i < iters) {
+      h ^= i * 0xC2B2AE3D27D4EB4FL
+      h = java.lang.Long.rotateLeft(h, 31) * 0x9E3779B185EBCA87L
+      i += 1
     }
+    h
+  }
+
+  private[graft] def cpuProbeSec(): Double = {
     var sink = mix(20000000L) // JIT warmup, untimed
     val samples = (1 to 3).map { _ =>
       val t0 = System.nanoTime()
@@ -97,6 +98,38 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     if (sink == 42L) System.err.println("(unreachable dce guard)")
+    samples.min
+  }
+
+  /** Parallel twin of [[cpuProbeSec]]: the SAME mixing kernel on every
+    * core at once (200M rounds/thread), wall time for all to finish.
+    * Exists because the single-core probe provably does NOT track
+    * 32-way suite throughput on this box: round-13 measured three
+    * clean-guard windows at 59.4/66.8/59.5 s suite total against a
+    * same-morning 47.6 s window, with the single-core probe inside
+    * tolerance every time — an all-core effect (thermal/power/steal
+    * under load) the single-core yardstick cannot see. NO committed
+    * reference yet: the value ships in the env block as evidence; once
+    * a window reproduces the best-known suite total, its reading
+    * becomes the reference and this graduates into a guard like
+    * cpu_slow (BENCHLOG round-13 entry is the calibration protocol). */
+  private[graft] def cpuProbeParSec(
+      threads: Int = Runtime.getRuntime.availableProcessors()): Double = {
+    val sinks = new java.util.concurrent.atomic.AtomicLong(mix(20000000L))
+    def pass(iters: Long): Double = {
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val ts = (1 to threads).map { _ =>
+        new Thread(() => { start.await(); sinks.addAndGet(mix(iters)) })
+      }
+      ts.foreach(_.start())
+      val t0 = System.nanoTime()
+      start.countDown()
+      ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    pass(20000000L) // all-core JIT/turbo settle, untimed
+    val samples = (1 to 3).map(_ => pass(200000000L))
+    if (sinks.get == 42L) System.err.println("(unreachable dce guard)")
     samples.min
   }
 
@@ -114,6 +147,11 @@ object Bench {
     val cpuRef = sys.env.get("SPARK_GRAFT_CPU_REF").map(_.toDouble)
       .getOrElse(CpuProbeRefSec)
     val probe0 = cpuProbeSec()
+    // all-core throughput sample at each edge of the run — evidence
+    // only (no reference yet; see cpuProbeParSec). Taken before the
+    // session exists / after the suite ends so no executor threads
+    // compete with it.
+    val probePar0 = cpuProbeParSec()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -236,6 +274,7 @@ object Bench {
            else "contended on every attempt; artifact flagged contended_run"))
     }
     val load1 = loadAvg1m()
+    val probePar1 = cpuProbeParSec()
     // Normalization factor for a run that stayed slow on every attempt.
     // CAVEAT (round-12 advice): the probe is SINGLE-CORE integer work,
     // and the round-12 recalibration showed single-core turbo drift
@@ -261,6 +300,7 @@ object Bench {
       s""""contended_run":$jvmsBusy,"runs":$runs,"attempts":$attempt,""" +
       s""""cpu_probe_start":$probeStart,"cpu_probe_end":$probeEnd,""" +
       s""""cpu_probe_ref":$cpuRef,"cpu_slow":$cpuSlow,""" +
+      f""""cpu_probe_par_start":$probePar0%.4f,"cpu_probe_par_end":$probePar1%.4f,""" +
       s""""guards":${GuardLog.json}}"""
     val norm = if (cpuSlow)
       f""","normalized":{"factor":$normFactor%.4f,"value":${total * normFactor}%.3f,""" +

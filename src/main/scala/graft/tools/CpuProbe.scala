@@ -25,8 +25,10 @@ object CpuProbe {
     // calibrated (round-13 review: a parallel reimplementation could
     // disagree with the guard on the very box state it certifies)
     val probe = graft.Bench.cpuProbeSec()
+    val probePar = graft.Bench.cpuProbeParSec()
     val jvms = graft.Bench.otherJvms()
     val load = graft.Bench.loadAvg1m()
-    println(f"""{"probe_sec":$probe%.4f,"load_1m":$load%.2f,"other_jvms":$jvms}""")
+    println(f"""{"probe_sec":$probe%.4f,"probe_par_sec":$probePar%.4f,""" +
+      f""""load_1m":$load%.2f,"other_jvms":$jvms}""")
   }
 }
