@@ -96,6 +96,21 @@ object Sampler {
     df.filter(bucket(key) < rate)
   }
 
+  /** Deterministic WEIGHTED sample: keep a row with probability
+    * `weight / maxWeight` — importance sampling for quality-weighted
+    * corpus curation (keep high-quality documents at a higher rate
+    * without a second pass). Predicate: `bucket(key) * maxWeight <
+    * weight * Buckets`, all-Int64 — so the same exactness/stability
+    * properties as [[bernoulli]] hold, and the oracle reproduces it
+    * bit-for-bit. `weight` must be integer-valued in [0, maxWeight]
+    * (cast upstream; a fractional weight would reintroduce float
+    * boundary cases into the keep decision). */
+  def weighted(df: DataFrame, key: Column, weight: Column,
+      maxWeight: Int): DataFrame = {
+    require(maxWeight > 0, s"maxWeight must be positive: $maxWeight")
+    df.filter(bucket(key) * lit(maxWeight.toLong) < weight * lit(Buckets))
+  }
+
   /** Deterministic train/val/test assignment: buckets [0, trainBp) →
     * "train", [trainBp, trainBp+valBp) → "val", rest → "test".
     * Partitions are disjoint and exhaustive BY CONSTRUCTION (one total

@@ -74,5 +74,24 @@ object Sampling {
       .orderBy("o_orderkey")
   }
 
-  val defs: Seq[QueryDef] = Seq(q51, q51b, q51c, q51d)
+  /** Weighted (importance) sample of `lineitem`: keep probability
+    * l_quantity/50 — the quality-weighted curation move (weight by a
+    * score, sample one pass, no sort). The composite row key
+    * (l_orderkey·8 + l_linenumber) is injective because
+    * l_linenumber < 8; l_quantity is integral (1..50) so the cast
+    * keeps every comparison in exact Int64 on both engines. */
+  val q51e = QueryDef("q51e_sample_weighted",
+    s"""SELECT l_orderkey, l_linenumber, l_quantity
+       |FROM lineitem
+       |WHERE ${Sampler.bucketSql("(l_orderkey * 8 + l_linenumber)")} * 50
+       |  < CAST(l_quantity AS BIGINT) * 10000
+       |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    Sampler.weighted(Tables.lineitem(s, dir),
+      key = col("l_orderkey") * lit(8L) + col("l_linenumber"),
+      weight = col("l_quantity").cast("long"), maxWeight = 50)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val defs: Seq[QueryDef] = Seq(q51, q51b, q51c, q51d, q51e)
 }

@@ -64,6 +64,30 @@ class SamplerSpec extends SparkSpec {
     assert(restFrac > 0.30 && restFrac < 0.70, s"non-en kept at $restFrac, wanted ~0.50")
   }
 
+  test("weighted sample keeps rows in proportion to their weight") {
+    val li = Tables.lineitem(spark, sf)
+    val key = $"l_orderkey" * lit(8L) + $"l_linenumber"
+    val kept = Sampler.weighted(li, key, $"l_quantity".cast("long"), maxWeight = 50)
+    // overall rate ≈ E[qty]/50 ≈ 0.5
+    val frac = kept.count().toDouble / li.count()
+    assert(frac > 0.40 && frac < 0.62, s"overall weighted rate $frac, wanted ~0.51")
+    // monotone in weight: low-weight stratum kept far less often than high
+    def rate(lo: Double, hi: Double): Double = {
+      val all = li.filter($"l_quantity" >= lo && $"l_quantity" < hi).count().toDouble
+      val k = kept.filter($"l_quantity" >= lo && $"l_quantity" < hi).count().toDouble
+      k / all
+    }
+    val low = rate(1, 11); val high = rate(40, 51)
+    assert(low < 0.35 && high > 0.65,
+      s"keep rate not proportional to weight: qty<11 → $low, qty≥40 → $high")
+    // layout determinism, same as the other samplers
+    val a = kept.select($"l_orderkey" * 8 + $"l_linenumber").as[Long].collect().sorted
+    val b = Sampler.weighted(li.repartition(11, $"l_suppkey"), key,
+        $"l_quantity".cast("long"), maxWeight = 50)
+      .select($"l_orderkey" * 8 + $"l_linenumber").as[Long].collect().sorted
+    assert(a.toSeq == b.toSeq, "weighted selection changed with partitioning")
+  }
+
   test("train/val/test split is disjoint, exhaustive and growth-stable") {
     val docs = Tables.documents(spark, sf)
     val split = Sampler.assignSplit(docs, $"doc_id")
