@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Curation operators a pre-training pipeline runs between dedup /
+  * quality-filtering (q41/q43) and the training job itself:
+  *
+  *  - benchmark decontamination (word-n-gram overlap against an eval
+  *    set — the exact-substring/13-gram check every serious corpus
+  *    release documents),
+  *  - PII redaction (regex scrub of emails / phone numbers / long
+  *    account-like digit runs),
+  *  - sequence packing (concatenate-then-chunk document → context-
+  *    window assignment, and the greedy no-straddle variant).
+  *
+  * Everything except the greedy packer is pure relational algebra, so
+  * the DuckDB oracle replicates it verbatim. Scale shape at 100 TB:
+  * the eval-gram side of decontamination is benchmark-sized (thousands
+  * of docs) → broadcast; the train side is a map-only explode feeding
+  * a broadcast semi/inner join — no shuffle of the corpus itself. The
+  * packers shuffle once on the shard key and are embarrassingly
+  * parallel across shards.
+  */
+object Curation {
+
+  // ───────────────────────── decontamination ─────────────────────────
+
+  /** Distinct word n-grams of the eval (benchmark) slice. Benchmark
+    * sets are small by construction — the result is broadcast-sized
+    * even when the corpus is 100 TB. */
+  def evalGrams(docs: DataFrame, isEval: Column, n: Int): DataFrame =
+    Dedup.wordShingles(docs.filter(isEval), "doc_id", "text", n)
+      .select(col("shingle")).distinct()
+
+  /** Per-train-doc count of distinct n-grams shared with the eval set
+    * (only contaminated docs appear). `wordShingles` already emits
+    * each doc's grams distinct, so the post-join count IS the distinct
+    * shared-gram count. Plan: map-only explode → broadcast hash join →
+    * one partial-agg shuffle on doc_id. */
+  def contaminationScores(docs: DataFrame, isEval: Column, n: Int): DataFrame =
+    Dedup.wordShingles(docs.filter(!isEval), "doc_id", "text", n)
+      .join(broadcast(evalGrams(docs, isEval, n)), Seq("shingle"))
+      .groupBy(col("doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+
+  /** The decontaminated training slice: train docs sharing NO n-gram
+    * with the eval set. The contaminated-id set is a (small) derived
+    * relation — broadcast anti-join, corpus stays map-side. */
+  def decontaminated(docs: DataFrame, isEval: Column, n: Int): DataFrame = {
+    val bad = contaminationScores(docs, isEval, n).select("doc_id")
+    docs.filter(!isEval)
+      .join(broadcast(bad), Seq("doc_id"), "left_anti")
+  }
+
+  // ──────────────────────────── PII scrub ────────────────────────────
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\b[0-9]{3}-[0-9]{4}\\b"
+  private val LongNumRe = "[0-9]{6,}"
+
+  /** Regex PII scrub: emails, phone-shaped numbers, then 6+-digit
+    * account-like runs — in that order so an email's local part is
+    * consumed before the digit-run rule can see it. Plain codegen'd
+    * `regexp_replace` chain (map-only; the patterns are shared by the
+    * DuckDB oracle, which needs the 'g' flag for replace-all). */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      LongNumRe, "<NUM>")
+
+  // ───────────────────────── sequence packing ─────────────────────────
+
+  /** Concatenate-then-chunk packing (the GPT-style pre-training
+    * layout): within each shard, documents are laid head-to-tail in
+    * doc_id order and the token stream is cut every `budget` tokens; a
+    * document is assigned to EVERY chunk its span touches (one output
+    * row per (doc, chunk)). Exactly SQL-expressible — the start offset
+    * is a window prefix-sum, the chunk list an integer-division
+    * `sequence` — so the DuckDB oracle checks it bit-for-bit.
+    * One shuffle (window partition on the shard key); shards are
+    * independent, so 100 TB parallelizes across shards. */
+  def packChunks(docs: DataFrame, idCol: String, textCol: String,
+      shard: Int, budget: Int): DataFrame = {
+    val w = Window.partitionBy("grp").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("grp", expr(s"$idCol DIV $shard"))
+      .withColumn("n_tokens",
+        size(split(trim(col(textCol)), "\\s+")).cast("long"))
+      .withColumn("start_off", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("chunk", explode(expr(
+        s"sequence(start_off DIV $budget, (start_off + n_tokens - 1) DIV $budget)")))
+      .select(col(idCol), col("grp"), col("n_tokens"),
+        col("start_off"), col("chunk"))
+  }
+
+  /** Greedy no-straddle packing: within each shard (doc_id order) a
+    * document that would overflow the current pack starts a new one;
+    * a document longer than `budget` gets a pack of its own. A genuine
+    * running-reset scan — not window-expressible — so this is the one
+    * curation op on the imperative `mapPartitions` path: rows are
+    * co-located per shard (`repartition(grp)`) and sorted
+    * (`sortWithinPartitions`), the scan is streaming (no per-group
+    * buffering), and the result is a pure function of (grp, doc_id)
+    * order — deterministic under any partition count (CurationSpec
+    * pins this plus the pack-capacity invariants). */
+  def packGreedy(docs: DataFrame, idCol: String, textCol: String,
+      shard: Int, budget: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs
+      .withColumn("grp", expr(s"$idCol DIV $shard"))
+      .withColumn("n_tokens",
+        size(split(trim(col(textCol)), "\\s+")).cast("long"))
+      .select(col(idCol).cast("long").as("doc_id"),
+        col("grp").cast("long"), col("n_tokens"))
+    base.repartition(col("grp")).sortWithinPartitions("grp", "doc_id")
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        var curGrp = Long.MinValue
+        var pack = 0L
+        var used = 0L
+        it.map { case (id, grp, n) =>
+          if (grp != curGrp) { curGrp = grp; pack = 0L; used = 0L }
+          if (used > 0 && used + n > budget) { pack += 1L; used = 0L }
+          used += n
+          (id, grp, n, pack)
+        }
+      }
+      .toDF("doc_id", "grp", "n_tokens", "pack")
+  }
+}

@@ -1,0 +1,115 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.Curation
+import org.apache.spark.sql.functions._
+
+/** q52–q54 — corpus-release curation: benchmark decontamination, PII
+  * redaction, sequence packing (see [[graft.ops.Curation]] for the
+  * scale shape of each). The eval slice for decontamination is
+  * `doc_id % 41 = 0` — a deterministic benchmark stand-in derived
+  * from the corpus itself so the oracle reproduces it exactly.
+  */
+object Curation5x {
+
+  private val N = 4 // word n-gram order: non-vacuous at every SF (18/10/1529
+  // contaminated docs at sf0.001/0.01/0.1; 5-grams find ZERO at sf0.01)
+
+  /** Shared oracle CTE: every doc's distinct word 4-grams, built the
+    * same way [[graft.ops.Dedup.wordShingles]] builds them (lowercase,
+    * whitespace split, positional slices). */
+  private val GramsCte =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+      |idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 2)) AS i FROM toks),
+      |grams AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+3], ' ') AS g FROM idx)""".stripMargin
+
+  /** Contamination report: train docs sharing ≥1 word 4-gram with the
+    * eval slice, with the distinct shared-gram count. Broadcast join —
+    * the corpus never shuffles. */
+  val q52 = QueryDef("q52_decontaminate",
+    s"""$GramsCte
+       |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+       |FROM (SELECT * FROM grams WHERE doc_id % 41 <> 0) t
+       |JOIN (SELECT DISTINCT g FROM grams WHERE doc_id % 41 = 0) e USING (g)
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    Curation.contaminationScores(Tables.documents(s, dir),
+        col("doc_id") % 41 === 0, N)
+      .orderBy("doc_id")
+  }
+
+  /** The released (clean) training slice: train docs with zero eval
+    * overlap — broadcast anti-join of the q52 id set. */
+  val q52b = QueryDef("q52b_decontaminate_clean",
+    s"""$GramsCte,
+       |bad AS (
+       |  SELECT DISTINCT t.doc_id
+       |  FROM (SELECT * FROM grams WHERE doc_id % 41 <> 0) t
+       |  JOIN (SELECT DISTINCT g FROM grams WHERE doc_id % 41 = 0) e USING (g))
+       |SELECT d.doc_id, d.lang, d.source FROM documents d
+       |WHERE d.doc_id % 41 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    Curation.decontaminated(Tables.documents(s, dir),
+        col("doc_id") % 41 === 0, N)
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
+  /** PII redaction over a synthesized contact blurb (the corpus text
+    * is PII-free by construction, so the blurb splices an email, a
+    * phone and an account number from each row's own fields — both
+    * engines build the identical string, then scrub it with the same
+    * regex chain). Map-only. */
+  val q53 = QueryDef("q53_redact_pii",
+    """SELECT doc_id,
+      |  regexp_replace(regexp_replace(regexp_replace(
+      |    source || '_' || CAST(doc_id AS VARCHAR) || '@mail.example.org say 555-' ||
+      |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' acct ' ||
+      |      CAST(doc_id * 7919 + 1000000 AS VARCHAR) || ' | ' || substr(text, 1, 30),
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\b[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g'),
+      |    '[0-9]{6,}', '<NUM>', 'g') AS redacted
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val d = Tables.documents(s, dir)
+    val contact = concat(
+      col("source"), lit("_"), col("doc_id").cast("string"),
+      lit("@mail.example.org say 555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+      lit(" acct "), (col("doc_id") * 7919 + 1000000).cast("string"),
+      lit(" | "), substring(col("text"), 1, 30))
+    d.select(col("doc_id"), Curation.redactPii(contact).as("redacted"))
+      .orderBy("doc_id")
+  }
+
+  /** Concatenate-then-chunk packing: shard = 64 consecutive doc_ids,
+    * context budget = 128 whitespace tokens; one row per (doc, chunk
+    * touched). Window prefix-sum + integer division — exact twin. */
+  val q54 = QueryDef("q54_pack_chunks",
+    """WITH t AS (
+      |  SELECT doc_id, doc_id // 64 AS grp,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |o AS (
+      |  SELECT doc_id, grp, n_tokens,
+      |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+      |  FROM t)
+      |SELECT doc_id, grp, n_tokens, start_off,
+      |  unnest(range(start_off // 128, (start_off + n_tokens - 1) // 128 + 1)) AS chunk
+      |FROM o ORDER BY doc_id, chunk""".stripMargin) { (s, dir) =>
+    Curation.packChunks(Tables.documents(s, dir), "doc_id", "text",
+        shard = 64, budget = 128)
+      .orderBy("doc_id", "chunk")
+  }
+
+  /** Greedy no-straddle packing (same shard/budget). Running-reset
+    * scan → not SQL-expressible → rows-only; CurationSpec pins the
+    * capacity / coverage / determinism invariants. */
+  val q54b = QueryDef.rowsOnly("q54b_pack_greedy") { (s, dir) =>
+    Curation.packGreedy(Tables.documents(s, dir), "doc_id", "text",
+        shard = 64, budget = 128)
+      .orderBy("doc_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(q52, q52b, q53, q54, q54b)
+}

@@ -1,0 +1,117 @@
+package graft
+
+import graft.ops.Curation
+import org.apache.spark.sql.functions._
+
+/** Curation ops (q52–q54): decontamination semantics on a hand fixture,
+  * redaction behavior on adversarial strings, and the packing
+  * invariants (capacity, coverage, contiguity, layout determinism)
+  * that the rows-only greedy entry relies on.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ─────────────────────── decontamination ───────────────────────
+
+  private def fixture = Seq(
+    // doc 0: the eval doc (0 % 41 == 0)
+    (0L, "alpha beta gamma delta epsilon zeta"),
+    // shares the 4-gram "beta gamma delta epsilon" (and one more)
+    (1L, "x beta gamma delta epsilon zeta y"),
+    // shares words but no 4 consecutive ones
+    (2L, "alpha beta gamma X delta epsilon zeta"),
+    // no overlap at all
+    (3L, "one two three four five six"),
+    // too short for any 4-gram
+    (4L, "alpha beta gamma")
+  ).toDF("doc_id", "text")
+
+  test("contaminationScores flags exactly the docs sharing a 4-gram, with the right count") {
+    val out = Curation.contaminationScores(fixture, $"doc_id" % 41 === 0, 4)
+      .as[(Long, Long)].collect().toMap
+    // doc 1 shares "beta gamma delta epsilon" and "gamma delta epsilon zeta"
+    assert(out == Map(1L -> 2L),
+      s"expected only doc 1 with 2 shared grams, got $out")
+  }
+
+  test("decontaminated = train docs minus contaminated; eval docs never leak in") {
+    val clean = Curation.decontaminated(fixture, $"doc_id" % 41 === 0, 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(2L, 3L, 4L))
+    // partition of the train set: contaminated ∪ clean, disjoint
+    val bad = Curation.contaminationScores(fixture, $"doc_id" % 41 === 0, 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert((clean & bad).isEmpty && (clean | bad) == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("decontamination plan broadcasts the eval-gram side (corpus never shuffles into the join)") {
+    val docs = Tables.documents(spark, sf)
+    val plan = Curation.contaminationScores(docs, $"doc_id" % 41 === 0, 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval grams not broadcast:\n$plan")
+  }
+
+  // ──────────────────────── PII redaction ────────────────────────
+
+  test("redactPii scrubs emails, phones and long digit runs, leaves clean text alone") {
+    val in = Seq(
+      "reach me at jane.doe+x@sub.example.co or 555-0199 acct 12345678",
+      "no pii here just words 123 and 55-44",
+      "a@b.io then 9digits 987654321 end"
+    ).toDF("s")
+    val out = in.select(Curation.redactPii($"s").as("r")).as[String].collect()
+    assert(out(0) == "reach me at <EMAIL> or <PHONE> acct <NUM>")
+    assert(out(1) == "no pii here just words 123 and 55-44")
+    assert(out(2) == "<EMAIL> then 9digits <NUM> end")
+  }
+
+  // ─────────────────────── sequence packing ───────────────────────
+
+  test("packChunks: offsets are the per-shard prefix sum and chunks cover each doc's span") {
+    val docs = Tables.documents(spark, sf)
+    val rows = Curation.packChunks(docs, "doc_id", "text", 64, 128)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // per (doc) group: chunks are exactly firstChunk..lastChunk of the span
+    rows.groupBy(_._1).foreach { case (id, rs) =>
+      val (_, _, n, off, _) = rs.head
+      val expected = (off / 128) to ((off + n - 1) / 128)
+      assert(rs.map(_._5).sorted.toSeq == expected.toSeq,
+        s"doc $id span [$off, ${off + n}) → chunks ${rs.map(_._5).toSeq}")
+    }
+    // per shard: offsets tile the concatenated stream with no gaps
+    rows.groupBy(_._2).foreach { case (g, rs) =>
+      val docs = rs.groupBy(_._1).map(_._2.head).toSeq.sortBy(_._1)
+      docs.foldLeft(0L) { case (expectOff, (_, _, n, off, _)) =>
+        assert(off == expectOff, s"shard $g: gap at offset $off != $expectOff")
+        expectOff + n
+      }
+    }
+  }
+
+  test("packGreedy: capacity, exactly-once coverage, contiguous packs, layout determinism") {
+    val docs = Tables.documents(spark, sf)
+    val out = Curation.packGreedy(docs, "doc_id", "text", 64, 128)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.map(_._1).distinct.length == out.length, "a doc packed twice")
+    assert(out.length == docs.count(), "a doc was dropped")
+    out.groupBy(r => (r._2, r._4)).foreach { case ((g, p), rs) =>
+      val tot = rs.map(_._3).sum
+      assert(tot <= 128 || rs.length == 1,
+        s"pack ($g,$p) holds $tot tokens across ${rs.length} docs — over budget")
+    }
+    // packs are monotone in doc_id within a shard and start at 0
+    out.groupBy(_._2).foreach { case (g, rs) =>
+      val packs = rs.sortBy(_._1).map(_._4)
+      assert(packs.head == 0L, s"shard $g first pack ${packs.head}")
+      assert(packs.zip(packs.tail).forall { case (a, b) => b == a || b == a + 1 },
+        s"shard $g pack ids not contiguous-monotone")
+    }
+    // same result under a different input layout
+    val out2 = Curation.packGreedy(docs.repartition(7, $"lang"), "doc_id", "text", 64, 128)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.sortBy(_._1).toSeq == out2.sortBy(_._1).toSeq,
+      "greedy packing changed with input partitioning")
+  }
+}

@@ -101,6 +101,7 @@ class StageSwapSpec extends SparkSpec {
     val failure = new java.util.concurrent.atomic.AtomicReference[String](null)
     val attempts = new java.util.concurrent.atomic.AtomicLong(0)
     val successes = new java.util.concurrent.atomic.AtomicLong(0)
+    val errKinds = scala.collection.concurrent.TrieMap[String, Long]()
     val reader = new Thread(() => {
       while (!stop && failure.get == null) {
         attempts.incrementAndGet()
@@ -111,7 +112,10 @@ class StageSwapSpec extends SparkSpec {
             failure.set(s"PARTIAL/MIXED read: n=${rows.length}, " +
               s"vals=${rows.distinct.take(3).mkString(",")}")
           else { successes.incrementAndGet(); seen.put(rows.head, ()) }
-        } catch { case _: Throwable => () } // lapped-twice re-resolve
+        } catch { case e: Throwable => // lapped-twice re-resolve
+          val k = e.getClass.getName + ": " + String.valueOf(e.getMessage).take(160)
+          errKinds.updateWith(k)(c => Some(c.getOrElse(0L) + 1L))
+        }
       }
     })
     reader.start()
@@ -137,7 +141,8 @@ class StageSwapSpec extends SparkSpec {
     assert(seen.size >= 2, s"reader observed only generations ${seen.keySet} — vacuous run")
     assert(successes.get * 5 >= attempts.get * 4,
       s"only ${successes.get}/${attempts.get} reads resolved — " +
-        "generations vanish faster than keep-2 promises")
+        "generations vanish faster than keep-2 promises; error mix: " +
+        errKinds.toSeq.sortBy(-_._2).take(4).mkString(" | "))
   }
 
   test("catalog refresh: crash between stage and repoint leaves the view on the OLD generation") {
