@@ -17,15 +17,32 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as
-    // a nanos-since-epoch LONG (spark.sql.legacy.parquet.nanosAsLong,
-    // set in Verify/Bench/test sessions). Truncate to micros — the
-    // same coercion DuckDB applies, so the oracle agrees.
-    if (name == "events" &&
-        df.schema.fields.exists(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType))
-      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    if (name == "events") normalizeTs(df) else df
+  }
+
+  /** Normalize the physical encoding of `events.ts` to session-TZ
+    * TIMESTAMP (the session is pinned to UTC in Verify/Bench/tests, so
+    * every rendered value — and thus every oracle hash — is identical
+    * across encodings). Driver testdata has shipped three layouts:
+    *   - TIMESTAMP(NANOS): Spark only reads it as a nanos-since-epoch
+    *     LONG (spark.sql.legacy.parquet.nanosAsLong) → truncate to
+    *     micros, the same coercion DuckDB applies;
+    *   - micros NTZ (timestamp[us], isAdjustedToUTC=false) → Spark's
+    *     TIMESTAMP_NTZ, which `withWatermark` hard-rejects
+    *     (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) → cast to TIMESTAMP,
+    *     an identity under the UTC session;
+    *   - micros UTC (isAdjustedToUTC=true) → already TIMESTAMP, no-op.
+    * Policy documented in SURVEY.md §1.2 / FIXTURES.md. */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
 
   def region(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "region")

@@ -4,6 +4,40 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Materialize every query: result parquet on success, an `_ERROR`
+    * marker file on failure — a declared query must never VANISH from
+    * the artifact. Round 13 proved the hazard of the old
+    * write-nothing-on-error path: three broken watermark queries simply
+    * disappeared from the driver's JSON (135 of 138 keys) and read as
+    * "not declared" instead of "broken". VerifyShapeSpec pins
+    * queries.keySet == {result dirs ∪ markers}. Returns failed names. */
+  def dump(spark: SparkSession, sfDir: String, outDir: String,
+           queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame])
+      : List[String] = {
+    var failed = List.empty[String]
+    queries.foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        failed ::= name
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // wipe any partial/stale parquet so the marker is unambiguous —
+        // a leftover result next to _ERROR could still read as a pass
+        val dir = Paths.get(outDir, name)
+        if (Files.isDirectory(dir)) {
+          val walk = Files.walk(dir)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .filter(_ != dir).forEach(p => Files.deleteIfExists(p))
+          finally walk.close()
+        }
+        Files.createDirectories(dir)
+        Files.writeString(dir.resolve("_ERROR"),
+          s"${e.getClass.getName}: ${e.getMessage}\n")
+      }
+    }
+    failed
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -20,15 +54,11 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // optional comma-separated query filter for focused iteration
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY").map(_.split(",").toSet)
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
+    val failed = dump(spark, sfDir, outDir,
+      SparkEntry.queries.filter { case (name, _) => only.forall(_.contains(name)) })
+    if (failed.nonEmpty)
+      System.err.println(
+        s"[verify] ${failed.size} FAILED (markers written): ${failed.sorted.mkString(", ")}")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -125,9 +125,11 @@ object Streaming {
         }
       })
     val raw = s.readStream.schema(sch).parquet(streamDir)
-    if (sch.fields.exists(f => f.name == "ts" && f.dataType == LongType))
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    // Same ts-encoding normalization as the batch path (nanos-Long /
+    // micros-NTZ / micros-UTC → session-TZ TIMESTAMP; Tables.normalizeTs
+    // documents the policy). NTZ in particular must be cast here:
+    // withWatermark rejects TIMESTAMP_NTZ event time.
+    graft.Tables.normalizeTs(raw)
   }
 
   /** Run a streaming DF to a memory sink, return the final table. */

@@ -164,6 +164,56 @@ class StreamScaleSpec extends SparkSpec {
     }
   }
 
+  test("streaming defs analyze and agree on all three physical ts encodings") {
+    // Round-13 postmortem: driver testdata regenerated events.ts from
+    // TIMESTAMP(NANOS) (→ LongType under nanosAsLong) to micros-NTZ
+    // (→ TIMESTAMP_NTZ), and `withWatermark` hard-rejects NTZ event
+    // time — q37/q39/q48 silently vanished from the oracle artifact.
+    // Pin the TYPE axis: every watermark-bearing query must analyze,
+    // run, and produce IDENTICAL results on each encoding the driver
+    // has ever shipped (Tables.normalizeTs documents the policy).
+    val root = java.nio.file.Files.createTempDirectory("graft_tsenc").toString
+    val ev = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    // (a) nanos-since-epoch LONG — what TIMESTAMP(NANOS) parquet reads
+    // as under spark.sql.legacy.parquet.nanosAsLong
+    ev.withColumn("ts", unix_micros($"ts") * 1000)
+      .write.parquet(s"$root/enc_long/events.parquet")
+    // (b) micros NTZ (timestamp[us], isAdjustedToUTC=false) — the
+    // round-13 driver layout that broke the watermark queries
+    ev.withColumn("ts", $"ts".cast("timestamp_ntz"))
+      .write.parquet(s"$root/enc_ntz/events.parquet")
+    // (c) micros adjusted-to-UTC — plain TIMESTAMP
+    val outKey = "spark.sql.parquet.outputTimestampType"
+    val prevOut = spark.conf.getOption(outKey)
+    spark.conf.set(outKey, "TIMESTAMP_MICROS")
+    try ev.write.parquet(s"$root/enc_ltz/events.parquet")
+    finally prevOut match {
+      case Some(p) => spark.conf.set(outKey, p)
+      case None    => spark.conf.unset(outKey)
+    }
+    val encodings = Seq("enc_long", "enc_ntz", "enc_ltz")
+    // sanity: the three dirs really carry three distinct read types
+    val readTypes = encodings.map(e =>
+      spark.read.parquet(s"$root/$e/events.parquet")
+        .schema.fields.find(_.name == "ts").get.dataType.typeName).distinct
+    assert(readTypes.size == 3, s"encodings collapsed to $readTypes — axis not exercised")
+    val qs = Seq(graft.queries.Streaming.q36, graft.queries.Streaming.q37,
+      graft.queries.Streaming.q39, graft.queries.Streaming.q48)
+    qs.foreach { q =>
+      val results = encodings.map { e =>
+        val rows = q.fn(spark, s"$root/$e").collect().map(_.toString).sorted.toSeq
+        assert(rows.nonEmpty, s"${q.name} returned zero rows on $e")
+        e -> rows
+      }
+      val distinct = results.map(_._2).distinct
+      assert(distinct.size == 1,
+        s"${q.name} results diverged across ts encodings: " +
+          results.map { case (e, r) => s"$e=${r.length} rows" }.mkString(", "))
+      info(s"${q.name}: ${results.head._2.length} rows, identical on ${encodings.mkString("/")}")
+    }
+  }
+
   /** `slices` time slices 30 min apart, one parquet FILE each, mtimes
     * ascending so maxFilesPerTrigger=1 feeds them to the stream in
     * time order — the long-running-ingest shape where the watermark
