@@ -45,14 +45,28 @@ object Curation {
       .groupBy(col("doc").as("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
 
+  /** The contaminated-id SET (no per-doc counts): train-gram rows
+    * semi-joined to the broadcast eval grams, then distinct doc ids.
+    * The distinct is the scale guard — the anti-join consumer would
+    * tolerate duplicate ids, but broadcasting the raw (doc, shared
+    * gram) matches could be GBs on a heavily-contaminated 100 TB
+    * corpus while the distinct id set stays ∝ contaminated docs.
+    * (Round-13 advice asked for this semi-join shape over
+    * `contaminationScores.select("doc_id")`; the physical plan was
+    * ALREADY identical — Catalyst prunes the unused count, leaving
+    * HashAggregate(functions=[]) — so this is the logical plan saying
+    * what it means, verified plan-equal in EXPLAINS q52b.) */
+  def contaminatedIds(docs: DataFrame, isEval: Column, n: Int): DataFrame =
+    Dedup.wordShingles(docs.filter(!isEval), "doc_id", "text", n)
+      .join(broadcast(evalGrams(docs, isEval, n)), Seq("shingle"), "left_semi")
+      .select(col("doc").as("doc_id")).distinct()
+
   /** The decontaminated training slice: train docs sharing NO n-gram
     * with the eval set. The contaminated-id set is a (small) derived
     * relation — broadcast anti-join, corpus stays map-side. */
-  def decontaminated(docs: DataFrame, isEval: Column, n: Int): DataFrame = {
-    val bad = contaminationScores(docs, isEval, n).select("doc_id")
+  def decontaminated(docs: DataFrame, isEval: Column, n: Int): DataFrame =
     docs.filter(!isEval)
-      .join(broadcast(bad), Seq("doc_id"), "left_anti")
-  }
+      .join(broadcast(contaminatedIds(docs, isEval, n)), Seq("doc_id"), "left_anti")
 
   // ──────────────────────────── PII scrub ────────────────────────────
 
