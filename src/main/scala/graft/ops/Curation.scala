@@ -68,6 +68,34 @@ object Curation {
     docs.filter(!isEval)
       .join(broadcast(contaminatedIds(docs, isEval, n)), Seq("doc_id"), "left_anti")
 
+  // ───────────────────── repetition filtering ─────────────────────
+
+  /** Gopher-style repetition metrics per document: the fraction of
+    * words that are repeats (1 − distinct/total) and the fraction of
+    * word bigrams that are repeats — the standard signals a
+    * pre-training pipeline thresholds to drop boilerplate/looped text.
+    * Pure codegen'd array expressions (split → array_distinct → size),
+    * map-only: at 100 TB this runs inside the scan stage with zero
+    * shuffle. Fractions round to 6 digits (the q43 quality-score
+    * discipline) so Spark and DuckDB hash-agree. */
+  def repetitionMetrics(docs: DataFrame, idCol: String, textCol: String,
+      maxDupWord: Double = 0.55, maxDupBigram: Double = 0.04): DataFrame = {
+    val w = split(lower(trim(col(textCol))), "\\s+")
+    val n = size(w)
+    val dupW = round(lit(1.0) - size(array_distinct(w)) / n.cast("double"), 6)
+    val grams = transform(sequence(lit(1), n - 1),
+      i => concat(element_at(w, i), lit(" "), element_at(w, i + 1)))
+    val dup2 = when(n >= 2,
+      round(lit(1.0) - size(array_distinct(grams)) / (n - 1).cast("double"), 6))
+      .otherwise(lit(0.0))
+    docs.select(col(idCol),
+        n.cast("long").as("n_words"), dupW.as("dup_word_frac"),
+        dup2.as("dup_2gram_frac"))
+      .withColumn("keep",
+        (col("dup_word_frac") <= maxDupWord &&
+         col("dup_2gram_frac") <= maxDupBigram).cast("long"))
+  }
+
   // ──────────────────────────── PII scrub ────────────────────────────
 
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -111,6 +111,42 @@ object Sampler {
     df.filter(bucket(key) * lit(maxWeight.toLong) < weight * lit(Buckets))
   }
 
+  /** Deterministic DOMAIN MIXING to target proportions: derive each
+    * stratum's keep rate from its OBSERVED count so the kept corpus
+    * approaches the target weight mix `weight` (an integer column that
+    * is constant within a stratum), at the largest size the data
+    * allows. The binding stratum — the one whose availability/weight
+    * ratio is smallest — keeps 100%; every other stratum downsamples
+    * proportionally:
+    *
+    *   rate_bp(s) = min over t of (10000 · n_t · w_s) div (w_t · n_s)
+    *
+    * `floor(min x) = min(floor x)` over the tiny strata×strata cross
+    * join keeps the whole derivation in exact Int64 arithmetic — no
+    * float argmin, no tie-break ambiguity — so the DuckDB oracle
+    * reproduces the rates bit-for-bit (t = s contributes exactly
+    * 10000, bounding every rate). Scale shape at 100 TB: one
+    * partial-agg shuffle over ~#strata keys, a #strata² literal cross
+    * join, then a broadcast join feeding the same map-only bucket
+    * predicate as [[bernoulli]] — the corpus itself never shuffles.
+    * Returns (rates, mixed): rates = (s, w, n, rate_bp) for
+    * reporting, mixed = the filtered rows. */
+  def mixToTarget(df: DataFrame, key: Column, stratum: Column,
+      weight: Column): (DataFrame, DataFrame) = {
+    val counts = df.groupBy(stratum.as("s"))
+      .agg(count(lit(1)).as("n"), max(weight).cast("long").as("w"))
+    val rates = counts.as("a")
+      .crossJoin(counts.select(col("s").as("ts"), col("n").as("tn"),
+        col("w").as("tw")))
+      .groupBy(col("a.s"), col("a.w"), col("a.n"))
+      .agg(min(expr(s"($Buckets * tn * w) div (tw * n)")).as("rate_bp"))
+    val mixed = df.join(broadcast(rates.select(col("s"), col("rate_bp"))),
+        stratum === col("s"))
+      .filter(bucket(key) < col("rate_bp"))
+      .drop("s", "rate_bp")
+    (rates, mixed)
+  }
+
   /** Deterministic train/val/test assignment: buckets [0, trainBp) →
     * "train", [trainBp, trainBp+valBp) → "val", rest → "test".
     * Partitions are disjoint and exhaustive BY CONSTRUCTION (one total

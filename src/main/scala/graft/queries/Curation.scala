@@ -55,6 +55,32 @@ object Curation5x {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style repetition metrics + keep verdict per document
+    * (duplicate-word fraction ≤ 0.55 AND duplicate-bigram fraction
+    * ≤ 0.04 — thresholds that split the driver corpus non-trivially at
+    * every SF: ~42-44% kept). Map-only array expressions inside the
+    * scan stage; the oracle reproduces the same arithmetic with DuckDB
+    * list functions. */
+  val q55 = QueryDef("q55_repetition_filter",
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+      |    ROUND(1 - len(list_distinct(w))/CAST(len(w) AS DOUBLE), 6) AS dup_word_frac,
+      |    CASE WHEN len(w) >= 2 THEN
+      |      ROUND(1 - len(list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]))
+      |        / CAST(len(w) - 1 AS DOUBLE), 6)
+      |    ELSE 0.0 END AS dup_2gram_frac
+      |  FROM t)
+      |SELECT doc_id, n_words, dup_word_frac, dup_2gram_frac,
+      |  CAST(CASE WHEN dup_word_frac <= 0.55 AND dup_2gram_frac <= 0.04
+      |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Curation.repetitionMetrics(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   /** PII redaction over a synthesized contact blurb (the corpus text
     * is PII-free by construction, so the blurb splices an email, a
     * phone and an account number from each row's own fields — both
@@ -111,5 +137,5 @@ object Curation5x {
       .orderBy("doc_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(q52, q52b, q53, q54, q54b)
+  val defs: Seq[QueryDef] = Seq(q52, q52b, q53, q54, q54b, q55)
 }

@@ -93,5 +93,38 @@ object Sampling {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
-  val defs: Seq[QueryDef] = Seq(q51, q51b, q51c, q51d, q51e)
+  /** Domain mixing to TARGET proportions (q56): per-source keep rates
+    * are DERIVED from the observed counts so the kept corpus hits the
+    * target weight mix (weights 1..3 cycling by source number) at the
+    * largest size the data allows — the binding source keeps 100%,
+    * everything else downsamples proportionally. The whole rate
+    * derivation is exact Int64 arithmetic over a #sources² cross join
+    * (see [[Sampler.mixToTarget]]), so the oracle reproduces the rates
+    * bit-for-bit; the corpus-side work is the same map-only bucket
+    * predicate as q51. Output: per-source target weight, derived
+    * rate, and kept count. */
+  val q56 = QueryDef("q56_mix_to_target",
+    s"""WITH c AS (
+       |  SELECT source AS s,
+       |    CAST(1 + CAST(substr(source, 4) AS BIGINT) % 3 AS BIGINT) AS w,
+       |    COUNT(*) AS n
+       |  FROM documents GROUP BY 1),
+       |r AS (
+       |  SELECT a.s, a.w, a.n, MIN((10000 * b.n * a.w) // (b.w * a.n)) AS rate_bp
+       |  FROM c a CROSS JOIN c b GROUP BY 1, 2, 3)
+       |SELECT d.source, r.w AS target_w, r.rate_bp,
+       |  CAST(COUNT(*) AS BIGINT) AS kept
+       |FROM documents d JOIN r ON d.source = r.s
+       |WHERE ${Sampler.bucketSql("d.doc_id")} < r.rate_bp
+       |GROUP BY 1, 2, 3 ORDER BY d.source""".stripMargin) { (s, dir) =>
+    val d = Tables.documents(s, dir)
+    val weight = expr("1 + CAST(substring(source, 4) AS BIGINT) % 3")
+    val (rates, mixed) = Sampler.mixToTarget(d, col("doc_id"), col("source"), weight)
+    val kept = mixed.groupBy(col("source")).agg(count(lit(1)).as("kept"))
+    rates.select(col("s").as("source"), col("w").as("target_w"), col("rate_bp"))
+      .join(kept, "source")
+      .orderBy("source")
+  }
+
+  val defs: Seq[QueryDef] = Seq(q51, q51b, q51c, q51d, q51e, q56)
 }

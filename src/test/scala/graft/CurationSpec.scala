@@ -54,6 +54,27 @@ class CurationSpec extends SparkSpec {
 
   // ──────────────────────── PII redaction ────────────────────────
 
+  test("repetitionMetrics: hand-computed fractions, keep verdict, single-word guard") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a a"),        // dupw 3/4, bigrams "a a" x3 -> dup2 2/3
+      (2L, "a b c d"),        // all distinct -> 0 / 0, keep
+      (3L, "z"),              // single word: bigram branch must not eval
+      (4L, "x y x y x")       // dupw 3/5; bigrams: x y, y x, x y, y x -> dup2 1/2
+    ).toDF("doc_id", "text")
+    val m = graft.ops.Curation.repetitionMetrics(docs, "doc_id", "text")
+      .as[(Long, Long, Double, Double, Long)].collect().sortBy(_._1)
+    assert(m(0) == ((1L, 4L, 0.75, 0.666667, 0L)))
+    assert(m(1) == ((2L, 4L, 0.0, 0.0, 1L)))
+    assert(m(2) == ((3L, 1L, 0.0, 0.0, 1L)))
+    assert(m(3) == ((4L, 5L, 0.6, 0.5, 0L)))
+    // map-only: no Exchange anywhere in the metric plan
+    val plan = graft.ops.Curation
+      .repetitionMetrics(Tables.documents(spark, sf), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"repetition metrics shuffled:\n$plan")
+  }
+
   test("redactPii scrubs emails, phones and long digit runs, leaves clean text alone") {
     val in = Seq(
       "reach me at jane.doe+x@sub.example.co or 555-0199 acct 12345678",

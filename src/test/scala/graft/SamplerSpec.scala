@@ -118,6 +118,34 @@ class SamplerSpec extends SparkSpec {
     }
   }
 
+  test("mixToTarget: binding stratum keeps 100%, rates match the exact-integer formula, mix approaches target") {
+    val docs = Tables.documents(spark, sf)
+    val weight = expr("1 + CAST(substring(source, 4) AS BIGINT) % 3")
+    val (ratesDf, mixed) = Sampler.mixToTarget(docs, $"doc_id", $"source", weight)
+    val rates = ratesDf.select("s", "w", "n", "rate_bp")
+      .as[(String, Long, Long, Long)].collect()
+    // reference rates computed independently in driver Scala
+    val want = rates.map { case (s, w, n, _) =>
+      s -> rates.map { case (_, tw, tn, _) => 10000L * tn * w / (tw * n) }.min
+    }.toMap
+    rates.foreach { case (s, w, n, got) =>
+      assert(got == want(s), s"rate for $s: got $got, formula says ${want(s)}")
+      assert(got <= 10000L, s"rate for $s exceeds 100%")
+    }
+    assert(rates.exists(_._4 == 10000L), "no binding stratum kept at 100%")
+    // achieved mix: kept_s/w_s should be roughly equal across strata
+    // (hash-sampling variance at ~25 docs/stratum is large — 3x band)
+    val kept = mixed.groupBy("source").count().as[(String, Long)].collect().toMap
+    val wMap = rates.map(r => r._1 -> r._2).toMap
+    val perUnit = kept.map { case (s, k) => k.toDouble / wMap(s) }
+    assert(perUnit.max <= 3.0 * perUnit.min,
+      s"kept-per-weight-unit spread too wide: $perUnit")
+    // corpus side stays map-only: the only join is a broadcast of the
+    // tiny rates relation — no Exchange on the documents branch
+    val plan = mixed.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"rates join not broadcast:\n$plan")
+  }
+
   test("declared q51 queries run and return plausible shapes") {
     for (d <- Sampling.defs) {
       val out = d.fn(spark, sf)
