@@ -49,10 +49,50 @@ object AnnProbe {
     val (cand, candWall) = timed {
       Similarity.nearDupCandidates(emb, planes, tables = 4).count()
     }
+    // Persisted-assignment lifecycle (the q42e production shape,
+    // round-13 verdict item 7): build the centroid + cell-partitioned
+    // assignment artifact ONCE, then probe it — recall must match the
+    // inline ivfTopK (identical deterministic centroids) and the probe
+    // scan must read ∝ nprobe/cells of the assignment bytes.
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("annprobe_ivf").toString + "/index"
+    val ((cents, assigned), buildWall) = timed {
+      graft.ops.IvfIndex.buildOrLoadWithAssignments(spark, emb, 16, idxPath)
+    }
+    val (ivfpHits, ivfpWall) = timed {
+      Similarity.ivfTopKProbed(cents, assigned, queries, k = 5, nprobe = 4)
+        .select("qid", "vid").intersect(exact5).count()
+    }
+    // byte accounting on a single-query probe — the shape where pruning
+    // is visible (a broad query batch can legitimately touch every
+    // cell: 20 queries x 4 probed cells can cover all 16)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val oneQ = Similarity.ivfTopKProbed(cents, assigned,
+      emb.filter(col("vec_id") === 0), k = 5, nprobe = 4)
+    oneQ.count()
+    val assignScan = scans(oneQ.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.endsWith(".assign")))
+      .head
+    val static = assignScan.partitionFilters.filterNot(_.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruning]))
+    def dirBytes(parts: Seq[org.apache.spark.sql.execution.datasources.PartitionDirectory]) =
+      parts.flatMap(_.files).map(_.getLen).sum
+    val probedBytes = dirBytes(assignScan.relation.location.listFiles(static, Nil))
+    val totalBytes = dirBytes(assignScan.relation.location.listFiles(Nil, Nil))
     val effTables = if (tables > 0) tables else Similarity.tablesForCorpus(n)
     println(f"[annprobe] dir=$dir n=$n queries=$nQ planes=$planes tables=$effTables " +
       f"annRecall=${annHits.toDouble / (nQ * 5)}%.3f annWall=$annWall%.2f " +
       f"ivfRecall=${ivfHits.toDouble / (nQ * 5)}%.3f ivfWall=$ivfWall%.2f " +
+      f"ivfProbedRecall=${ivfpHits.toDouble / (nQ * 5)}%.3f ivfProbedWall=$ivfpWall%.2f " +
+      f"ivfBuildWall=$buildWall%.2f " +
+      f"probedBytes=$probedBytes totalBytes=$totalBytes " +
+      f"probedFrac=${probedBytes.toDouble / totalBytes}%.3f " +
       f"candidates=$cand candWall=$candWall%.2f")
     spark.stop()
   }
