@@ -319,5 +319,53 @@ object Streaming {
       .orderBy("wkey")
   }
 
-  val defs: Seq[QueryDef] = Seq(q36, q37, q38, q39, q39b, q48, q48b)
+  /** LEFT-OUTER stream-stream interval join: unmatched left rows are
+    * null-extended only when the watermark passes their join window —
+    * the semantics that make outer joins runnable on unbounded
+    * streams (state for a left row is dropped, and its null row
+    * emitted, once no future right row could match it). Under
+    * AvailableNow the trailing no-data micro-batch advances the final
+    * watermark to max(ts) − 10 min, so the oracle reproduces Spark's
+    * eviction rule EXACTLY: inner pairs unconditionally, plus one
+    * null-extended row for each unmatched left row whose window
+    * upper bound (ts + 5 min) closed strictly before the final
+    * watermark; unmatched rows still inside the horizon at shutdown
+    * produce NOTHING (their state dies with the query). Per-user
+    * row/match counts keep the result compact and hash-stable. */
+  val q48c = QueryDef("q48c_stream_stream_left_outer",
+    """WITH mx AS (SELECT max(ts) AS m FROM events),
+      |lrows AS (
+      |  SELECT a.user_id, a.event_id, a.ts, COUNT(b.ts) AS matches
+      |  FROM events a LEFT JOIN events b
+      |    ON a.user_id = b.user_id
+      |   AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTES
+      |  GROUP BY 1, 2, 3)
+      |SELECT user_id,
+      |  CAST(SUM(CASE WHEN matches > 0 THEN matches
+      |       WHEN ts + INTERVAL 5 MINUTES < m - INTERVAL 10 MINUTES THEN 1
+      |       ELSE 0 END) AS BIGINT) AS row_cnt,
+      |  CAST(SUM(matches) AS BIGINT) AS matched_cnt
+      |FROM lrows CROSS JOIN mx
+      |GROUP BY user_id
+      |HAVING CAST(SUM(CASE WHEN matches > 0 THEN matches
+      |       WHEN ts + INTERVAL 5 MINUTES < m - INTERVAL 10 MINUTES THEN 1
+      |       ELSE 0 END) AS BIGINT) > 0
+      |ORDER BY user_id""".stripMargin) { (s0, dir) =>
+    val s = streamSession(s0)
+    import s.implicits._
+    val a = streamEvents(s, dir).withWatermark("ts", "10 minutes")
+      .select($"user_id", $"ts".as("ts_a"))
+    val b = streamEvents(s, dir).withWatermark("ts", "10 minutes")
+      .select($"user_id".as("user_b"), $"ts".as("ts_b"))
+    val joined = a.join(b,
+      $"user_id" === $"user_b" &&
+        $"ts_b" > $"ts_a" && $"ts_b" <= $"ts_a" + expr("INTERVAL 5 MINUTES"),
+      "left_outer")
+    val sink = runToTable(s, joined, "append")
+    sink.groupBy("user_id")
+      .agg(count(lit(1)).as("row_cnt"), count($"ts_b").as("matched_cnt"))
+      .orderBy("user_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(q36, q37, q38, q39, q39b, q48, q48b, q48c)
 }
