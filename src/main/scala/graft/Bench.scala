@@ -68,8 +68,42 @@ object Bench {
     * a slowdown that affects the 32-way parallel suite). The probe
     * still catches what it exists for: a ≥20% drop from the CURRENT
     * idle steady state. Override with SPARK_GRAFT_CPU_REF after the
-    * next hardware change. */
-  private val CpuProbeRefSec = 0.62
+    * next hardware change.
+    *
+    * RE-calibrated round 14 to 0.72: the idle quiet-box steady state
+    * moved again (three standalone 4-sample sets across the day read
+    * 0.707–0.758) while full-suite totals hit their best-known values
+    * (50.2 / 50.5 s for the 140-entry set, vs 60.2 s for 138 entries
+    * in round 13) — probe drift WITHOUT suite drift on both kernels,
+    * the same machine-epoch signature as the round-12 recalibration.
+    * Protocol + samples in PROBE_CALIBRATION.json; narrative in
+    * BENCHLOG round 14. */
+  private val CpuProbeRefSec = 0.72
+
+  /** Committed reference for [[cpuProbeParSec]] (round-13 verdict item
+    * 5: the all-core probe graduates from evidence to gate). The 0.33
+    * window class is the best-evidenced clean state: every guard-clean
+    * best-total window of rounds 12–13 read par 0.32–0.36 at its edges
+    * (53.6 s @ 0.330/0.358, 54.8 s @ 0.340/0.333, the shipped 138-entry
+    * 60.2 s @ 0.323/0.348 — BENCHLOG round-13 correlation table), while
+    * every degraded window read ≥0.40 (59.4–66.7 s suite totals @
+    * 0.40–0.45). Tolerance 20% puts the gate at 0.396 — exactly the
+    * "par > 0.40 is a slow window" reading rule the correlation
+    * established. 4-sample standalone-JVM confirmations recorded in
+    * PROBE_CALIBRATION.json (par section); override with
+    * SPARK_GRAFT_CPU_PAR_REF after a hardware change.
+    *
+    * RE-calibrated round 14 (the same day it graduated) to 0.39: the
+    * machine epoch moved under BOTH kernels — standalone par samples
+    * read 0.377–0.420 on a quiet box while the full suite hit its
+    * best-known totals (50.2 / 50.5 s for 140 entries vs 60.2 s for
+    * 138 in round 13); see CpuProbeRefSec above for the protocol
+    * citation. Gate = 0.468, spanning the par edges observed on the
+    * two best-total windows (0.39–0.46). The old epoch's 0.40–0.45
+    * "slow window" class is now indistinguishable from the new clean
+    * steady state — the SUITE TOTALS adjudicated that, which is
+    * exactly the calibration protocol's probe-vs-suite cross-check. */
+  private val CpuProbeParRefSec = 0.39
 
   /** Absolute CPU yardstick: one fixed single-thread integer mixing
     * loop (400M xxhash-style rounds, ~0.5 s at reference speed). Its
@@ -146,11 +180,13 @@ object Bench {
         " — timings unreliable, re-run on a quiet machine")
     val cpuRef = sys.env.get("SPARK_GRAFT_CPU_REF").map(_.toDouble)
       .getOrElse(CpuProbeRefSec)
+    val cpuParRef = sys.env.get("SPARK_GRAFT_CPU_PAR_REF").map(_.toDouble)
+      .getOrElse(CpuProbeParRefSec)
     val probe0 = cpuProbeSec()
-    // all-core throughput sample at each edge of the run — evidence
-    // only (no reference yet; see cpuProbeParSec). Taken before the
-    // session exists / after the suite ends so no executor threads
-    // compete with it.
+    // all-core throughput sample at each edge of the run (gated like
+    // the single-core probe since round 14 — see CpuProbeParRefSec).
+    // Taken before the session exists / after the suite ends so no
+    // executor threads compete with it.
     val probePar0 = cpuProbeParSec()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -242,39 +278,55 @@ object Bench {
     var attempt = 0
     var probeStart = probe0
     var probeEnd = probe0
+    var probeParStart = probePar0
+    var probeParEnd = probePar0
     var jvmsRun = jvms0
     var results: Seq[(String, Double, Double, Double)] = Seq.empty
     var cpuSlow = true
+    var parSlow = true
     var jvmsBusy = true
-    while ((cpuSlow || jvmsBusy) && attempt < maxAttempts) {
+    while ((cpuSlow || parSlow || jvmsBusy) && attempt < maxAttempts) {
       attempt += 1
       if (attempt > 1) {
         Thread.sleep(5000) // a dying sbt/Spark JVM gets time to exit
         probeStart = cpuProbeSec()
+        probeParStart = cpuProbeParSec()
         System.err.println(f"[bench] attempt $attempt: re-probed " +
-          f"$probeStart%.3f s (ref $cpuRef%.3f s)")
+          f"$probeStart%.3f s (ref $cpuRef%.3f s), " +
+          f"par $probeParStart%.3f s (ref $cpuParRef%.3f s)")
       }
       val jvmsBefore = if (attempt == 1) jvms0 else otherJvms()
       results = runSuite()
       probeEnd = cpuProbeSec()
+      probeParEnd = cpuProbeParSec()
       // max of the before/after samples: a JVM alive at EITHER edge of
       // the pass may have overlapped the timings (a mid-pass exit or
       // spawn still shows on one edge)
       jvmsRun = math.max(jvmsBefore, otherJvms())
       cpuSlow = math.max(probeStart, probeEnd) > cpuRef * 1.2
+      // all-core gate (round-13 graduation): the single-core probe is
+      // provably blind to all-core throughput drops — rounds 12-13
+      // shipped 59-67 s suite totals with the single-core probe green
+      // and par at 0.40-0.45
+      parSlow = math.max(probeParStart, probeParEnd) > cpuParRef * 1.2
       jvmsBusy = jvmsRun > 0
       if (cpuSlow) System.err.println(
         f"[bench] WARNING: CPU probe off reference (start=$probeStart%.3f s, " +
           f"end=$probeEnd%.3f s, ref=$cpuRef%.3f s, tol 20%%) — machine " +
           (if (attempt < maxAttempts) "uniformly slow; retrying the timed pass"
            else "uniformly slow on every attempt; emitting probe-normalized twin"))
+      if (parSlow) System.err.println(
+        f"[bench] WARNING: all-core probe off reference " +
+          f"(start=$probeParStart%.3f s, end=$probeParEnd%.3f s, " +
+          f"ref=$cpuParRef%.3f s, tol 20%%) — " +
+          (if (attempt < maxAttempts) "slow window; retrying the timed pass"
+           else "slow window on every attempt; artifact flagged par_slow"))
       if (jvmsBusy) System.err.println(
         s"[bench] WARNING: $jvmsRun other JVM(s) alive around the timed pass — " +
           (if (attempt < maxAttempts) "contended; retrying the timed pass"
            else "contended on every attempt; artifact flagged contended_run"))
     }
     val load1 = loadAvg1m()
-    val probePar1 = cpuProbeParSec()
     // Normalization factor for a run that stayed slow on every attempt.
     // CAVEAT (round-12 advice): the probe is SINGLE-CORE integer work,
     // and the round-12 recalibration showed single-core turbo drift
@@ -300,7 +352,8 @@ object Bench {
       s""""contended_run":$jvmsBusy,"runs":$runs,"attempts":$attempt,""" +
       s""""cpu_probe_start":$probeStart,"cpu_probe_end":$probeEnd,""" +
       s""""cpu_probe_ref":$cpuRef,"cpu_slow":$cpuSlow,""" +
-      f""""cpu_probe_par_start":$probePar0%.4f,"cpu_probe_par_end":$probePar1%.4f,""" +
+      f""""cpu_probe_par_start":$probeParStart%.4f,"cpu_probe_par_end":$probeParEnd%.4f,""" +
+      s""""cpu_probe_par_ref":$cpuParRef,"par_slow":$parSlow,""" +
       s""""guards":${GuardLog.json}}"""
     val norm = if (cpuSlow)
       f""","normalized":{"factor":$normFactor%.4f,"value":${total * normFactor}%.3f,""" +
@@ -326,7 +379,7 @@ object Bench {
     // "[success]" trailer inside the 2000-char window), printed LAST —
     // after spark.stop(), so no shutdown logging can follow it.
     val compact = compactJson(results.map(r => (r._1, r._2)), total, sfDir,
-      math.max(probeStart, probeEnd), cpuSlow, contended || jvmsBusy, runs,
+      cpuSlow || parSlow, contended || jvmsBusy,
       if (cpuSlow) Some(total * normFactor) else None)
     if (compact.length > 1900) System.err.println(
       s"[bench] WARNING: compact line ${compact.length} B may overflow the capture window")
@@ -343,9 +396,17 @@ object Bench {
     * future round must not silently overflow the 2000-char window
     * that ate every pre-round-11 bench artifact. */
   private[graft] def compactJson(medians: Seq[(String, Double)], total: Double,
-      sfDir: String, probe: Double, cpuSlow: Boolean, contended: Boolean,
-      runs: Int, normValue: Option[Double] = None): String = {
-    def shortKey(n: String) = n.split('_')(0) + (if (n.endsWith("_sql")) "s" else "")
+      sfDir: String, cpuSlow: Boolean, contended: Boolean,
+      normValue: Option[Double] = None): String = {
+    // keys drop the redundant 'q' prefix (every query has one — zero
+    // information, 1 B x suite size inside a hard 2000-char window):
+    // "q41f_dedup_clusters" -> "41f", "q04_projection_sql" -> "04s".
+    // Full names, probe values and run counts live in BENCH_full.json
+    // (the tracked twin written BEFORE this line); the compact line
+    // keeps only what adjudication needs at a glance: totals, per-query
+    // medians, slow/cont flags, the normalized twin.
+    def shortKey(n: String) =
+      n.split('_')(0).stripPrefix("q") + (if (n.endsWith("_sql")) "s" else "")
     val collide = medians.groupBy(r => shortKey(r._1)).exists(_._2.size > 1)
     // adaptive width (<= 5 chars): ms precision where it matters
     // (sub-10 s), 10 ms above, 100 ms above 100 s, whole seconds above
@@ -362,9 +423,8 @@ object Bench {
     // sf renders as the dir BASENAME ("sf0.1") — the full path lives in
     // BENCH_full.json; the window budget is tighter than the path
     val sfShort = java.nio.file.Paths.get(sfDir).getFileName.toString
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
-      f""""queries":$cqs,"sf":"$sfShort",""" +
-      f""""probe":$probe%.3f,"slow":$cpuSlow$norm,""" +
-      f""""cont":$contended,"runs":$runs}"""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      s""""queries":$cqs,"sf":"$sfShort",""" +
+      s""""slow":$cpuSlow$norm,"cont":$contended}"""
   }
 }

@@ -14,7 +14,8 @@ class BenchFormatSpec extends AnyFunSuite {
   private val names = SparkEntry.queries.keys.toSeq.sorted
 
   test("short keys are collision-free over the declared query set") {
-    def shortKey(n: String) = n.split('_')(0) + (if (n.endsWith("_sql")) "s" else "")
+    def shortKey(n: String) =
+      n.split('_')(0).stripPrefix("q") + (if (n.endsWith("_sql")) "s" else "")
     val keys = names.map(shortKey)
     val dup = keys.groupBy(identity).filter(_._2.size > 1).keys
     assert(dup.isEmpty, s"short-key collisions (compact line would fall " +
@@ -26,7 +27,7 @@ class BenchFormatSpec extends AnyFunSuite {
     // rendering a real suite could plausibly hit — four digits before
     // the point per median ("9999.9" at %.1f), total likewise
     val line = Bench.compactJson(names.map(n => (n, 9999.9)), 9999.9,
-      "/root/testdata/sf0.1", 99.999, cpuSlow = true, contended = true, runs = 5,
+      "/root/testdata/sf0.1", cpuSlow = true, contended = true,
       normValue = Some(9999.9))
     assert(line.startsWith("{") && line.endsWith("}"))
     assert(line.length <= 1900,
