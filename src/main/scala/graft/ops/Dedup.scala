@@ -35,6 +35,31 @@ object Dedup {
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.join(exactKeeperIds(df, idCol, textCol), Seq(idCol), "left_semi")
 
+  /** Incremental (cross-ingest) exact dedup — the continuous-crawl
+    * shape: a NEW batch is deduped (a) within itself (min-id per
+    * content hash) and (b) against the EXISTING corpus's hash set,
+    * without ever re-reading the existing TEXT. At 100 TB the
+    * existing side is the persisted fingerprint table a production
+    * pipeline maintains (hash column only — the projection reaches
+    * the parquet scan); here it is derived on the fly. Shuffles:
+    * (hash, id) pairs for the batch agg, hash-only for the anti join
+    * (or a broadcast when the batch's hash set is small). */
+  def incrementalKeepIds(existing: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val seen = existing.select(md5(col(textCol)).as("_h")).distinct()
+    batch.select(md5(col(textCol)).as("_h"), col(idCol))
+      .groupBy("_h").agg(min(col(idCol)).as(idCol))
+      .join(seen, Seq("_h"), "left_anti")
+      .select(idCol)
+  }
+
+  /** Surviving rows of [[incrementalKeepIds]] — semi join on id, same
+    * cost argument as [[exact]]. */
+  def incremental(existing: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String): DataFrame =
+    batch.join(incrementalKeepIds(existing, batch, idCol, textCol),
+      Seq(idCol), "left_semi")
+
   /** Word-level shingles (distinct), the unit for MinHash / Jaccard:
     * positions 1..n-k+1 (1-based), k consecutive tokens each. */
   def wordShingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {

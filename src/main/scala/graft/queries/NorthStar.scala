@@ -37,6 +37,38 @@ object NorthStar {
       .orderBy("content_hash")
   }
 
+  /** Incremental exact dedup (q41h): a new ingest batch — exact
+    * copies of every 7th doc plus a twice-repeated "v2" edit of each —
+    * deduped within itself (min-id per hash) AND against the existing
+    * corpus's hash set. Expected survivors: exactly one v2 row per
+    * source doc (the plain copies die against the corpus, the second
+    * v2 copy dies within-batch). The existing side contributes only
+    * its hash column — the projection a persisted fingerprint table
+    * serves at 100 TB. */
+  val q41h = QueryDef("q41h_dedup_incremental",
+    """WITH base AS (SELECT doc_id, text FROM documents),
+      |batch AS (
+      |  SELECT doc_id + 2000000 AS doc_id, text FROM base WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, text || ' v2' FROM base WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 4000000, text || ' v2' FROM base WHERE doc_id % 7 = 0),
+      |keep AS (SELECT md5(text) AS h, MIN(doc_id) AS doc_id FROM batch GROUP BY 1)
+      |SELECT k.doc_id FROM keep k
+      |WHERE h NOT IN (SELECT md5(text) FROM base)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    val sevenths = d.filter($"doc_id" % 7 === 0)
+    val batch = sevenths.withColumn("doc_id", $"doc_id" + 2000000)
+      .unionByName(sevenths.select(($"doc_id" + 3000000).as("doc_id"),
+        concat($"text", lit(" v2")).as("text")))
+      .unionByName(sevenths.select(($"doc_id" + 4000000).as("doc_id"),
+        concat($"text", lit(" v2")).as("text")))
+    Dedup.incrementalKeepIds(d, batch, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   /** MinHash+LSH near-dup pairs over the duplicated corpus: shingle →
     * minhash → band → bucket-join → verify. xxhash64-based → rows-only
     * (exactness asserted in DedupSpec against true duplicates). */
@@ -458,6 +490,37 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** Per-language length-distribution report (q43f): exact linear-
+    * interpolated quantiles of n_chars — the corpus-stats table every
+    * dataset release publishes. Spark `percentile` and DuckDB
+    * `quantile_cont` share the R-7 convention; results round to 6
+    * digits to absorb last-ulp association differences. One two-phase
+    * hash aggregate over ~|langs| keys — at 100 TB the partial
+    * aggregation absorbs the corpus map-side (for a sketch-based
+    * single-pass alternative at extreme cardinality, see Q35's
+    * approx_count_distinct precedent; exact percentile needs the
+    * per-group value multiset, which Spark accumulates sorted). */
+  val q43f = QueryDef("q43f_length_quantiles",
+    """SELECT lang,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  ROUND(quantile_cont(n_chars, 0.25), 6) AS p25,
+      |  ROUND(quantile_cont(n_chars, 0.5), 6) AS p50,
+      |  ROUND(quantile_cont(n_chars, 0.75), 6) AS p75,
+      |  ROUND(quantile_cont(n_chars, 0.9), 6) AS p90
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables.documents(s, dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("percentile(n_chars, array(0.25D, 0.5D, 0.75D, 0.9D))").as("qa"))
+      .select($"lang", $"n_docs",
+        round(element_at($"qa", 1), 6).as("p25"),
+        round(element_at($"qa", 2), 6).as("p50"),
+        round(element_at($"qa", 3), 6).as("p75"),
+        round(element_at($"qa", 4), 6).as("p90"))
+      .orderBy("lang")
+  }
+
   /** End-to-end curation pipeline — the composed flow a training-data
     * build actually runs: corpus (with duplicates) → quality filter
     * (score ≥ 0.5, ≥ 5 tokens) → exact dedup (keep min doc id per
@@ -570,6 +633,7 @@ object NorthStar {
       .orderBy("media_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(q41a, q41b, q41c, q41d, q41e, q41f, q41g,
-    q42, q42b, q42c, q42d, q42e, q43a, q43b, q43c, q43d, q43e, q44, q44b, q44c)
+  val defs: Seq[QueryDef] = Seq(q41a, q41h, q41b, q41c, q41d, q41e, q41f, q41g,
+    q42, q42b, q42c, q42d, q42e, q43a, q43b, q43c, q43d, q43e, q43f,
+    q44, q44b, q44c)
 }

@@ -21,6 +21,25 @@ class DedupSpec extends SparkSpec {
     assert(out.filter($"doc_id" >= 1000000).count() == 0) // originals kept
   }
 
+  test("incremental dedup: copies die against the corpus, one v2 per source survives within batch") {
+    val d = Tables.documents(spark, sf).select("doc_id", "text")
+    val sevenths = d.filter($"doc_id" % 7 === 0)
+    val batch = sevenths.withColumn("doc_id", $"doc_id" + 2000000)
+      .unionByName(sevenths.select(($"doc_id" + 3000000).as("doc_id"),
+        concat($"text", lit(" v2")).as("text")))
+      .unionByName(sevenths.select(($"doc_id" + 4000000).as("doc_id"),
+        concat($"text", lit(" v2")).as("text")))
+    val keep = Dedup.incremental(d, batch, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val want = sevenths.select(($"doc_id" + 3000000).as("doc_id"))
+      .as[Long].collect().sorted.toSeq
+    assert(keep == want,
+      s"survivors != one v2 per source doc (got ${keep.length}, want ${want.length})")
+    // surviving ROWS carry the batch text, not the corpus text
+    val rows = Dedup.incremental(d, batch, "doc_id", "text")
+    assert(rows.filter(!$"text".endsWith(" v2")).count() == 0)
+  }
+
   test("minhash LSH finds every identical pair") {
     val sigs = Dedup.minHashSignatures(
       Dedup.wordShingles(dupCorpus, "doc_id", "text", 2), 32)
