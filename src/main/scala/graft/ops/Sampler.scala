@@ -135,11 +135,17 @@ object Sampler {
       weight: Column): (DataFrame, DataFrame) = {
     val counts = df.groupBy(stratum.as("s"))
       .agg(count(lit(1)).as("n"), max(weight).cast("long").as("w"))
+    // materialize the ~|strata|-row rate relation ONCE: it feeds both
+    // the broadcast filter and any caller-side report join, and without
+    // the checkpoint each consumer re-runs the corpus count pass
+    // (EXPLAINS round 14 showed 3 hash exchanges over `source` — one
+    // per consumer — for what is one tiny aggregate)
     val rates = counts.as("a")
       .crossJoin(counts.select(col("s").as("ts"), col("n").as("tn"),
         col("w").as("tw")))
       .groupBy(col("a.s"), col("a.w"), col("a.n"))
       .agg(min(expr(s"($Buckets * tn * w) div (tw * n)")).as("rate_bp"))
+      .localCheckpoint()
     val mixed = df.join(broadcast(rates.select(col("s"), col("rate_bp"))),
         stratum === col("s"))
       .filter(bucket(key) < col("rate_bp"))
