@@ -60,6 +60,37 @@ object Dedup {
     batch.join(incrementalKeepIds(existing, batch, idCol, textCol),
       Seq(idCol), "left_semi")
 
+  /** Bloom-prefiltered [[incrementalKeepIds]] — identical output, the
+    * 100 TB access pattern: ONE aggregation pass folds the existing
+    * corpus's fingerprints into a Bloom filter (a KB–MB binary,
+    * collected like a broadcast build side), every batch row is tagged
+    * `might_contain` MAP-SIDE inside its scan stage (graft_bloom_agg /
+    * graft_might_contain are Spark's runtime-filter expressions,
+    * SQL-exposed by GraftExtensions), and only the maybe-seen slice —
+    * true hits plus the bloom's false positives — reaches the exact
+    * anti-join against the fingerprint set. Definite negatives (the
+    * bulk of a typical crawl batch) never join anything. The bloom can
+    * only ERR TOWARD the exact path, so the result is bit-identical to
+    * the unfiltered operator (DedupSpec pins equality; q41i shares
+    * q41h's oracle). */
+  def incrementalKeepIdsBloom(existing: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val bloom = existing
+      .select(call_function("graft_bloom_agg",
+        xxhash64(md5(col(textCol)))).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val tagged = batch.select(md5(col(textCol)).as("_h"), col(idCol))
+      .withColumn("_maybe",
+        call_function("graft_might_contain", lit(bloom), xxhash64(col("_h"))))
+      .groupBy("_h")
+      .agg(min(col(idCol)).as(idCol), first(col("_maybe")).as("_maybe"))
+    val clean = tagged.filter(!col("_maybe")).select(idCol)
+    val seen = existing.select(md5(col(textCol)).as("_h")).distinct()
+    val maybe = tagged.filter(col("_maybe"))
+      .join(seen, Seq("_h"), "left_anti").select(idCol)
+    clean.unionByName(maybe)
+  }
+
   /** Word-level shingles (distinct), the unit for MinHash / Jaccard:
     * positions 1..n-k+1 (1-based), k consecutive tokens each. */
   def wordShingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {

@@ -33,8 +33,37 @@ object SimplifyWeiToToken
 /** Session extension hook: register with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ExpressionInfo}
+  import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectOptimizerRule(_ => SimplifyWeiToToken)
+    // Spark's Bloom-filter expressions exist for the runtime-filter
+    // optimizer but are NOT registered as SQL functions; exposing them
+    // makes the 100 TB dedup pre-filter shape (build a bloom over the
+    // existing corpus's fingerprints, drop clean rows map-side before
+    // any shuffle) expressible in one codegen'd pipeline — q41i.
+    e.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        args match {
+          case Seq(c)       => new BloomFilterAggregate(c).toAggregateExpression()
+          case Seq(c, n)    => new BloomFilterAggregate(c, n).toAggregateExpression()
+          case Seq(c, n, b) => new BloomFilterAggregate(c, n, b).toAggregateExpression()
+          case _ => throw new IllegalArgumentException(
+            "graft_bloom_agg(hash[, expectedItems[, numBits]])")
+        }))
+    e.injectFunction((
+      FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_might_contain"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        args match {
+          case Seq(bloom, v) => BloomFilterMightContain(bloom, v)
+          case _ => throw new IllegalArgumentException(
+            "graft_might_contain(bloom, hash)")
+        }))
   }
 }

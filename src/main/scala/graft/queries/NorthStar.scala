@@ -69,6 +69,25 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** q41i: the Bloom-prefiltered twin of q41h — same batch, same
+    * semantics, same oracle; the bloom (built in one aggregation pass
+    * over the existing corpus's fingerprints, applied map-side via
+    * the SQL-exposed runtime-filter expressions) only short-circuits
+    * definite negatives, so the answer is bit-identical while the
+    * exact anti-join receives just the maybe-seen slice. */
+  val q41i = QueryDef("q41i_dedup_incremental_bloom", q41h.oracle.get) { (s, dir) =>
+    import s.implicits._
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    val sevenths = d.filter($"doc_id" % 7 === 0)
+    val batch = sevenths.withColumn("doc_id", $"doc_id" + 2000000)
+      .unionByName(sevenths.select(($"doc_id" + 3000000).as("doc_id"),
+        concat($"text", lit(" v2")).as("text")))
+      .unionByName(sevenths.select(($"doc_id" + 4000000).as("doc_id"),
+        concat($"text", lit(" v2")).as("text")))
+    Dedup.incrementalKeepIdsBloom(d, batch, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   /** MinHash+LSH near-dup pairs over the duplicated corpus: shingle →
     * minhash → band → bucket-join → verify. xxhash64-based → rows-only
     * (exactness asserted in DedupSpec against true duplicates). */
@@ -633,7 +652,7 @@ object NorthStar {
       .orderBy("media_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(q41a, q41h, q41b, q41c, q41d, q41e, q41f, q41g,
+  val defs: Seq[QueryDef] = Seq(q41a, q41h, q41i, q41b, q41c, q41d, q41e, q41f, q41g,
     q42, q42b, q42c, q42d, q42e, q43a, q43b, q43c, q43d, q43e, q43f,
     q44, q44b, q44c)
 }

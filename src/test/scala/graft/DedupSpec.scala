@@ -40,6 +40,33 @@ class DedupSpec extends SparkSpec {
     assert(rows.filter(!$"text".endsWith(" v2")).count() == 0)
   }
 
+  test("bloom-prefiltered incremental dedup is bit-identical to the exact operator and actually prefilters") {
+    val d = Tables.documents(spark, sf).select("doc_id", "text")
+    val sevenths = d.filter($"doc_id" % 7 === 0)
+    val batch = sevenths.withColumn("doc_id", $"doc_id" + 2000000)
+      .unionByName(sevenths.select(($"doc_id" + 3000000).as("doc_id"),
+        concat($"text", lit(" v2")).as("text")))
+      .unionByName(sevenths.select(($"doc_id" + 4000000).as("doc_id"),
+        concat($"text", lit(" v2")).as("text")))
+    val exact = Dedup.incrementalKeepIds(d, batch, "doc_id", "text")
+      .as[Long].collect().sorted.toSeq
+    val bloomed = Dedup.incrementalKeepIdsBloom(d, batch, "doc_id", "text")
+      .as[Long].collect().sorted.toSeq
+    assert(bloomed == exact, "bloom path diverged from the exact operator")
+    // the prefilter must actually prefilter: the unseen (v2) hashes are
+    // 2/3 of the batch; allowing generous false positives, well under
+    // half of the batch may reach the exact anti-join
+    val bloom = d.select(org.apache.spark.sql.functions.call_function(
+      "graft_bloom_agg", xxhash64(md5($"text"))).as("bf")).head().getAs[Array[Byte]]("bf")
+    val maybe = batch.select(md5($"text").as("_h"))
+      .filter(org.apache.spark.sql.functions.call_function(
+        "graft_might_contain", lit(bloom), xxhash64($"_h")))
+      .count()
+    val total = batch.count()
+    assert(maybe < total / 2,
+      s"bloom passed $maybe of $total batch rows — not filtering (FPP blowout?)")
+  }
+
   test("minhash LSH finds every identical pair") {
     val sigs = Dedup.minHashSignatures(
       Dedup.wordShingles(dupCorpus, "doc_id", "text", 2), 32)
