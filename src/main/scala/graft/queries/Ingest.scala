@@ -275,5 +275,31 @@ object Ingest {
       col("l_orderkey") === col("o_orderkey"))
   }
 
-  val defs: Seq[QueryDef] = Seq(q45, q45b, q46, q46b, q50)
+  /** q46c: the reference's WHOLE weekly topology as one pipeline —
+    * periodic trigger (AvailableNow stream, R19) → windowed transform
+    * (the q36 tumbling aggregate) → full-refresh load (stage-and-swap
+    * generation write, R13–R16) → queryable readback of the swapped
+    * generation. The oracle is q36's batch-equivalent SQL: the load
+    * step must neither drop nor duplicate a row of the streamed
+    * aggregate (redshift.py:124's "full refresh, no duplicates"
+    * contract, held atomically). Double refresh proves replacement
+    * exactly like q46. */
+  private val streamLoadScratch =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  val q46c = QueryDef("q46c_stream_refresh_pipeline",
+    Streaming.q36.oracle.get) { (s, dir) =>
+    import s.implicits._
+    val agg = Streaming.q36.fn(s, dir) // readStream -> window agg -> sink table
+    val root = streamLoadScratch.computeIfAbsent(dir,
+      _ => java.nio.file.Files.createTempDirectory("graft_sload").toString + "/events_10m")
+    root.synchronized {
+      graft.ops.StagedRefresh.refresh(agg.limit(3), root) // stale generation
+      graft.ops.StagedRefresh.refresh(agg, root)          // weekly full refresh
+      graft.ops.StagedRefresh.readCurrent(s, root).localCheckpoint()
+    }
+      .orderBy("ws", "event_type")
+  }
+
+  val defs: Seq[QueryDef] = Seq(q45, q45b, q46, q46b, q46c, q50)
 }
