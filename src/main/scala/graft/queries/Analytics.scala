@@ -1,0 +1,93 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** q57–q58 — the classic product-analytics queries the reference's
+  * delegated warehouse surface exists to serve (the wallet_txs table
+  * is loaded into Redshift precisely so analysts can run funnels and
+  * cohorts over it; events stands in as the behavioral table here).
+  *
+  * Both are pure relational compositions: per-user tiny aggregates
+  * (min timestamps / first-seen week) joined back against the event
+  * stream. At 100 TB each per-user relation is orders of magnitude
+  * smaller than the events table — the joins broadcast, and the only
+  * corpus-sized work is the initial filter+partial-agg, which Catalyst
+  * pushes into the scan stage.
+  */
+object Analytics {
+
+  /** Ordered conversion funnel view → click → purchase: each stage's
+    * timestamp is the user's FIRST qualifying event strictly after the
+    * previous stage (the standard "ordered funnel" definition — a
+    * click before the first view does not count). Null stage = user
+    * never converted that far. Three tiny per-user aggregates chained
+    * by broadcast joins. */
+  val q57 = QueryDef("q57_funnel_ordered",
+    """WITH v AS (
+      |  SELECT user_id, MIN(ts) AS t_view FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t_click
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+      |p AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t_purchase
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+      |SELECT v.user_id,
+      |  strftime(v.t_view, '%Y-%m-%d %H:%M:%S') AS t_view,
+      |  strftime(c.t_click, '%Y-%m-%d %H:%M:%S') AS t_click,
+      |  strftime(p.t_purchase, '%Y-%m-%d %H:%M:%S') AS t_purchase
+      |FROM v LEFT JOIN c ON v.user_id = c.user_id
+      |       LEFT JOIN p ON v.user_id = p.user_id
+      |ORDER BY v.user_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    def fmt(c: org.apache.spark.sql.Column) =
+      date_format(c, "yyyy-MM-dd HH:mm:ss")
+    val v = ev.filter($"event_type" === "view")
+      .groupBy("user_id").agg(min($"ts").as("t_view"))
+    val c = ev.filter($"event_type" === "click")
+      .join(broadcast(v), "user_id").filter($"ts" > $"t_view")
+      .groupBy("user_id").agg(min($"ts").as("t_click"))
+    val p = ev.filter($"event_type" === "purchase")
+      .join(broadcast(c), "user_id").filter($"ts" > $"t_click")
+      .groupBy("user_id").agg(min($"ts").as("t_purchase"))
+    v.join(broadcast(c), Seq("user_id"), "left_outer")
+      .join(broadcast(p), Seq("user_id"), "left_outer")
+      .select($"user_id", fmt($"t_view").as("t_view"),
+        fmt($"t_click").as("t_click"), fmt($"t_purchase").as("t_purchase"))
+      .orderBy("user_id")
+  }
+
+  /** Weekly cohort retention: users grouped by first-seen (signup)
+    * week, activity counted as distinct users per (cohort week,
+    * weeks-since-signup) cell — the retention matrix every analytics
+    * stack publishes. Week truncation is ISO-Monday in both engines;
+    * the offset is an exact integer day difference / 7. */
+  val q58 = QueryDef("q58_cohort_retention",
+    """WITH first_seen AS (
+      |  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_w
+      |  FROM events GROUP BY 1)
+      |SELECT strftime(f.cohort_w, '%Y-%m-%d') AS cohort_week,
+      |  CAST(datediff('day', f.cohort_w, date_trunc('week', e.ts)) // 7 AS BIGINT) AS week_n,
+      |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users
+      |FROM events e JOIN first_seen f ON e.user_id = f.user_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val firstSeen = ev.groupBy("user_id")
+      .agg(date_trunc("week", min($"ts")).as("cohort_w"))
+    ev.join(broadcast(firstSeen), "user_id")
+      .select(date_format($"cohort_w", "yyyy-MM-dd").as("cohort_week"),
+        (datediff(date_trunc("week", $"ts"), $"cohort_w") / 7)
+          .cast("long").as("week_n"),
+        $"user_id")
+      .groupBy("cohort_week", "week_n")
+      .agg(countDistinct($"user_id").as("active_users"))
+      .orderBy("cohort_week", "week_n")
+  }
+
+  val defs: Seq[QueryDef] = Seq(q57, q58)
+}
