@@ -236,8 +236,10 @@ class StreamScaleSpec extends SparkSpec {
   }
 
   /** The q48-shaped watermarked interval self-join over a slice dir,
-    * one file per trigger. */
-  private def slicedJoin(dir: String): DataFrame = {
+    * one file per trigger; q48c's left-outer shape shares the
+    * machinery (outer state carries the extra "matched" bit and the
+    * null-emission obligation — its horizon must bound identically). */
+  private def slicedJoin(dir: String, joinType: String = "inner"): DataFrame = {
     val sch = spark.read.parquet(dir).schema
     def src = spark.readStream.schema(sch)
       .option("maxFilesPerTrigger", "1").parquet(dir)
@@ -246,7 +248,8 @@ class StreamScaleSpec extends SparkSpec {
     val b = src.withWatermark("ts", "10 minutes")
       .select($"user_id".as("user_b"), $"ts".as("ts_b"))
     a.join(b, $"user_id" === $"user_b" &&
-      $"ts_b" > $"ts_a" && $"ts_b" <= $"ts_a" + expr("INTERVAL 5 MINUTES"))
+      $"ts_b" > $"ts_a" && $"ts_b" <= $"ts_a" + expr("INTERVAL 5 MINUTES"),
+      joinType)
   }
 
   test("join state is bounded by the watermark horizon, not total input (RocksDB)") {
@@ -295,6 +298,20 @@ class StreamScaleSpec extends SparkSpec {
       // input (24 slices x perSlice x 2 sides)
       assert(s24 < 24L * perSlice * 2 / 3,
         s"peak state $s24 holds most of the input — horizon not bounding")
+      // q48c's LEFT-OUTER shape: state additionally tracks matched-ness
+      // and owes null rows at eviction — the horizon must bound the
+      // same way, and outer output = inner pairs + null-extended rows
+      // bounded by the left input
+      val (o12, oprog12) = run(slicedJoin(s"$root/s12", "left_outer"), "append")
+      val (o24, oprog24) = run(slicedJoin(s"$root/s24", "left_outer"), "append")
+      assert(o12 >= rows12 && o12 <= rows12 + 12L * perSlice,
+        s"outer 12-slice rows $o12 outside [inner, inner + left rows]")
+      assert(o24 >= rows24 && o24 <= rows24 + 24L * perSlice,
+        s"outer 24-slice rows $o24 outside [inner, inner + left rows]")
+      val (os12, os24) = (stateMax(oprog12), stateMax(oprog24))
+      info(f"outer peak state rows: $os12 (12) -> $os24 (24)")
+      assert(os24 <= os12 * 3 / 2,
+        s"outer-join peak state grew with total input ($os12 -> $os24)")
     } finally prev match {
       case Some(p) => spark.conf.set(confKey, p)
       case None    => spark.conf.unset(confKey)
