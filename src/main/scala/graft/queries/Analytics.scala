@@ -10,10 +10,13 @@ import org.apache.spark.sql.functions._
   *
   * Both are pure relational compositions: per-user tiny aggregates
   * (min timestamps / first-seen week) joined back against the event
-  * stream. At 100 TB each per-user relation is orders of magnitude
-  * smaller than the events table — the joins broadcast, and the only
-  * corpus-sized work is the initial filter+partial-agg, which Catalyst
-  * pushes into the scan stage.
+  * stream. The join strategy is LEFT TO CATALYST: at test scale the
+  * per-user relations sit under the broadcast threshold and plan as
+  * BHJ; at 100 TB (unbounded user cardinality) the same code plans as
+  * a sort-merge join on user_id — forcing broadcast() here would be
+  * exactly the hint that breaks at scale. The only corpus-sized work
+  * is the initial filter+partial-agg, which Catalyst pushes into the
+  * scan stage.
   */
 object Analytics {
 
@@ -22,7 +25,7 @@ object Analytics {
     * previous stage (the standard "ordered funnel" definition — a
     * click before the first view does not count). Null stage = user
     * never converted that far. Three tiny per-user aggregates chained
-    * by broadcast joins. */
+    * by joins (strategy left to Catalyst — see the object doc). */
   val q57 = QueryDef("q57_funnel_ordered",
     """WITH v AS (
       |  SELECT user_id, MIN(ts) AS t_view FROM events
@@ -49,13 +52,13 @@ object Analytics {
     val v = ev.filter($"event_type" === "view")
       .groupBy("user_id").agg(min($"ts").as("t_view"))
     val c = ev.filter($"event_type" === "click")
-      .join(broadcast(v), "user_id").filter($"ts" > $"t_view")
+      .join(v, "user_id").filter($"ts" > $"t_view")
       .groupBy("user_id").agg(min($"ts").as("t_click"))
     val p = ev.filter($"event_type" === "purchase")
-      .join(broadcast(c), "user_id").filter($"ts" > $"t_click")
+      .join(c, "user_id").filter($"ts" > $"t_click")
       .groupBy("user_id").agg(min($"ts").as("t_purchase"))
-    v.join(broadcast(c), Seq("user_id"), "left_outer")
-      .join(broadcast(p), Seq("user_id"), "left_outer")
+    v.join(c, Seq("user_id"), "left_outer")
+      .join(p, Seq("user_id"), "left_outer")
       .select($"user_id", fmt($"t_view").as("t_view"),
         fmt($"t_click").as("t_click"), fmt($"t_purchase").as("t_purchase"))
       .orderBy("user_id")
@@ -79,7 +82,7 @@ object Analytics {
     val ev = Tables.events(s, dir)
     val firstSeen = ev.groupBy("user_id")
       .agg(date_trunc("week", min($"ts")).as("cohort_w"))
-    ev.join(broadcast(firstSeen), "user_id")
+    ev.join(firstSeen, "user_id")
       .select(date_format($"cohort_w", "yyyy-MM-dd").as("cohort_week"),
         (datediff(date_trunc("week", $"ts"), $"cohort_w") / 7)
           .cast("long").as("week_n"),
