@@ -347,7 +347,20 @@ object Bench {
     // other_jvms = the ACCEPTED attempt's max(before, after) sample —
     // the number that scopes the timings; the launch-time count rides
     // along for the contention history
+    // Provenance stamp (round-14 verdict item 7: the builder's close
+    // run and the driver's re-run differed 17% and BENCH_full.json is
+    // silently last-writer-wins — totals must be attributable without
+    // BENCHLOG archaeology). `runner` comes from SPARK_GRAFT_BENCH_RUNNER
+    // (the builder's close sequence sets e.g. "builder-r15"; the driver
+    // sets nothing and reads "driver"); `run_ts` is the wall-clock
+    // write instant; `host_epoch` names the probe-calibration epoch the
+    // run was judged against.
+    val runner = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNNER", "driver")
+    val runTs = java.time.ZonedDateTime.now(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ISO_INSTANT)
+    val hostEpoch = f"cpu$cpuRef%.2f-par$cpuParRef%.2f"
     val env = s"""{"load_start":$load0,"load_end":$load1,"other_jvms":$jvmsRun,""" +
+      s""""runner":"$runner","run_ts":"$runTs","host_epoch":"$hostEpoch",""" +
       s""""other_jvms_launch":$jvms0,"contended":$contended,""" +
       s""""contended_run":$jvmsBusy,"runs":$runs,"attempts":$attempt,""" +
       s""""cpu_probe_start":$probeStart,"cpu_probe_end":$probeEnd,""" +
@@ -379,8 +392,8 @@ object Bench {
     // "[success]" trailer inside the 2000-char window), printed LAST —
     // after spark.stop(), so no shutdown logging can follow it.
     val compact = compactJson(results.map(r => (r._1, r._2)), total, sfDir,
-      cpuSlow || parSlow, contended || jvmsBusy,
-      if (cpuSlow) Some(total * normFactor) else None)
+      cpuSlow, contended || jvmsBusy,
+      if (cpuSlow) Some(total * normFactor) else None, parSlow)
     if (compact.length > 1900) System.err.println(
       s"[bench] WARNING: compact line ${compact.length} B may overflow the capture window")
     println(compact)
@@ -397,14 +410,14 @@ object Bench {
     * that ate every pre-round-11 bench artifact. */
   private[graft] def compactJson(medians: Seq[(String, Double)], total: Double,
       sfDir: String, cpuSlow: Boolean, contended: Boolean,
-      normValue: Option[Double] = None): String = {
+      normValue: Option[Double] = None, parSlow: Boolean = false): String = {
     // keys drop the redundant 'q' prefix (every query has one — zero
     // information, 1 B x suite size inside a hard 2000-char window):
     // "q41f_dedup_clusters" -> "41f", "q04_projection_sql" -> "04s".
     // Full names, probe values and run counts live in BENCH_full.json
     // (the tracked twin written BEFORE this line); the compact line
     // keeps only what adjudication needs at a glance: totals, per-query
-    // medians, slow/cont flags, the normalized twin.
+    // medians, the guard-flag string, the normalized twin.
     def shortKey(n: String) =
       n.split('_')(0).stripPrefix("q") + (if (n.endsWith("_sql")) "s" else "")
     val collide = medians.groupBy(r => shortKey(r._1)).exists(_._2.size > 1)
@@ -423,8 +436,20 @@ object Bench {
     // sf renders as the dir BASENAME ("sf0.1") — the full path lives in
     // BENCH_full.json; the window budget is tighter than the path
     val sfShort = java.nio.file.Paths.get(sfDir).getFileName.toString
+    // "fl" is a guard-flag string — "S" single-core probe slow, "P"
+    // all-core probe slow, "C" contended/other-JVMs; "" = clean run.
+    // Split flags (round-14 advice): a par-only trip used to read
+    // "slow":true with no "norm" twin, and a consumer treating
+    // slow=true as normalizable got an ambiguous artifact — now only
+    // "S" is normalizable (the norm ratio is a single-core
+    // measurement) and "norm" appears exactly when S does. A string,
+    // not three booleans: the 153-entry suite leaves <50 B of window
+    // headroom at worst-case widths (BenchFormatSpec). The full env
+    // block carries cpu_slow/par_slow/contended_run verbatim.
+    val flags = (if (cpuSlow) "S" else "") + (if (parSlow) "P" else "") +
+      (if (contended) "C" else "")
     s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""queries":$cqs,"sf":"$sfShort",""" +
-      s""""slow":$cpuSlow$norm,"cont":$contended}"""
+      s""""fl":"$flags"$norm}"""
   }
 }

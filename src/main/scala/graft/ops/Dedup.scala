@@ -79,6 +79,13 @@ object Dedup {
       .select(call_function("graft_bloom_agg",
         xxhash64(md5(col(textCol)))).as("bf"))
       .head().getAs[Array[Byte]]("bf")
+    // bloom_filter_agg over ZERO rows aggregates to NULL, and
+    // might_contain(NULL, h) is NULL — both the !_maybe and _maybe
+    // filters below would then drop EVERY row, silently discarding the
+    // batch instead of within-batch deduping it. An empty corpus has
+    // nothing to prefilter against: take the exact path directly.
+    if (bloom == null)
+      return incrementalKeepIds(existing, batch, idCol, textCol)
     val tagged = batch.select(md5(col(textCol)).as("_h"), col(idCol))
       .withColumn("_maybe",
         call_function("graft_might_contain", lit(bloom), xxhash64(col("_h"))))

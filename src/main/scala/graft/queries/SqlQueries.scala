@@ -233,7 +233,80 @@ object SqlQueries {
           |    aggregate(split(trim(text), '\\s+'), 0,
           |      (acc, w) -> acc + CAST(ceil(CAST(length(w) AS DOUBLE) / 4.0D) AS INT)) AS bpe_tokens
           |  FROM documents)
-          |ORDER BY doc_id""".stripMargin))
+          |ORDER BY doc_id""".stripMargin),
+      // round-15 additions (round-14 verdict item 5): the six new
+      // SQL-expressible queries get their `_sql` twins. q41h's oracle
+      // is ANSI enough to run verbatim (md5 / || / NOT IN are shared
+      // dialect); the rest swap DuckDB spellings — quantile_cont→
+      // percentile, strftime→date_format, datediff('day',a,b)→
+      // datediff(b,a), '//'→DIV, list comprehension→transform(sequence).
+      verbatim(NorthStar.q41h),
+      (NorthStar.q43f,
+        """SELECT lang,
+          |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |  ROUND(percentile(n_chars, 0.25D), 6) AS p25,
+          |  ROUND(percentile(n_chars, 0.5D), 6) AS p50,
+          |  ROUND(percentile(n_chars, 0.75D), 6) AS p75,
+          |  ROUND(percentile(n_chars, 0.9D), 6) AS p90
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+      (Curation5x.q55,
+        """WITH t AS (
+          |  SELECT doc_id, split(lower(trim(text)), '\\s+') AS w FROM documents),
+          |m AS (
+          |  SELECT doc_id, CAST(size(w) AS BIGINT) AS n_words,
+          |    ROUND(1.0D - size(array_distinct(w)) / CAST(size(w) AS DOUBLE), 6) AS dup_word_frac,
+          |    CASE WHEN size(w) >= 2 THEN
+          |      ROUND(1.0D - size(array_distinct(transform(sequence(1, size(w) - 1),
+          |        i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))))
+          |        / CAST(size(w) - 1 AS DOUBLE), 6)
+          |    ELSE 0.0D END AS dup_2gram_frac
+          |  FROM t)
+          |SELECT doc_id, n_words, dup_word_frac, dup_2gram_frac,
+          |  CAST(CASE WHEN dup_word_frac <= 0.55D AND dup_2gram_frac <= 0.04D
+          |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+          |FROM m ORDER BY doc_id""".stripMargin),
+      (Sampling.q56,
+        s"""WITH c AS (
+           |  SELECT source AS s,
+           |    CAST(1 + CAST(substr(source, 4) AS BIGINT) % 3 AS BIGINT) AS w,
+           |    COUNT(*) AS n
+           |  FROM documents GROUP BY 1),
+           |r AS (
+           |  SELECT a.s, a.w, a.n, MIN((10000 * b.n * a.w) DIV (b.w * a.n)) AS rate_bp
+           |  FROM c a CROSS JOIN c b GROUP BY 1, 2, 3)
+           |SELECT d.source, r.w AS target_w, r.rate_bp,
+           |  CAST(COUNT(*) AS BIGINT) AS kept
+           |FROM documents d JOIN r ON d.source = r.s
+           |WHERE ${graft.ops.Sampler.bucketSql("d.doc_id")} < r.rate_bp
+           |GROUP BY 1, 2, 3 ORDER BY d.source""".stripMargin),
+      (Analytics.q57,
+        """WITH v AS (
+          |  SELECT user_id, MIN(ts) AS t_view FROM events
+          |  WHERE event_type = 'view' GROUP BY 1),
+          |c AS (
+          |  SELECT e.user_id, MIN(e.ts) AS t_click
+          |  FROM events e JOIN v ON e.user_id = v.user_id
+          |  WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+          |p AS (
+          |  SELECT e.user_id, MIN(e.ts) AS t_purchase
+          |  FROM events e JOIN c ON e.user_id = c.user_id
+          |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+          |SELECT v.user_id,
+          |  date_format(v.t_view, 'yyyy-MM-dd HH:mm:ss') AS t_view,
+          |  date_format(c.t_click, 'yyyy-MM-dd HH:mm:ss') AS t_click,
+          |  date_format(p.t_purchase, 'yyyy-MM-dd HH:mm:ss') AS t_purchase
+          |FROM v LEFT JOIN c ON v.user_id = c.user_id
+          |       LEFT JOIN p ON v.user_id = p.user_id
+          |ORDER BY v.user_id""".stripMargin),
+      (Analytics.q58,
+        """WITH first_seen AS (
+          |  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_w
+          |  FROM events GROUP BY 1)
+          |SELECT date_format(f.cohort_w, 'yyyy-MM-dd') AS cohort_week,
+          |  CAST(datediff(date_trunc('week', e.ts), f.cohort_w) / 7 AS BIGINT) AS week_n,
+          |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users
+          |FROM events e JOIN first_seen f ON e.user_id = f.user_id
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   }
 
   /** Spark-SQL text of q43b, generated from the SAME stopword profiles

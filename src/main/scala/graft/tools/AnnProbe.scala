@@ -76,15 +76,22 @@ object AnnProbe {
     val oneQ = Similarity.ivfTopKProbed(cents, assigned,
       emb.filter(col("vec_id") === 0), k = 5, nprobe = 4)
     oneQ.count()
-    val assignScan = scans(oneQ.queryExecution.executedPlan)
-      .filter(_.relation.location.rootPaths.exists(_.toString.endsWith(".assign")))
-      .head
-    val static = assignScan.partitionFilters.filterNot(_.exists(
-      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruning]))
+    // headOption (round-14 advice): a plan-shape change under AQE or a
+    // relocated assignment path must degrade to "bytes unavailable",
+    // not kill the whole probe run after the expensive index build
+    val assignScanOpt = scans(oneQ.queryExecution.executedPlan)
+      .find(_.relation.location.rootPaths.exists(_.toString.endsWith(".assign")))
+    if (assignScanOpt.isEmpty) System.err.println(
+      "[annprobe] WARNING: no FileSourceScanExec over a .assign path in " +
+        "the probed plan — byte accounting skipped (plan shape changed?)")
     def dirBytes(parts: Seq[org.apache.spark.sql.execution.datasources.PartitionDirectory]) =
       parts.flatMap(_.files).map(_.getLen).sum
-    val probedBytes = dirBytes(assignScan.relation.location.listFiles(static, Nil))
-    val totalBytes = dirBytes(assignScan.relation.location.listFiles(Nil, Nil))
+    val (probedBytes, totalBytes) = assignScanOpt.map { assignScan =>
+      val static = assignScan.partitionFilters.filterNot(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruning]))
+      (dirBytes(assignScan.relation.location.listFiles(static, Nil)),
+        dirBytes(assignScan.relation.location.listFiles(Nil, Nil)))
+    }.getOrElse((-1L, -1L))
     val effTables = if (tables > 0) tables else Similarity.tablesForCorpus(n)
     println(f"[annprobe] dir=$dir n=$n queries=$nQ planes=$planes tables=$effTables " +
       f"annRecall=${annHits.toDouble / (nQ * 5)}%.3f annWall=$annWall%.2f " +
@@ -92,7 +99,7 @@ object AnnProbe {
       f"ivfProbedRecall=${ivfpHits.toDouble / (nQ * 5)}%.3f ivfProbedWall=$ivfpWall%.2f " +
       f"ivfBuildWall=$buildWall%.2f " +
       f"probedBytes=$probedBytes totalBytes=$totalBytes " +
-      f"probedFrac=${probedBytes.toDouble / totalBytes}%.3f " +
+      f"probedFrac=${if (totalBytes > 0) probedBytes.toDouble / totalBytes else -1.0}%.3f " +
       f"candidates=$cand candWall=$candWall%.2f")
     spark.stop()
   }

@@ -28,7 +28,7 @@ class BenchFormatSpec extends AnyFunSuite {
     // the point per median ("9999.9" at %.1f), total likewise
     val line = Bench.compactJson(names.map(n => (n, 9999.9)), 9999.9,
       "/root/testdata/sf0.1", cpuSlow = true, contended = true,
-      normValue = Some(9999.9))
+      normValue = Some(9999.9), parSlow = true)
     assert(line.startsWith("{") && line.endsWith("}"))
     assert(line.length <= 1900,
       s"compact line ${line.length} B leaves <100 B for the sbt trailer " +
@@ -36,7 +36,8 @@ class BenchFormatSpec extends AnyFunSuite {
     // shape check without a JSON lib: balanced braces, the fields the
     // driver contract names, and no unescaped newline
     assert(line.count(_ == '{') == line.count(_ == '}'))
-    Seq("\"metric\":", "\"value\":", "\"unit\":\"sec\"", "\"queries\":", "\"sf\":")
+    Seq("\"metric\":", "\"value\":", "\"unit\":\"sec\"", "\"queries\":", "\"sf\":",
+        "\"fl\":\"SPC\"", "\"norm\":")
       .foreach(f => assert(line.contains(f), s"missing $f"))
     assert(!line.contains("\n"))
     assert(line.count(_ == ':') >= names.size + 5)

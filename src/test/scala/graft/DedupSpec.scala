@@ -67,6 +67,22 @@ class DedupSpec extends SparkSpec {
       s"bloom passed $maybe of $total batch rows — not filtering (FPP blowout?)")
   }
 
+  test("bloom-prefiltered incremental dedup: EMPTY corpus falls back to within-batch dedup") {
+    // bloom_filter_agg over zero rows is NULL and might_contain(NULL,h)
+    // is NULL — without the guard both maybe-branches drop every row
+    // and the whole batch silently vanishes (round-14 advice).
+    val d = Tables.documents(spark, sf).select("doc_id", "text")
+    val empty = d.filter(lit(false))
+    val batch = d.limit(5)
+      .unionByName(d.limit(5).withColumn("doc_id", $"doc_id" + 2000000))
+    val got = Dedup.incrementalKeepIdsBloom(empty, batch, "doc_id", "text")
+      .as[Long].collect().sorted.toSeq
+    val want = Dedup.incrementalKeepIds(empty, batch, "doc_id", "text")
+      .as[Long].collect().sorted.toSeq
+    assert(got.nonEmpty, "empty-corpus bloom path discarded the whole batch")
+    assert(got == want, "empty-corpus fallback diverged from the exact operator")
+  }
+
   test("minhash LSH finds every identical pair") {
     val sigs = Dedup.minHashSignatures(
       Dedup.wordShingles(dupCorpus, "doc_id", "text", 2), 32)
