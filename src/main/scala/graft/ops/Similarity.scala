@@ -98,9 +98,17 @@ object Similarity {
     * the per-table hit rate by 1/p, and tables must grow ~(1/p)^Δ to
     * keep recall flat. Measured on the Gaussian fixture (SCALING.md
     * round-12/13 tables): (planes=5, tables=8) → 0.52 recall and
-    * (planes=9, tables=32) → 0.43 — i.e. tables doubling every ~2
-    * planes holds the band, hence 2^((planes+1)/2), anchored at both
-    * measured points.
+    * (planes=9, tables=32) → 0.43/0.47 — i.e. tables doubling every
+    * ~2 planes holds the band, hence 2^((planes+3)/2).
+    *
+    * The +3 (not +1) anchor is the round-15 recall raise (round-14
+    * verdict item 6: the 0.4x band is a teaching-baseline number, not
+    * a production target): doubling the amplification at every scale
+    * lifts the measured band to (planes=5, tables=16) → 0.77 and
+    * (planes=9, tables=64) → 0.73 — ≥ 0.6 at 10× with the SAME
+    * geometric growth law, at ~1.4× candidate-verify wall (AnnProbe
+    * sweep, SCALING.md round 15; tables=128 reads 0.92 at flat wall
+    * at this scale for callers who want more).
     *
     * COST CLASS, stated honestly: tables ≈ √(n/occupancy) — GEOMETRIC
     * in the corpus (~3.2× per decade), so candidate volume
@@ -112,7 +120,7 @@ object Similarity {
     * IVF cell probing ([[ivfTopKProbed]]: build Θ(n), probe
     * ∝ nprobe/cells with recall that HELD 0.60 → 0.67 at 10×). */
   def tablesForCorpus(n: Long, targetOccupancy: Int = 64, floor: Int = 8): Int =
-    math.max(floor, 1 << ((planesForCorpus(n, targetOccupancy) + 1) / 2))
+    math.max(floor, 1 << ((planesForCorpus(n, targetOccupancy) + 3) / 2))
 
   /** Brute-force cosine top-k: broadcast the (small) query set against
     * the corpus — one pass over the corpus, no shuffle of the corpus

@@ -213,13 +213,14 @@ class SimilaritySpec extends SparkSpec {
       .select("qid", "vid").localCheckpoint()
     // annTopKScaled sizes BOTH dials from the 10x count: planesForCorpus
     // bounds candidates, tablesForCorpus holds recall (round-12 verdict
-    // item 1 — the fixed tables=8 default read 0.34 here, derived
-    // tables reads 0.52)
+    // item 1 — the fixed tables=8 default read 0.34 here, the round-12
+    // derivation 0.52; the round-15 doubled amplification targets
+    // ≥ 0.6 at every scale, round-14 verdict item 6)
     val annHits = Similarity.annTopKScaled(emb10, queries, k = 5)
       .select("qid", "vid").intersect(exact5).count()
     val annRecall = annHits.toDouble / (nQ * 5)
     info(f"10x ANN(scaled) recall: $annRecall%.3f ($annHits/${nQ * 5})")
-    assert(annRecall >= 0.4, f"10x scaled-ANN recall $annRecall%.3f below floor 0.4")
+    assert(annRecall >= 0.6, f"10x scaled-ANN recall $annRecall%.3f below floor 0.6")
     // IVF at 10x: same cells/nprobe contract as q42d
     val ivfHits = Similarity.ivfTopK(emb10, queries, k = 5, cells = 16, nprobe = 4)
       .select("qid", "vid").intersect(exact5).count()
