@@ -175,4 +175,61 @@ object Curation {
       }
       .toDF("doc_id", "grp", "n_tokens", "pack")
   }
+
+  // ───────────────────── token-budget selection ─────────────────────
+
+  /** Select the highest-`quality` rows until a global `tokens` budget
+    * is filled — the corpus-selection op every training-data build
+    * runs last ("take the best N-token subset"). A row is kept iff
+    * the running token total over the (quality DESC, id) order,
+    * INCLUDING the row, fits the budget.
+    *
+    * The global prefix sum is computed scale-safely — NOT with a
+    * single-partition global window:
+    *
+    *  1. range-repartition on (quality DESC, id): partition i holds a
+    *     contiguous slice of the selection order;
+    *  2. per-partition token subtotals (one tiny agg, ≤ #partitions
+    *     rows) become cumulative partition offsets on the driver —
+    *     bounded by the partition count, never by data;
+    *  3. each partition adds its offset to a PARTITION-LOCAL window
+    *     prefix sum — map-side after the one range shuffle.
+    *
+    * Partitions whose offset already exceeds the budget are dropped
+    * wholesale before the window runs (predicate on the offset
+    * literal, pushed BELOW the window's exchange), so everything after
+    * the range shuffle is bounded by the budget, not the corpus: the
+    * window's `_pid` re-hash (Catalyst cannot see that a checkpointed
+    * RDD is already pid-clustered) shuffles only the affordable slice.
+    * Pass a SLIM projection (id, quality, tokens, carry-along keys) and
+    * join text back by id afterwards — the two shuffles then move
+    * ~24 B/row, not documents. The kept set is a pure function of the
+    * total order — independent of the partition count (CurationSpec
+    * pins 1-vs-many partition equality). */
+  def selectUnderBudget(docs: DataFrame, idCol: String, qualityCol: String,
+      tokensCol: String, budget: Long): DataFrame = {
+    val spark = docs.sparkSession
+    val ranged = docs
+      .repartitionByRange(col(qualityCol).desc, col(idCol))
+      .withColumn("_pid", spark_partition_id())
+    // localCheckpoint: the offsets agg and the main pass must see the
+    // SAME partitioning (range sampling re-runs otherwise)
+    val staged = ranged.localCheckpoint()
+    val ptok = staged.groupBy("_pid")
+      .agg(sum(col(tokensCol).cast("long")).as("_t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets: Map[Int, Long] =
+      ptok.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) => (pid + 1, acc + t) }
+        .init.zip(ptok).map { case ((_, off), (pid, _)) => pid -> off }.toMap
+    val offExpr = coalesce(
+      element_at(typedLit(offsets), col("_pid")), lit(0L))
+    val w = Window.partitionBy("_pid")
+      .orderBy(col(qualityCol).desc, col(idCol))
+    staged
+      .filter(offExpr <= budget) // whole-partition prune past the budget
+      .withColumn("cum_tokens",
+        sum(col(tokensCol).cast("long")).over(w) + offExpr)
+      .filter(col("cum_tokens") <= budget)
+      .drop("_pid")
+  }
 }

@@ -137,5 +137,53 @@ object Curation5x {
       .orderBy("doc_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(q52, q52b, q53, q54, q54b, q55)
+  /** Token-budget corpus selection (q59): keep the highest-quality
+    * docs until 1/4 of the corpus's total tokens is filled — the
+    * "best N-token subset" op a training-data build runs last. The
+    * quality signal is q43c's formula (same helper, bit-shared
+    * arithmetic); a doc is kept iff the running token total over
+    * (quality DESC, doc_id), including the doc, fits the budget. The
+    * Spark side computes the global prefix sum with a distributed
+    * range-partition + per-partition-offset scheme
+    * ([[graft.ops.Curation.selectUnderBudget]]) — no single-partition
+    * global window; the oracle states the same selection as one
+    * global window, which DuckDB may evaluate however it likes.
+    * DataFrame-entry by design: the semantics live in the custom
+    * distributed-prefix-sum operator. */
+  val q59 = QueryDef("q59_budget_select",
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    ROUND(least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4 +
+      |      (1.0 - punct / greatest(nchar, 1.0)) * 0.3 +
+      |      least(stop_hits / greatest(CAST(len(toks) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.3, 6) AS quality
+      |  FROM (
+      |    SELECT doc_id, lang,
+      |      string_split_regex(lower(text), '\s+') AS toks,
+      |      CAST(length(text) AS DOUBLE) AS nchar,
+      |      CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) AS punct,
+      |      CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+      |        t -> list_contains(['the','of','and','to','in','is','on','for'], t))) AS DOUBLE) AS stop_hits
+      |    FROM documents)),
+      |b AS (SELECT SUM(n_tokens) // 4 AS budget FROM t),
+      |o AS (SELECT doc_id, lang, n_tokens, quality,
+      |        SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id) AS cum_tokens FROM t)
+      |SELECT doc_id, lang, CAST(n_tokens AS INTEGER) AS n_tokens, quality,
+      |  CAST(cum_tokens AS BIGINT) AS cum_tokens
+      |FROM o CROSS JOIN b WHERE cum_tokens <= budget
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val scored = graft.ops.TextAnalysis
+      .qualityScore(Tables.documents(s, dir), "text")
+      .select($"doc_id", $"lang", $"n_tokens".cast("long").as("n_tokens"),
+        $"quality")
+    val total = scored.agg(sum($"n_tokens")).head().getLong(0)
+    Curation.selectUnderBudget(scored, "doc_id", "quality", "n_tokens",
+        total / 4)
+      .select($"doc_id", $"lang", $"n_tokens".cast("int").as("n_tokens"),
+        $"quality", $"cum_tokens")
+      .orderBy("doc_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(q52, q52b, q53, q54, q54b, q55, q59)
 }

@@ -135,4 +135,50 @@ class CurationSpec extends SparkSpec {
     assert(out.sortBy(_._1).toSeq == out2.sortBy(_._1).toSeq,
       "greedy packing changed with input partitioning")
   }
+
+  test("selectUnderBudget: kept set is the maximal affordable prefix of the quality order") {
+    val scored = graft.ops.TextAnalysis
+      .qualityScore(Tables.documents(spark, sf), "text")
+      .select($"doc_id", $"quality", $"n_tokens".cast("long").as("n_tokens"))
+    val rows = scored.as[(Long, Double, Long)].collect()
+      .sortBy { case (id, q, _) => (-q, id) }
+    val total = rows.map(_._3).sum
+    val budget = total / 4
+    // driver-side reference: running sum over the total order
+    val expected = rows.scanLeft((0L, 0L)) { case ((_, acc), (id, _, n)) =>
+      (id, acc + n) }.tail.takeWhile(_._2 <= budget).toMap
+    val got = Curation.selectUnderBudget(scored, "doc_id", "quality",
+        "n_tokens", budget)
+      .select($"doc_id", $"cum_tokens").as[(Long, Long)].collect().toMap
+    assert(got == expected, s"kept set diverged: ${got.size} vs ${expected.size} docs")
+    assert(got.nonEmpty && got.values.max <= budget)
+    // the NEXT doc in quality order must not have been affordable
+    // (maximality — nothing was dropped early)
+    val next = rows.drop(expected.size).headOption
+    next.foreach { case (_, _, n) =>
+      assert(got.values.max + n > budget, "a affordable doc was left out") }
+  }
+
+  test("selectUnderBudget: partition-count independent, and edge budgets behave") {
+    val scored = graft.ops.TextAnalysis
+      .qualityScore(Tables.documents(spark, sf), "text")
+      .select($"doc_id", $"quality", $"n_tokens".cast("long").as("n_tokens"))
+    val total = scored.agg(sum($"n_tokens")).head().getLong(0)
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    def run(): Set[Long] = Curation.selectUnderBudget(scored, "doc_id",
+      "quality", "n_tokens", total / 4).select("doc_id").as[Long].collect().toSet
+    try {
+      spark.conf.set(key, "1")
+      val one = run()
+      spark.conf.set(key, "13")
+      val many = run()
+      assert(one == many, "kept set changed with the range partition count")
+    } finally spark.conf.set(key, prev)
+    // budget 0 keeps nothing; budget >= total keeps everything
+    assert(Curation.selectUnderBudget(scored, "doc_id", "quality",
+      "n_tokens", 0L).count() == 0)
+    assert(Curation.selectUnderBudget(scored, "doc_id", "quality",
+      "n_tokens", total).count() == scored.count())
+  }
 }
