@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines (SURVEY.md Q43
@@ -88,5 +89,43 @@ object TextAnalysis {
       .groupBy("doc")
       .agg(min("whash").as("min_hash"),
         countDistinct("whash").as("n_windows"))
+  }
+
+  /** TF-IDF top-`k` terms per document — the keyword/salience op of
+    * the text-analysis family. tf = per-(doc, term) count; df = docs
+    * containing the term (derived from the tf relation, no second
+    * corpus pass); idf = ln((N+1)/(df+1)) + 1 (the smoothed form, no
+    * zero/negative weights); score = tf·idf rounded to 6 digits.
+    *
+    * RANKING uses the ROUNDED score (then term ASC): the oracle
+    * hash-compares the rounded value anyway, so ranking on it adds no
+    * new cross-engine surface — ranking on the raw double would let a
+    * 1-ulp libm difference (Java Math.log vs the oracle's ln) flip
+    * ranks that the value hash can't see.
+    *
+    * Scale shape: explode + (doc, term) partial-agg count (map-side
+    * combine absorbs within-doc repeats), term-keyed agg for df, a
+    * term-keyed join (AQE broadcasts df when the vocabulary is small;
+    * shuffles both sides on term otherwise), then a per-doc top-k
+    * window — WindowGroupLimit prunes to k per doc before the final
+    * sort. N arrives as a literal (one count, driver-side). */
+  def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val n = docs.count().toDouble
+    val toks = docs.select(col(idCol),
+        explode(split(lower(col(textCol)), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "term")
+      .withColumn("tfidf", round(
+        col("tf") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0), 6))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        col("tfidf"), col("rk").cast("int").as("rk"))
   }
 }

@@ -540,6 +540,33 @@ object NorthStar {
       .orderBy("lang")
   }
 
+  /** TF-IDF top-5 terms per document (q43g): per-(doc, term) counts,
+    * corpus doc-frequency from the SAME tf relation (no second scan),
+    * smoothed idf = ln((N+1)/(df+1)) + 1. Ranked by the ROUNDED score
+    * (then term) so a 1-ulp ln() difference between Java and DuckDB
+    * libm can never flip ranks the value hash can't see —
+    * [[graft.ops.TextAnalysis.tfIdfTopTerms]] documents the contract. */
+  val q43g = QueryDef("q43g_tfidf_top_terms",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      |       FROM toks WHERE term <> '' GROUP BY 1, 2),
+      |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |    ROUND(tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+      |  FROM tf JOIN df USING (term) CROSS JOIN n)
+      |SELECT doc_id, term, tf, df, tfidf, CAST(rk AS INTEGER) AS rk FROM (
+      |  SELECT scored.*, ROW_NUMBER() OVER (
+      |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+      |  FROM scored) t WHERE rk <= 5
+      |ORDER BY doc_id, rk""".stripMargin) { (s, dir) =>
+    TextAnalysis.tfIdfTopTerms(Tables.documents(s, dir), "doc_id", "text", 5)
+      .orderBy("doc_id", "rk")
+  }
+
   /** End-to-end curation pipeline — the composed flow a training-data
     * build actually runs: corpus (with duplicates) → quality filter
     * (score ≥ 0.5, ≥ 5 tokens) → exact dedup (keep min doc id per
@@ -653,6 +680,6 @@ object NorthStar {
   }
 
   val defs: Seq[QueryDef] = Seq(q41a, q41h, q41i, q41b, q41c, q41d, q41e, q41f, q41g,
-    q42, q42b, q42c, q42d, q42e, q43a, q43b, q43c, q43d, q43e, q43f,
+    q42, q42b, q42c, q42d, q42e, q43a, q43b, q43c, q43d, q43e, q43f, q43g,
     q44, q44b, q44c)
 }

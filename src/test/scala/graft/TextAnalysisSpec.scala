@@ -72,4 +72,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.values.forall(q => q >= 0.0 && q <= 1.0))
     assert(out(1L) > out(2L))
   }
+
+  test("tfidf top terms: hand-computed scores, rare terms outrank common ones") {
+    // 3 docs; "shared" is in all 3 (df=3), "rare" only in doc 1 (df=1),
+    // "twice" twice in doc 2 (tf=2, df=1). idf = ln((N+1)/(df+1)) + 1.
+    val df = Seq(
+      (1L, "shared rare"),
+      (2L, "shared twice twice"),
+      (3L, "shared")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfIdfTopTerms(df, "doc_id", "text", 5)
+      .as[(Long, String, Long, Long, Double, Int)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    def idf(dfq: Long) = math.log(4.0 / (dfq + 1.0)) + 1.0
+    def exp(tf: Long, dfq: Long) =
+      BigDecimal(tf * idf(dfq)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out((1L, "rare"))._5 == exp(1, 1))
+    assert(out((2L, "twice"))._5 == exp(2, 1))
+    assert(out((1L, "shared"))._5 == exp(1, 3))
+    // rare (df=1) outranks shared (df=3) in doc 1
+    assert(out((1L, "rare"))._6 == 1 && out((1L, "shared"))._6 == 2)
+    // doc 3 has only one term and it still appears, rk=1
+    assert(out((3L, "shared"))._6 == 1)
+    // k bounds output per doc
+    val perDoc = out.values.groupBy(_._1).view.mapValues(_.size)
+    assert(perDoc.values.forall(_ <= 5))
+  }
 }
