@@ -319,6 +319,13 @@ class StreamScaleSpec extends SparkSpec {
       info(f"outer peak state rows: $os12 (12) -> $os24 (24)")
       assert(os24 <= os12 * 3 / 2,
         s"outer-join peak state grew with total input ($os12 -> $os24)")
+      // FULL-outer: both sides owe null rows at eviction — the last
+      // un-declared watermarked join type; same horizon bound applies
+      val (f24, fprog24) = run(slicedJoin(s"$root/s24", "full_outer"), "append")
+      assert(f24 >= o24 && f24 <= o24 + 24L * perSlice,
+        s"full-outer rows $f24 outside [left-outer, left-outer + right rows]")
+      assert(stateMax(fprog24) <= os24 * 3 / 2,
+        s"full-outer peak state ${stateMax(fprog24)} above the left-outer horizon $os24")
     } finally prev match {
       case Some(p) => spark.conf.set(confKey, p)
       case None    => spark.conf.unset(confKey)
