@@ -428,10 +428,10 @@ object Bench {
     def fmt(v: Double): String =
       if (v < 10) f"$v%.3f" else if (v < 100) f"$v%.2f"
       else if (v < 1000) f"$v%.1f" else f"$v%.0f"
-    val cqs = medians.map { case (k, med) =>
+    def entry(k: String, med: Double) = {
       val key = if (collide) k else shortKey(k)
       s""""$key":${fmt(med)}"""
-    }.mkString("{", ",", "}")
+    }
     val norm = normValue.map(v => s""","norm":${fmt(v)}""").getOrElse("")
     // sf renders as the dir BASENAME ("sf0.1") — the full path lives in
     // BENCH_full.json; the window budget is tighter than the path
@@ -448,8 +448,36 @@ object Bench {
     // block carries cpu_slow/par_slow/contended_run verbatim.
     val flags = (if (cpuSlow) "S" else "") + (if (parSlow) "P" else "") +
       (if (contended) "C" else "")
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-      s""""queries":$cqs,"sf":"$sfShort",""" +
-      s""""fl":"$flags"$norm}"""
+    def assemble(qEntries: Seq[(String, Double)], dropped: Int): String = {
+      val cqs = qEntries.map((entry _).tupled).mkString("{", ",", "}")
+      val qtrunc = if (dropped > 0) s""","qtrunc":$dropped""" else ""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s""""queries":$cqs,"sf":"$sfShort",""" +
+        s""""fl":"$flags"$norm$qtrunc}"""
+    }
+    // Width-aware degradation: the driver keeps only the LAST ~2000
+    // chars of stdout, so an oversized line loses its opening brace and
+    // parses as nothing — worse than a partial map. If the full map
+    // would overflow the budget, keep the SLOWEST entries that fit
+    // (the ones adjudication reads first) and record the drop count as
+    // "qtrunc"; BENCH_full.json always carries the complete per-query
+    // record. Grew out of round 15: 155+ declared entries × flat
+    // 5-char medians crossed 1900 B — per-round key/precision
+    // whack-a-mole doesn't scale, a size-bounded line does.
+    val budget = 1900
+    val full = assemble(medians, 0)
+    if (full.length <= budget) full
+    else {
+      val bySlow = medians.sortBy { case (n, med) => (-med, n) }
+      // each dropped entry frees len(entry)+1 bytes; walk from the
+      // fastest end until the line fits (qtrunc field costs ~12 B)
+      var keep = bySlow.size
+      var line = assemble(bySlow, 0)
+      while (line.length > budget && keep > 0) {
+        keep -= 1
+        line = assemble(bySlow.take(keep), bySlow.size - keep)
+      }
+      line
+    }
   }
 }

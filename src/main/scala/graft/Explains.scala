@@ -24,7 +24,62 @@ object Explains {
     "q51c_split_train_val_test",
     "q52_decontaminate", "q52b_decontaminate_clean", "q54_pack_chunks",
     "q55_repetition_filter", "q56_mix_to_target", "q41h_dedup_incremental",
-    "q41i_dedup_incremental_bloom", "q57_funnel_ordered", "q58_cohort_retention")
+    "q41i_dedup_incremental_bloom", "q57_funnel_ordered", "q58_cohort_retention",
+    "q59_budget_select", "q43g_tfidf_top_terms",
+    // round-15 batch 2: warehouse merge + analytics + LM/semantic curation
+    "q60_scd2_history", "q60b_cdc_upsert_latest", "q61_sessionize_batch",
+    "q47b_salted_skew_join", "q43h_lm_logprob", "q41j_dedup_semantic",
+    "q63_approx_percentile")
+
+  /** Prose above a query's plan — the one- paragraph reading guide for
+    * the plan properties SCALING.md leans on. Keyed by query name so a
+    * full regeneration never loses the annotations. */
+  val notes: Map[String, String] = Map(
+    "q59_budget_select" ->
+      """Distributed global prefix sum — range shuffle on (quality DESC, doc_id),
+        |per-partition offsets as a literal map (driver-side, bounded by the
+        |partition count), whole-partition budget prune BELOW the window's
+        |exchange (`Filter (offset <= …)` under `Exchange hashpartitioning(_pid)`
+        |— only the affordable slice re-shuffles), partition-local window sum.
+        |No single-partition global window anywhere.""".stripMargin,
+    "q60_scd2_history" ->
+      """Type-2 history: the four feed branches are ONE union of pushed-down
+        |customer scans; the only exchange is the cust_id hash shuffle feeding
+        |the per-key lead() window (version chains ≤ 3 rows — bounded window
+        |buffers at any key count).""".stripMargin,
+    "q60b_cdc_upsert_latest" ->
+      """CDC latest-wins via max_by: partial_max_by runs MAP-SIDE in the scan
+        |stage (HashAggregate x2 below), so the shuffle carries one row per
+        |key per map task, not the feed — the upsert shape that survives a
+        |100 TB changelog. No sort, no window.""".stripMargin,
+    "q61_sessionize_batch" ->
+      """One user_id exchange feeds the whole query: lag window, running-sum
+        |session index, AND the (user_id, session_idx) aggregate —
+        |HashPartitioning(user_id) satisfies the aggregate's clustered
+        |distribution (subset key), so no second shuffle appears between the
+        |window and the groupBy.""".stripMargin,
+    "q47b_salted_skew_join" ->
+      """Skew-salted join: the part side explodes 8 salt copies, lineitem tags
+        |rows with xxhash64(identity)%8, and the ShuffledHashJoin keys on
+        |(partkey, salt) — a hot key's rows spread over 8 reducers. The salt
+        |dies inside the join; the aggregate above is the plain q09-style
+        |partial+final pair.""".stripMargin,
+    "q43h_lm_logprob" ->
+      """One explode pass feeds the term-count aggregate (map-side combine);
+        |the 1-row corpus total broadcasts onto the token stream; the
+        |token→count join is term-keyed (BHJ at this vocabulary). Per-token
+        |ROUND before the decimal mean keeps the hash partitioning-proof.""".stripMargin,
+    "q41j_dedup_semantic" ->
+      """SemDeDup end-to-end: LSH-bucketed candidate pairs (no all-pairs
+        |stage), cosine filter, pointer-jumping components (the bounded-round
+        |loop is upstream of this final plan), then a left join that folds
+        |singletons back in and a comp-keyed size aggregate. Every relation
+        |after the pair stage is a sliver of the corpus.""".stripMargin,
+    "q63_approx_percentile" ->
+      """Exact percentile (sort-based buffer) and the Greenwald-Khanna approx
+        |sketch computed in the SAME two-phase aggregate pass — the approx
+        |side's state is a KB-scale summary regardless of input rows, which
+        |is the 100 TB path; the exact twin is the correctness anchor.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
@@ -57,7 +112,9 @@ object Explains {
       try {
         val df = SparkEntry.queries(name)(spark, sfDir)
         df.collect() // force AQE final plan
-        sb.append(s"## $name\n\n```\n")
+        sb.append(s"## $name\n\n")
+        notes.get(name).foreach(n => sb.append(n).append("\n\n"))
+        sb.append("```\n")
         sb.append(df.queryExecution.executedPlan.toString.take(6000))
         sb.append("\n```\n\n")
         if (bcastOff) {

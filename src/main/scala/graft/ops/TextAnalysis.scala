@@ -128,4 +128,34 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("df"),
         col("tfidf"), col("rk").cast("int").as("rk"))
   }
+
+  /** Corpus-trained unigram-LM scoring — the perplexity-proxy quality
+    * filter: P(w) = corpus count / corpus tokens, each document scored
+    * by its mean token log-probability (and the equivalent per-token
+    * perplexity). Repetitive boilerplate scores HIGH (common tokens),
+    * rare-garbage scores LOW — the standard cheap stand-in for a real
+    * LM filter, trained and applied in one job.
+    *
+    * Scale shape: one explode pass feeds the term-count aggregate
+    * (map-side combine), the corpus total is a 1-row aggregate
+    * broadcast onto the stream, and the token→probability join is
+    * term-keyed (AQE broadcasts small vocabularies). Per-token
+    * log-probs are ROUNDED to the 6-dp boundary before the
+    * order-independent decimal mean (Canon discipline), so the result
+    * hash-matches the oracle regardless of partitioning. */
+  def unigramLogProb(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+        explode(split(lower(col(textCol)), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val tc = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = tc.agg(sum("cnt").cast("double").as("total"))
+    val lp = toks.join(tc, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("lp", round(log(col("cnt").cast("double") / col("total")), 6))
+    lp.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        graft.Canon.davg(col("lp")).as("avg_logp"))
+      .withColumn("ppl", round(exp(-col("avg_logp")), 6))
+  }
 }

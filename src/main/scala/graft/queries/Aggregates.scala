@@ -150,6 +150,28 @@ object Aggregates {
       .orderBy("wallet_address")
   }
 
+  /** Approx percentile beside its exact twin (the q35 discipline for
+    * quantile sketches): the exact per-language median is duck-checked
+    * value-for-value; the Greenwald-Khanna approx (accuracy 1000 — a
+    * KB-scale summary however many rows stream through it, THE
+    * quantile structure that scales where exact percentile's per-group
+    * sort-buffer does not) is asserted within 5% Spark-side, and the
+    * oracle checks the verdict. */
+  val q63 = QueryDef("q63_approx_percentile",
+    """SELECT lang,
+      |  ROUND(quantile_cont(n_chars, 0.5), 6) AS exact_p50,
+      |  TRUE AS approx_ok
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables.documents(s, dir).groupBy("lang")
+      .agg(round(expr("percentile(n_chars, 0.5D)"), 6).as("exact_p50"),
+        expr("approx_percentile(n_chars, 0.5D, 1000)").as("apx"))
+      .select($"lang", $"exact_p50",
+        (abs($"apx" - $"exact_p50") <=
+          greatest(abs($"exact_p50") * 0.05, lit(1.0))).as("approx_ok"))
+      .orderBy("lang")
+  }
+
   /** HLL++ approx distinct beside its exact twin; the approx value is
     * asserted within 5% Spark-side (engines' sketches differ), the
     * oracle checks the exact value and the tolerance verdict. */
@@ -243,5 +265,5 @@ object Aggregates {
   }
 
   val defs: Seq[QueryDef] =
-    Seq(q16, q17, q17b, q18, q19, q19b, q19c, q20, q35, q47, q49)
+    Seq(q16, q17, q17b, q18, q19, q19b, q19c, q20, q35, q47, q49, q63)
 }

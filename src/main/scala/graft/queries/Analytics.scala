@@ -92,5 +92,37 @@ object Analytics {
       .orderBy("cohort_week", "week_n")
   }
 
-  val defs: Seq[QueryDef] = Seq(q57, q58)
+  /** Gap-based batch sessionization (30-minute inactivity gap): the
+    * relational twin of q38's streaming `session_window`, computed
+    * with lag + running-sum session index + per-session aggregate —
+    * [[graft.ops.Sessions]] documents the one-shuffle plan shape
+    * (the session aggregate reuses the window's user_id partitioning;
+    * no second exchange). Gap comparison is in epoch seconds, strict
+    * `> 1800`, identical integer arithmetic in both engines. */
+  val q61 = QueryDef("q61_sessionize_batch",
+    """WITH o AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    SUM(CASE WHEN prev_ts IS NULL
+      |             OR date_diff('second', prev_ts, ts) > 1800
+      |        THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |  FROM o)
+      |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+      |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_s,
+      |  ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6) AS total_value
+      |FROM s GROUP BY 1, 2
+      |ORDER BY user_id, session_idx""".stripMargin) { (s, dir) =>
+    graft.ops.Sessions.sessionStats(Tables.events(s, dir), gapSeconds = 1800)
+      .orderBy("user_id", "session_idx")
+  }
+
+  val defs: Seq[QueryDef] = Seq(q57, q58, q61)
 }

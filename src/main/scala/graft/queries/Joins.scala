@@ -225,6 +225,31 @@ object Joins {
       .select("r_name", "n_name").orderBy("r_name", "n_name")
   }
 
+  /** Skew-salted shuffle join (q47's JOIN-side twin): dim replicated
+    * 8×, fact rows salted by their OWN identity hash so a hot join key
+    * spreads across 8 reducers — [[graft.ops.Skew.saltedJoin]]
+    * documents when this beats broadcast and AQE skew-split. The salt
+    * never reaches the output, so the result is EXACTLY the plain
+    * join the oracle runs; only the shuffle distribution differs. */
+  val q47b = QueryDef("q47b_salted_skew_join",
+    s"""SELECT p_brand,
+       |  ${graft.Canon.sql.revenue("l_extendedprice", "l_discount")} AS revenue,
+       |  CAST(COUNT(*) AS BIGINT) AS cnt
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val joined = graft.ops.Skew.saltedJoin(
+      Tables.lineitem(s, dir),
+      Tables.part(s, dir).select("p_partkey", "p_brand"),
+      "l_partkey", "p_partkey", buckets = 8,
+      saltSource = Seq("l_orderkey", "l_linenumber"))
+    joined.groupBy("p_brand")
+      .agg(graft.Canon.revenue($"l_extendedprice", $"l_discount").as("revenue"),
+        count(lit(1)).as("cnt"))
+      .orderBy("p_brand")
+  }
+
   val defs: Seq[QueryDef] =
-    Seq(q08, q09, q10, q10b, q11, q12, q13, q13b, q13c, q14, q14b, q14c, q15)
+    Seq(q08, q09, q10, q10b, q11, q12, q13, q13b, q13c, q14, q14b, q14c, q15,
+      q47b)
 }

@@ -567,6 +567,88 @@ object NorthStar {
       .orderBy("doc_id", "rk")
   }
 
+  /** Corpus-trained unigram-LM quality scoring (q43h): P(w) from one
+    * token pass, each doc scored by mean token log-prob + per-token
+    * perplexity — the cheap stand-in for an LM quality filter, trained
+    * and applied in the same job ([[graft.ops.TextAnalysis
+    * .unigramLogProb]] documents the one-pass plan shape). Per-token
+    * log-probs are rounded at 6 dp BEFORE the order-independent
+    * decimal mean, and ppl is derived from the already-rounded mean —
+    * identical IEEE expression trees in both engines. */
+  val q43h = QueryDef("q43h_lm_logprob",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+      |  FROM documents),
+      |t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+      |tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM t2 GROUP BY 1),
+      |n AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM tc),
+      |lp AS (SELECT t2.doc_id,
+      |         ROUND(ln(CAST(tc.cnt AS DOUBLE) / n.total), 6) AS lp
+      |       FROM t2 JOIN tc USING (term) CROSS JOIN n),
+      |d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |        ROUND(CAST(SUM(CAST(lp AS DECIMAL(28,6))) AS DOUBLE) / COUNT(lp), 6) AS avg_logp
+      |      FROM lp GROUP BY 1)
+      |SELECT doc_id, n_tokens, avg_logp, ROUND(exp(-avg_logp), 6) AS ppl
+      |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    TextAnalysis.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** End-to-end semantic dedup (q41j, the SemDeDup shape): LSH-bucketed
+    * cosine near-dup pairs (q42c's machinery, literal splitmix64
+    * hyperplanes so the oracle reproduces the buckets bit-exactly) →
+    * connected components (q41f's pointer-jumping resolution) → ONE
+    * representative kept per semantic cluster (min vec_id), singletons
+    * kept by construction. Output is the full per-vector verdict:
+    * cluster id, cluster size, kept flag — the artifact a curation
+    * pipeline joins back onto the corpus to realize the drop. */
+  val q41j = QueryDef("q41j_dedup_semantic",
+    s"""WITH RECURSIVE eb AS (${Similarity.bucketedSql("embeddings", 4, 4)}),
+       |norms AS (SELECT vec_id, ${Similarity.dotSql("embedding", "embedding")} AS nrm
+       |          FROM embeddings),
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |         FROM eb a JOIN eb b
+       |           ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |pairs AS (
+       |  SELECT c.vec_a, c.vec_b
+       |  FROM cand c
+       |  JOIN embeddings ea ON ea.vec_id = c.vec_a
+       |  JOIN embeddings eb2 ON eb2.vec_id = c.vec_b
+       |  JOIN norms na ON na.vec_id = c.vec_a
+       |  JOIN norms nb ON nb.vec_id = c.vec_b
+       |  WHERE ${Similarity.dotSql("ea.embedding", "eb2.embedding")} / sqrt(na.nrm * nb.nrm) >= 0.35),
+       |edges AS (SELECT vec_a AS a, vec_b AS b FROM pairs
+       |          UNION SELECT vec_b AS a, vec_a AS b FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b),
+       |comp0 AS (SELECT a AS vec, least(a, MIN(b)) AS comp
+       |          FROM reach GROUP BY a),
+       |comp AS (SELECT e.vec_id AS vec, COALESCE(c.comp, e.vec_id) AS comp
+       |         FROM embeddings e LEFT JOIN comp0 c ON c.vec = e.vec_id),
+       |sizes AS (SELECT comp, COUNT(*) AS cnt FROM comp GROUP BY comp)
+       |SELECT c.vec AS vec_id, c.comp, CAST(s.cnt AS BIGINT) AS comp_size,
+       |  CAST(CASE WHEN c.vec = c.comp THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM comp c JOIN sizes s USING (comp)
+       |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val pairs = Similarity.cosineNearDupsAuto(emb,
+      planesPerTable = 4, tables = 4, threshold = 0.35)
+      .select($"vec_a".as("da"), $"vec_b".as("db"))
+    val comp0 = graft.CheckpointJanitor.evictAfterConsumption(
+      Dedup.nearDupComponents(pairs).select($"doc".as("vec_id"), $"comp"))
+    val full = emb.select($"vec_id")
+      .join(comp0, Seq("vec_id"), "left_outer")
+      .select($"vec_id", coalesce($"comp", $"vec_id").as("comp"))
+    val sizes = full.groupBy("comp").agg(count(lit(1)).as("comp_size"))
+    full.join(sizes, "comp")
+      .select($"vec_id", $"comp", $"comp_size",
+        when($"vec_id" === $"comp", 1L).otherwise(0L).as("kept"))
+      .orderBy("vec_id")
+  }
+
   /** End-to-end curation pipeline — the composed flow a training-data
     * build actually runs: corpus (with duplicates) → quality filter
     * (score ≥ 0.5, ≥ 5 tokens) → exact dedup (keep min doc id per
@@ -680,6 +762,6 @@ object NorthStar {
   }
 
   val defs: Seq[QueryDef] = Seq(q41a, q41h, q41i, q41b, q41c, q41d, q41e, q41f, q41g,
-    q42, q42b, q42c, q42d, q42e, q43a, q43b, q43c, q43d, q43e, q43f, q43g,
-    q44, q44b, q44c)
+    q41j, q42, q42b, q42c, q42d, q42e, q43a, q43b, q43c, q43d, q43e, q43f,
+    q43g, q43h, q44, q44b, q44c)
 }

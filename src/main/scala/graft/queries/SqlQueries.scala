@@ -306,7 +306,83 @@ object SqlQueries {
           |  CAST(datediff(date_trunc('week', e.ts), f.cohort_w) / 7 AS BIGINT) AS week_n,
           |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users
           |FROM events e JOIN first_seen f ON e.user_id = f.user_id
-          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      // round-15 batch-2 additions: q47b's oracle is fully shared
+      // dialect (verbatim); q60/q60b/q61 swap strftime→date_format and
+      // date_diff('second',a,b)→unix_timestamp(b)-unix_timestamp(a);
+      // q43h/q43g swap unnest(string_split_regex)→explode(split).
+      verbatim(Joins.q47b),
+      (Warehouse.q60,
+        s"""WITH ${Warehouse.feedCte}
+           |SELECT cust_id, segment, acctbal,
+           |  date_format(eff_ts, 'yyyy-MM-dd HH:mm:ss') AS valid_from,
+           |  date_format(lead(eff_ts) OVER (PARTITION BY cust_id ORDER BY eff_ts),
+           |              'yyyy-MM-dd HH:mm:ss') AS valid_to,
+           |  CAST(CASE WHEN lead(eff_ts) OVER (PARTITION BY cust_id ORDER BY eff_ts)
+           |       IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+           |FROM chg ORDER BY cust_id, valid_from""".stripMargin),
+      (Warehouse.q60b,
+        s"""WITH ${Warehouse.feedCte},
+           |r AS (SELECT chg.*, ROW_NUMBER() OVER (
+           |        PARTITION BY cust_id ORDER BY eff_ts DESC) AS rn FROM chg)
+           |SELECT cust_id, segment, acctbal,
+           |  date_format(eff_ts, 'yyyy-MM-dd HH:mm:ss') AS as_of
+           |FROM r WHERE rn = 1 ORDER BY cust_id""".stripMargin),
+      (Analytics.q61,
+        """WITH o AS (
+          |  SELECT user_id, ts, event_id, value,
+          |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+          |  FROM events),
+          |s AS (
+          |  SELECT user_id, ts, event_id, value,
+          |    SUM(CASE WHEN prev_ts IS NULL
+          |             OR unix_timestamp(ts) - unix_timestamp(prev_ts) > 1800
+          |        THEN 1 ELSE 0 END)
+          |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+          |  FROM o)
+          |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+          |  date_format(MIN(ts), 'yyyy-MM-dd HH:mm:ss') AS session_start,
+          |  date_format(MAX(ts), 'yyyy-MM-dd HH:mm:ss') AS session_end,
+          |  CAST(COUNT(*) AS BIGINT) AS n_events,
+          |  CAST(unix_timestamp(MAX(ts)) - unix_timestamp(MIN(ts)) AS BIGINT) AS duration_s,
+          |  ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6) AS total_value
+          |FROM s GROUP BY 1, 2
+          |ORDER BY user_id, session_idx""".stripMargin),
+      (NorthStar.q43h,
+        """WITH toks AS (
+          |  SELECT doc_id, explode(split(lower(text), '\\s+')) AS term
+          |  FROM documents),
+          |t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+          |tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM t2 GROUP BY 1),
+          |n AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM tc),
+          |lp AS (SELECT t2.doc_id,
+          |         ROUND(ln(CAST(tc.cnt AS DOUBLE) / n.total), 6) AS lp
+          |       FROM t2 JOIN tc USING (term) CROSS JOIN n),
+          |d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+          |        ROUND(CAST(SUM(CAST(lp AS DECIMAL(28,6))) AS DOUBLE) / COUNT(lp), 6) AS avg_logp
+          |      FROM lp GROUP BY 1)
+          |SELECT doc_id, n_tokens, avg_logp, ROUND(exp(-avg_logp), 6) AS ppl
+          |FROM d ORDER BY doc_id""".stripMargin),
+      // q43g (TF-IDF): unnest(string_split_regex) → explode(split),
+      // double literals D-suffixed; everything else is shared dialect.
+      (NorthStar.q43g,
+        """WITH toks AS (
+          |  SELECT doc_id, explode(split(lower(text), '\\s+')) AS term
+          |  FROM documents),
+          |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+          |       FROM toks WHERE term <> '' GROUP BY 1, 2),
+          |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+          |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+          |scored AS (
+          |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+          |    ROUND(tf.tf * (ln((n.n + 1.0D) / (df.df + 1.0D)) + 1.0D), 6) AS tfidf
+          |  FROM tf JOIN df USING (term) CROSS JOIN n)
+          |SELECT doc_id, term, tf, df, tfidf, CAST(rk AS INTEGER) AS rk FROM (
+          |  SELECT scored.*, ROW_NUMBER() OVER (
+          |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+          |  FROM scored) t WHERE rk <= 5
+          |ORDER BY doc_id, rk""".stripMargin))
   }
 
   /** Spark-SQL text of q43b, generated from the SAME stopword profiles

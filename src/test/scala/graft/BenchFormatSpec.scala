@@ -23,16 +23,19 @@ class BenchFormatSpec extends AnyFunSuite {
   }
 
   test("compact line fits the 2000-char capture window at worst-case widths") {
-    // worst case: fmt() is unbounded above 100 s, so certify the widest
-    // rendering a real suite could plausibly hit — four digits before
-    // the point per median ("9999.9" at %.1f), total likewise
+    // fmt() renders a flat 5-char median at ANY magnitude, so the line
+    // length is set by suite SIZE, not value widths. Past ~150 entries
+    // the full map no longer fits; compactJson degrades by keeping the
+    // slowest entries and recording "qtrunc" — certify that the line
+    // stays parseable and keeps the slowest query at pathological
+    // widths, no matter how many rounds of queries get added.
     val line = Bench.compactJson(names.map(n => (n, 9999.9)), 9999.9,
       "/root/testdata/sf0.1", cpuSlow = true, contended = true,
       normValue = Some(9999.9), parSlow = true)
     assert(line.startsWith("{") && line.endsWith("}"))
     assert(line.length <= 1900,
       s"compact line ${line.length} B leaves <100 B for the sbt trailer " +
-        "inside the 2000-char capture window — shorten keys or drop a field")
+        "inside the 2000-char capture window — width degradation broken")
     // shape check without a JSON lib: balanced braces, the fields the
     // driver contract names, and no unescaped newline
     assert(line.count(_ == '{') == line.count(_ == '}'))
@@ -40,6 +43,26 @@ class BenchFormatSpec extends AnyFunSuite {
         "\"fl\":\"SPC\"", "\"norm\":")
       .foreach(f => assert(line.contains(f), s"missing $f"))
     assert(!line.contains("\n"))
-    assert(line.count(_ == ':') >= names.size + 5)
+  }
+
+  test("degradation keeps the slowest entries and counts the dropped") {
+    // one hot query among uniform fast ones: if the map must shrink,
+    // the hot entry survives and qtrunc accounts for every dropped one
+    val uniform = names.map(n => (n, 0.5))
+    val medians = (uniform.head._1, 9999.9) +: uniform.tail
+    val hotKey = medians.head._1.split('_')(0).stripPrefix("q") +
+      (if (medians.head._1.endsWith("_sql")) "s" else "")
+    val line = Bench.compactJson(medians, 9999.9, "/root/testdata/sf0.1",
+      cpuSlow = false, contended = false)
+    assert(line.length <= 1900)
+    if (line.contains("\"qtrunc\":")) {
+      assert(line.contains(s""""$hotKey":"""), "slowest entry was dropped")
+      val kept = line.count(_ == ':') - 6 - 1 // metric/value/unit/queries/sf/fl + qtrunc
+      val dropped = line.split("\"qtrunc\":")(1).takeWhile(_.isDigit).toInt
+      assert(kept + dropped == names.size,
+        s"kept $kept + dropped $dropped != declared ${names.size}")
+    } else {
+      assert(line.count(_ == ':') >= names.size + 5)
+    }
   }
 }

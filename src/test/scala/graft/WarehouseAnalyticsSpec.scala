@@ -1,0 +1,117 @@
+package graft
+
+import graft.ops.{Scd2, Sessions, Skew, TextAnalysis}
+import graft.queries.{NorthStar, Warehouse}
+import org.apache.spark.sql.functions._
+
+/** Round-15 batch-2 operators: sessionization (q61), SCD2/CDC
+  * (q60/q60b), salted skew join (q47b), unigram-LM scoring (q43h),
+  * semantic dedup (q41j). The oracle pins each query's full output;
+  * these tests pin the INVARIANTS the oracle can't see — boundary
+  * exactness, salt-independence, structural laws — on controlled
+  * inputs.
+  */
+class WarehouseAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: (Long, String, Long, Double)*) =
+    rows.toSeq.toDF("user_id", "tss", "event_id", "value")
+      .select($"user_id", to_timestamp($"tss").as("ts"), $"event_id", $"value")
+
+  test("sessionize: a gap of exactly gapSeconds stays in-session; +1 s splits") {
+    val e = ev(
+      (1L, "2024-01-01 00:00:00", 1L, 1.0),
+      (1L, "2024-01-01 00:30:00", 2L, 1.0), // exactly 1800 s later → same
+      (1L, "2024-01-01 01:00:01", 3L, 1.0), // 1801 s later → new session
+      (2L, "2024-01-01 00:00:00", 4L, 1.0))
+    val s = Sessions.sessionize(e, 1800)
+      .select("user_id", "event_id", "session_idx").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(s == Set((1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 2L), (2L, 4L, 1L)))
+  }
+
+  test("sessionize: session indexes are contiguous from 1 per user") {
+    val e = Tables.events(spark, sf)
+    val idx = Sessions.sessionize(e, 1800)
+      .groupBy("user_id")
+      .agg(min("session_idx").as("lo"), max("session_idx").as("hi"),
+        countDistinct("session_idx").as("n"))
+    assert(idx.filter($"lo" =!= 1 || $"hi" =!= $"n").isEmpty,
+      "session_idx must be a dense 1..n sequence per user")
+  }
+
+  test("scd2 history: intervals chain per key, exactly one current") {
+    val chg = Warehouse.changeFeed(spark, sf)
+    val h = Scd2.history(chg, "cust_id", "eff_ts").cache()
+    // exactly one open interval per key
+    val open = h.groupBy("cust_id")
+      .agg(sum(when($"valid_to_ts".isNull, 1).otherwise(0)).as("n_open"))
+    assert(open.filter($"n_open" =!= 1).isEmpty)
+    // closed intervals are non-empty and chain: valid_to = next valid_from
+    assert(h.filter($"valid_to_ts".isNotNull && $"valid_to_ts" <= $"eff_ts").isEmpty)
+    val nexts = h.select($"cust_id".as("cid"), $"eff_ts".as("nxt"))
+    val closed = h.filter($"valid_to_ts".isNotNull)
+      .join(nexts, $"cust_id" === $"cid" && $"valid_to_ts" === $"nxt",
+        "left_anti")
+    assert(closed.isEmpty, "every valid_to must be the key's next valid_from")
+    h.unpersist()
+  }
+
+  test("scd2 latest == history's current slice") {
+    val chg = Warehouse.changeFeed(spark, sf)
+    val latest = Scd2.latest(chg, "cust_id", "eff_ts", Seq("segment", "acctbal"))
+      .select("cust_id", "segment", "acctbal", "eff_ts")
+    val current = Scd2.history(chg, "cust_id", "eff_ts")
+      .filter($"is_current" === 1)
+      .select("cust_id", "segment", "acctbal", "eff_ts")
+    assert(latest.exceptAll(current).isEmpty && current.exceptAll(latest).isEmpty)
+  }
+
+  test("salted join: result multiset equals the plain join, salt never leaks") {
+    val li = Tables.lineitem(spark, sf)
+    val p = Tables.part(spark, sf).select("p_partkey", "p_brand")
+    val salted = Skew.saltedJoin(li, p, "l_partkey", "p_partkey", 8,
+      Seq("l_orderkey", "l_linenumber"))
+    assert(!salted.columns.contains("_salt"))
+    val plain = li.join(p, li("l_partkey") === p("p_partkey"))
+    assert(salted.count() == plain.count())
+    val cols = plain.columns.map(col).toSeq
+    assert(salted.select(cols: _*).exceptAll(plain.select(cols: _*)).isEmpty &&
+      plain.select(cols: _*).exceptAll(salted.select(cols: _*)).isEmpty)
+  }
+
+  test("unigram LM: hand-computed probabilities on a 3-doc corpus") {
+    val docs = Seq((1L, "a a b"), (2L, "a b"), (3L, "c")).toDF("doc_id", "text")
+    // counts: a=3, b=2, c=1, total=6
+    val out = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+      .select("doc_id", "n_tokens", "avg_logp").as[(Long, Long, Double)]
+      .collect().map { case (k, n, l) => k -> ((n, l)) }.toMap
+    def lp(c: Int) = BigDecimal(math.log(c / 6.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // mirror Canon.davg exactly: EXACT decimal sum of the 6-dp log-probs,
+    // ONE double division, then the 6-dp output round — summing rounded
+    // doubles in binary instead would split half-way cases
+    def avg6(xs: Double*) = BigDecimal(
+      xs.map(BigDecimal(_)).sum.toDouble / xs.size)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L)._1 == 3 && math.abs(out(1L)._2 - avg6(lp(3), lp(3), lp(2))) < 1e-9)
+    assert(out(2L)._1 == 2 && math.abs(out(2L)._2 - avg6(lp(3), lp(2))) < 1e-9)
+    assert(out(3L)._1 == 1 && math.abs(out(3L)._2 - lp(1)) < 1e-9)
+  }
+
+  test("semantic dedup: verdict laws — one keeper per cluster, sizes partition the corpus") {
+    val out = NorthStar.q41j.fn(spark, sf).cache()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(out.count() == n, "every vector gets a verdict")
+    // keeper is the cluster id itself, exactly one per cluster
+    assert(out.filter(($"kept" === 1) =!= ($"vec_id" === $"comp")).isEmpty)
+    val perComp = out.groupBy("comp").agg(
+      sum("kept").as("keepers"), count(lit(1)).as("members"),
+      min("vec_id").as("lo"), first("comp_size").as("sz"))
+    assert(perComp.filter($"keepers" =!= 1).isEmpty)
+    assert(perComp.filter($"members" =!= $"sz").isEmpty)
+    assert(perComp.filter($"lo" =!= $"comp").isEmpty,
+      "cluster id must be its min member (the keeper rule)")
+    out.unpersist()
+  }
+}
