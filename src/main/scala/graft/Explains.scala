@@ -48,10 +48,12 @@ object Explains {
         |the per-key lead() window (version chains ≤ 3 rows — bounded window
         |buffers at any key count).""".stripMargin,
     "q60b_cdc_upsert_latest" ->
-      """CDC latest-wins via max_by: partial_max_by runs MAP-SIDE in the scan
-        |stage (HashAggregate x2 below), so the shuffle carries one row per
-        |key per map task, not the feed — the upsert shape that survives a
-        |100 TB changelog. No sort, no window.""".stripMargin,
+      """CDC latest-wins via max(struct(eff, attrs…)) as an AGGREGATE, not a
+        |window: the partial SortAggregate runs MAP-SIDE (its Sort is
+        |task-local, by grouping key) and collapses each task to ≤ 1 row per
+        |key, so the exchange carries keys — a row_number window would
+        |shuffle the whole feed and sort every key group reduce-side. The
+        |upsert shape that survives a 100 TB changelog.""".stripMargin,
     "q61_sessionize_batch" ->
       """One user_id exchange feeds the whole query: lag window, running-sum
         |session index, AND the (user_id, session_idx) aggregate —

@@ -29,17 +29,22 @@ object Scd2 {
   }
 
   /** Latest-wins snapshot (CDC upsert apply): the current state after
-    * replaying the feed. Deliberately `max_by` on an attribute struct
-    * rather than a row_number window: max_by is an algebraic aggregate
-    * with map-side partial combine, so the hot path is one
-    * partial-agg + one shuffle on the key and NO per-key sort — the
-    * shape that survives a 100 TB feed with billions of keys.
-    * Requires `effCol` unique per key (a CDC log's LSN/ts is). */
+    * replaying the feed. Deliberately `max(struct(eff, attrs…))`
+    * rather than a row_number window: an AGGREGATE gets a partial +
+    * final pair (struct buffers aren't HashAggregate-mutable, so both
+    * halves plan as SortAggregate — but the sorts are task-LOCAL, by
+    * grouping key), and the map-side partial collapses each task to at
+    * most one row per key BEFORE the exchange. The window formulation
+    * instead shuffles the ENTIRE feed and sorts every key group on the
+    * reduce side — the difference between shuffling keys and shuffling
+    * a 100 TB changelog. Lexicographic struct ordering means `effCol`
+    * (the leading field) decides; it must be unique per key (a CDC
+    * log's LSN/ts is), attrs only break impossible ties. */
   def latest(changes: DataFrame, keyCol: String, effCol: String,
       attrCols: Seq[String]): DataFrame = {
-    val payload = struct((attrCols :+ effCol).map(col): _*)
+    val payload = struct((effCol +: attrCols).map(col): _*)
     changes.groupBy(col(keyCol))
-      .agg(max_by(payload, col(effCol)).as("_r"))
+      .agg(max(payload).as("_r"))
       .select(col(keyCol) +: (attrCols :+ effCol).map(c => col(s"_r.$c").as(c)): _*)
   }
 }

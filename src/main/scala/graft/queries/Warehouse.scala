@@ -83,9 +83,10 @@ object Warehouse {
   }
 
   /** CDC latest-wins snapshot (upsert apply): the current dimension
-    * state after replaying the feed — `max_by` aggregate, partial
-    * combine map-side, no per-key sort (see [[graft.ops.Scd2.latest]]).
-    * Oracle spells the same semantics as a ROW_NUMBER pick. */
+    * state after replaying the feed — `max(struct)` hash aggregate,
+    * partial combine map-side, no sort anywhere (see
+    * [[graft.ops.Scd2.latest]]). Oracle spells the same semantics as
+    * a ROW_NUMBER pick. */
   val q60b = QueryDef("q60b_cdc_upsert_latest",
     s"""WITH $feedCte,
        |r AS (SELECT chg.*, ROW_NUMBER() OVER (
