@@ -29,7 +29,7 @@ object Explains {
     // round-15 batch 2: warehouse merge + analytics + LM/semantic curation
     "q60_scd2_history", "q60b_cdc_upsert_latest", "q61_sessionize_batch",
     "q47b_salted_skew_join", "q43h_lm_logprob", "q41j_dedup_semantic",
-    "q63_approx_percentile")
+    "q63_approx_percentile", "q62_partitioned_layout_pruning")
 
   /** Prose above a query's plan — the one- paragraph reading guide for
     * the plan properties SCALING.md leans on. Keyed by query name so a
@@ -77,6 +77,13 @@ object Explains {
         |loop is upstream of this final plan), then a left join that folds
         |singletons back in and a comp-keyed size aggregate. Every relation
         |after the pair stage is a sliver of the corpus.""".stripMargin,
+    "q62_partitioned_layout_pruning" ->
+      """The storage-layout lever: events laid out partitionBy(event_date),
+        |day-equality predicate becomes `PartitionFilters` on the scan — the
+        |listing touches ONE day's directory (PlanSpec pins numFiles ≤ 8 of
+        |the 30-day layout) and the other days' bytes are never read. At
+        |100 TB this is the difference between a 3 TB day scan and a full
+        |sweep; the oracle proves pruning changes no rows.""".stripMargin,
     "q63_approx_percentile" ->
       """Exact percentile (sort-based buffer) and the Greenwald-Khanna approx
         |sketch computed in the SAME two-phase aggregate pass — the approx

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.{Canon, Fixtures}
+import graft.{Canon, Fixtures, Tables}
 import org.apache.spark.sql.functions._
 
 /** Q45/Q46: the ingestion surface end-to-end — the polygonscan DSv2
@@ -301,5 +301,39 @@ object Ingest {
       .orderBy("ws", "event_type")
   }
 
-  val defs: Seq[QueryDef] = Seq(q45, q45b, q46, q46b, q46c, q50)
+  /** Hive-partitioned layout + partition pruning (q62): the storage
+    * lever that makes 100 TB scannable at all. The events table is
+    * laid out `partitionBy(event_date)` (30 directories here; day
+    * partitions in production), and a day-equality query then prunes
+    * at PLANNING time — EXPLAINS shows `PartitionFilters:
+    * [(event_date = 2024-01-15)]` and a 1/30 file listing; the data
+    * filter never touches the other 29 days' bytes. The layout is
+    * written once per (JVM, source dir) and reused, mirroring how a
+    * real table is laid out once and queried forever. The oracle runs
+    * the same day filter over the unpartitioned source — pruning must
+    * not change a single row. */
+  private val partitionedScratch =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  val q62 = QueryDef("q62_partitioned_layout_pruning",
+    s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+       |  ${graft.Canon.sql.dsum("value")} AS val_sum
+       |FROM events WHERE strftime(ts, '%Y-%m-%d') = '2024-01-15'
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val root = partitionedScratch.computeIfAbsent(dir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft_part").toString + "/events_by_day"
+      Tables.events(s, dir)
+        .withColumn("event_date", date_format($"ts", "yyyy-MM-dd"))
+        .write.mode("overwrite").partitionBy("event_date").parquet(d)
+      d
+    })
+    s.read.parquet(root)
+      .filter($"event_date" === "2024-01-15")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), graft.Canon.dsum($"value").as("val_sum"))
+      .orderBy("event_type")
+  }
+
+  val defs: Seq[QueryDef] = Seq(q45, q45b, q46, q46b, q46c, q50, q62)
 }

@@ -367,5 +367,37 @@ object Streaming {
       .orderBy("user_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(q36, q37, q38, q39, q39b, q48, q48b, q48c)
+  /** Streaming CDC upsert (q60c): the change feed arrives as a STREAM
+    * (maxFilesPerTrigger=1 forces multiple micro-batches, so latest-
+    * wins state genuinely merges across triggers), `max(struct(eff,
+    * attrs…))` holds one row of state per key in the agg store, and
+    * Complete mode publishes the current snapshot — the streaming twin
+    * of q60b, sharing its oracle verbatim. State is keys × one struct,
+    * bounded by dimension cardinality, not feed volume; max is
+    * order-independent, so cross-batch arrival order (which the file
+    * source does not guarantee per key) cannot change the result. */
+  val q60c = QueryDef("q60c_cdc_stream_upsert",
+    Warehouse.q60b.oracle.get) { (s0, dir) =>
+    val s = streamSession(s0)
+    import s.implicits._
+    val feed = Warehouse.changeFeed(s, dir)
+    val root = cdcFeedScratch.computeIfAbsent(dir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft_cdc").toString + "/feed"
+      feed.repartition(4).write.mode("overwrite").parquet(d)
+      d
+    })
+    val stream = s.readStream.schema(feed.schema)
+      .option("maxFilesPerTrigger", "1").parquet(root)
+    val latest = stream.groupBy($"cust_id")
+      .agg(max(struct($"eff_ts", $"segment", $"acctbal")).as("_r"))
+    runToTable(s, latest, "complete")
+      .select($"cust_id", $"_r.segment".as("segment"),
+        $"_r.acctbal".as("acctbal"), Canon.tsStr($"_r.eff_ts").as("as_of"))
+      .orderBy("cust_id")
+  }
+
+  private val cdcFeedScratch =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  val defs: Seq[QueryDef] = Seq(q36, q37, q38, q39, q39b, q48, q48b, q48c, q60c)
 }

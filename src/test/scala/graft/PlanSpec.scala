@@ -111,4 +111,62 @@ class PlanSpec extends SparkSpec {
     assert(hasWscg(df.queryExecution.executedPlan),
       df.queryExecution.executedPlan.toString)
   }
+
+  test("q61 sessionization: windows and session aggregate share ONE hash exchange") {
+    // HashPartitioning(user_id) satisfies the (user_id, session_idx)
+    // aggregate's clustered distribution, so the only exchanges are the
+    // initial user_id shuffle and the final orderBy range partitioning
+    val df = graft.queries.Analytics.q61.fn(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(finalPlan).size
+    assert(hashEx == 1,
+      s"expected exactly 1 hash exchange (got $hashEx):\n$finalPlan")
+  }
+
+  test("q60b upsert: partial aggregate collapses BELOW the exchange, no window") {
+    val df = graft.queries.Warehouse.q60b.fn(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "latest-wins must not plan a window")
+    // the partial max(struct) must sit under the cust_id exchange
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val exIdx = finalPlan.indexOf("Exchange hashpartitioning(cust_id")
+    val partIdx = finalPlan.indexOf("partial_max(struct")
+    assert(exIdx >= 0 && partIdx > exIdx,
+      "partial_max(struct) must run map-side, below the key exchange")
+  }
+
+  test("q62 layout query prunes partitions at planning time") {
+    val df = graft.queries.Ingest.q62.fn(spark, sf)
+    df.collect()
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allScans(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(allScans)
+    }
+    val scans = allScans(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "expected a FileSourceScanExec leaf")
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty,
+      "day-equality filter must become a PARTITION filter, not a data filter")
+    // 30 day partitions in the layout; the pruned scan must list only
+    // one day's files (a handful), not the table
+    val files = scan.metrics("numFiles").value
+    assert(files > 0 && files <= 8,
+      s"pruned scan read $files files — pruning is not happening")
+  }
+
+  test("q47b salted join plans a ShuffledHashJoin keyed on (partkey, salt)") {
+    val df = graft.queries.Joins.q47b.fn(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin [l_partkey"), plan.take(2000))
+    assert(plan.contains("_salt"), "salt must be part of the join key")
+  }
 }

@@ -99,6 +99,16 @@ class WarehouseAnalyticsSpec extends SparkSpec {
     assert(out(3L)._1 == 1 && math.abs(out(3L)._2 - lp(1)) < 1e-9)
   }
 
+  test("streaming CDC upsert (q60c) equals the batch latest-wins (q60b)") {
+    // the stream arrives as multiple micro-batches with no per-key
+    // order guarantee; the final Complete-mode snapshot must still be
+    // exactly the batch replay's answer
+    val streamed = graft.queries.Streaming.q60c.fn(spark, sf)
+    val batch = Warehouse.q60b.fn(spark, sf)
+    assert(streamed.schema.fieldNames.sameElements(batch.schema.fieldNames))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("semantic dedup: verdict laws — one keeper per cluster, sizes partition the corpus") {
     val out = NorthStar.q41j.fn(spark, sf).cache()
     val n = Tables.embeddings(spark, sf).count()
