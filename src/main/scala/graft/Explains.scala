@@ -29,7 +29,8 @@ object Explains {
     // round-15 batch 2: warehouse merge + analytics + LM/semantic curation
     "q60_scd2_history", "q60b_cdc_upsert_latest", "q61_sessionize_batch",
     "q47b_salted_skew_join", "q43h_lm_logprob", "q41j_dedup_semantic",
-    "q63_approx_percentile", "q62_partitioned_layout_pruning")
+    "q63_approx_percentile", "q62_partitioned_layout_pruning",
+    "q64_dynamic_partition_pruning")
 
   /** Prose above a query's plan — the one- paragraph reading guide for
     * the plan properties SCALING.md leans on. Keyed by query name so a
@@ -84,6 +85,15 @@ object Explains {
         |the 30-day layout) and the other days' bytes are never read. At
         |100 TB this is the difference between a 3 TB day scan and a full
         |sweep; the oracle proves pruning changes no rows.""".stripMargin,
+    "q64_dynamic_partition_pruning" ->
+      """q62's literal day filter, generalized to the star-schema case: the
+        |pruning set comes from a JOIN against the filtered calendar dim, so
+        |the scan's PartitionFilters carry a `dynamicpruningexpression` fed
+        |by the reused broadcast — only the audit days' directories are
+        |listed. Two things had to be true for the rule to fire (both
+        |documented at the query): the dim is a STORED table (a literal Seq
+        |constant-folds its Filter away) and the predicate is a comparison
+        |(a bare boolean flag fails isLikelySelective).""".stripMargin,
     "q63_approx_percentile" ->
       """Exact percentile (sort-based buffer) and the Greenwald-Khanna approx
         |sketch computed in the SAME two-phase aggregate pass — the approx

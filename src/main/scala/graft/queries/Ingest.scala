@@ -315,25 +315,71 @@ object Ingest {
   private val partitionedScratch =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** The day-partitioned events layout, written once per (JVM, source
+    * dir) and shared by q62 (static pruning) and q64 (dynamic). */
+  private def partitionedEvents(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    partitionedScratch.computeIfAbsent(dir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft_part").toString + "/events_by_day"
+      Tables.events(s, dir)
+        .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+        .write.mode("overwrite").partitionBy("event_date").parquet(d)
+      d
+    })
+
   val q62 = QueryDef("q62_partitioned_layout_pruning",
     s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
        |  ${graft.Canon.sql.dsum("value")} AS val_sum
        |FROM events WHERE strftime(ts, '%Y-%m-%d') = '2024-01-15'
        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
     import s.implicits._
-    val root = partitionedScratch.computeIfAbsent(dir, _ => {
-      val d = java.nio.file.Files.createTempDirectory("graft_part").toString + "/events_by_day"
-      Tables.events(s, dir)
-        .withColumn("event_date", date_format($"ts", "yyyy-MM-dd"))
-        .write.mode("overwrite").partitionBy("event_date").parquet(d)
-      d
-    })
-    s.read.parquet(root)
+    s.read.parquet(partitionedEvents(s, dir))
       .filter($"event_date" === "2024-01-15")
       .groupBy("event_type")
       .agg(count(lit(1)).as("cnt"), graft.Canon.dsum($"value").as("val_sum"))
       .orderBy("event_type")
   }
 
-  val defs: Seq[QueryDef] = Seq(q45, q45b, q46, q46b, q46c, q50, q62)
+  /** Dynamic partition pruning (q64): the pruning predicate isn't a
+    * literal — it comes from a JOIN against a filtered dim (the "audit
+    * days" calendar). Catalyst turns the broadcast dim into a
+    * `dynamicpruningexpression` on the fact scan's PARTITION column,
+    * so only the 4 matching day directories are listed/read — the
+    * star-schema version of q62's literal pruning, and the pattern
+    * every date-dim warehouse query at 100 TB lives on. PlanSpec pins
+    * the dynamicpruning expression; the oracle recomputes the audit-
+    * day predicate directly on ts. */
+  val q64 = QueryDef("q64_dynamic_partition_pruning",
+    s"""SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+       |  CAST(COUNT(*) AS BIGINT) AS cnt,
+       |  ${graft.Canon.sql.dsum("value")} AS val_sum
+       |FROM events WHERE CAST(strftime(ts, '%d') AS INT) % 7 = 0
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val fact = s.read.parquet(partitionedEvents(s, dir))
+    // The calendar dim must be a STORED table, not a literal Seq: a
+    // local relation constant-folds its Filter away (LocalTableScan
+    // arrives pre-filtered), and the PartitionPruning rule looks for a
+    // selective predicate on the build side — no Filter node, no DPP.
+    // A real star schema's date dim is a table anyway. The layout's
+    // partition column type-infers to DATE, so the dim key is DATE too:
+    // DPP only prunes on the bare (uncast) partition attribute.
+    // (a bare boolean flag also wouldn't qualify: PartitionPruning's
+    // isLikelySelective wants a comparison — the EqualTo below is it)
+    val calRoot = partitionedEvents(s, dir).stripSuffix("/events_by_day") + "/calendar"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(calRoot)))
+      (1 to 30).map(d => (f"2024-01-$d%02d", if (d % 7 == 0) "audit" else "regular"))
+        .toDF("d", "day_kind")
+        .select(to_date($"d").as("event_date"), $"day_kind")
+        .write.mode("overwrite").parquet(calRoot)
+    val calendar = s.read.parquet(calRoot)
+    fact.join(calendar.filter($"day_kind" === "audit"), Seq("event_date"))
+      .groupBy("event_date")
+      .agg(count(lit(1)).as("cnt"), graft.Canon.dsum($"value").as("val_sum"))
+      .select(date_format($"event_date", "yyyy-MM-dd").as("event_date"),
+        $"cnt", $"val_sum")
+      .orderBy("event_date")
+  }
+
+  val defs: Seq[QueryDef] = Seq(q45, q45b, q46, q46b, q46c, q50, q62, q64)
 }

@@ -162,6 +162,14 @@ class PlanSpec extends SparkSpec {
       s"pruned scan read $files files — pruning is not happening")
   }
 
+  test("q64 join against the filtered calendar prunes partitions DYNAMICALLY") {
+    val df = graft.queries.Ingest.q64.fn(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      s"expected a dynamic pruning subquery on the fact scan:\n${plan.take(3000)}")
+  }
+
   test("q47b salted join plans a ShuffledHashJoin keyed on (partkey, salt)") {
     val df = graft.queries.Joins.q47b.fn(spark, sf)
     df.collect()
