@@ -30,7 +30,8 @@ object Explains {
     "q60_scd2_history", "q60b_cdc_upsert_latest", "q61_sessionize_batch",
     "q47b_salted_skew_join", "q43h_lm_logprob", "q41j_dedup_semantic",
     "q63_approx_percentile", "q62_partitioned_layout_pruning",
-    "q64_dynamic_partition_pruning")
+    "q64_dynamic_partition_pruning", "q65_quality_audit",
+    "q66_snapshot_diff_cdc")
 
   /** Prose above a query's plan — the one- paragraph reading guide for
     * the plan properties SCALING.md leans on. Keyed by query name so a
@@ -94,6 +95,18 @@ object Explains {
         |documented at the query): the dim is a STORED table (a literal Seq
         |constant-folds its Filter away) and the predicate is a comparison
         |(a bare boolean flag fails isLikelySelective).""".stripMargin,
+    "q65_quality_audit" ->
+      """Load-gate constraint audit: five independent checks, each a single
+        |aggregate or a co-partitioned LEFT ANTI join (both referential
+        |directions share the orders↔customer key shuffle shapes), unioned
+        |into a rows-per-check report. Nothing in the plan scales with
+        |anything but the audited tables; the report is O(checks).""".stripMargin,
+    "q66_snapshot_diff_cdc" ->
+      """Snapshot diff: ONE full-outer SortMergeJoin on the key (both
+        |snapshots shuffle once), payload inequality filter drops unchanged
+        |rows before the output, verdict is a CASE over null-sides. The
+        |inverse of q60's merge — WarehouseAnalyticsSpec pins
+        |old + diff == new.""".stripMargin,
     "q63_approx_percentile" ->
       """Exact percentile (sort-based buffer) and the Greenwald-Khanna approx
         |sketch computed in the SAME two-phase aggregate pass — the approx

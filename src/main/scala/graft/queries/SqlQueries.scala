@@ -311,7 +311,7 @@ object SqlQueries {
       // dialect (verbatim); q60/q60b/q61 swap strftime→date_format and
       // date_diff('second',a,b)→unix_timestamp(b)-unix_timestamp(a);
       // q43h/q43g swap unnest(string_split_regex)→explode(split).
-      verbatim(Joins.q47b),
+      verbatim(Joins.q47b), verbatim(Warehouse.q65), verbatim(Warehouse.q66),
       (Warehouse.q60,
         s"""WITH ${Warehouse.feedCte}
            |SELECT cust_id, segment, acctbal,

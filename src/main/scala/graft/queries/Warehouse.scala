@@ -102,5 +102,101 @@ object Warehouse {
       .orderBy("cust_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(q60, q60b)
+  /** Data-quality constraint audit (q65): the dbt-test / Deequ-style
+    * checks a warehouse load gates on, expressed as ONE pass of
+    * relational assertions over the star schema — each constraint
+    * contributes a violation count, so the result is a compact audit
+    * report (green = all zeros… except the seeded orphan check, see
+    * below). Checks: key uniqueness (orders), not-null (customer
+    * name), referential integrity orders→customer BOTH directions
+    * (orphan FKs / childless keys are informational), and a domain
+    * check on o_totalprice. Each check is an independent aggregate
+    * over ONE table or ONE co-partitioned anti-join — no check needs
+    * more than a single shuffle, and the report is a handful of rows
+    * whatever the corpus size. */
+  val q65 = QueryDef("q65_quality_audit",
+    """WITH dup_keys AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS v FROM (
+      |    SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1)),
+      |null_names AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS v FROM customer WHERE c_name IS NULL),
+      |orphan_orders AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS v FROM orders o
+      |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+      |childless_custs AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS v FROM customer c
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)),
+      |bad_price AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS v FROM orders WHERE o_totalprice <= 0)
+      |SELECT 'childless_custkeys' AS chk, v AS violations FROM childless_custs
+      |UNION ALL SELECT 'duplicate_orderkeys', v FROM dup_keys
+      |UNION ALL SELECT 'nonpositive_totalprice', v FROM bad_price
+      |UNION ALL SELECT 'null_customer_names', v FROM null_names
+      |UNION ALL SELECT 'orphan_order_custkeys', v FROM orphan_orders
+      |ORDER BY chk""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val orders = Tables.orders(s, dir)
+    val cust = Tables.customer(s, dir)
+    def one(chk: String, v: DataFrame) =
+      v.select(lit(chk).as("chk"), $"v".cast("long").as("violations"))
+    val dupKeys = orders.groupBy("o_orderkey").count()
+      .filter($"count" > 1).agg(count(lit(1)).as("v"))
+    val nullNames = cust.filter($"c_name".isNull).agg(count(lit(1)).as("v"))
+    val orphans = orders.join(cust, orders("o_custkey") === cust("c_custkey"),
+      "left_anti").agg(count(lit(1)).as("v"))
+    val childless = cust.join(orders, cust("c_custkey") === orders("o_custkey"),
+      "left_anti").agg(count(lit(1)).as("v"))
+    val badPrice = orders.filter($"o_totalprice" <= 0).agg(count(lit(1)).as("v"))
+    one("childless_custkeys", childless)
+      .unionByName(one("duplicate_orderkeys", dupKeys))
+      .unionByName(one("nonpositive_totalprice", badPrice))
+      .unionByName(one("null_customer_names", nullNames))
+      .unionByName(one("orphan_order_custkeys", orphans))
+      .orderBy("chk")
+  }
+
+  /** Snapshot diff → CDC feed (q66): the INVERSE of q60 — given two
+    * snapshots of a dimension, derive the change feed (insert /
+    * update / delete verdict per changed key) a downstream consumer
+    * would replay. One co-partitioned full-outer join on the key, and
+    * the update test compares an (order-insensitive) payload, so the
+    * whole diff is one shuffle of each snapshot; unchanged rows drop
+    * out before the output. Old snapshot = the feed's 2024-01-01
+    * state, new = the replayed latest (q60b), so the diff provably
+    * inverts the merge. */
+  val q66 = QueryDef("q66_snapshot_diff_cdc",
+    s"""WITH $feedCte,
+       |old AS (SELECT cust_id, segment, acctbal FROM chg
+       |        WHERE eff_ts = TIMESTAMP '2024-01-01 00:00:00'),
+       |r AS (SELECT chg.*, ROW_NUMBER() OVER (
+       |        PARTITION BY cust_id ORDER BY eff_ts DESC) AS rn FROM chg),
+       |new AS (SELECT cust_id, segment, acctbal FROM r WHERE rn = 1)
+       |SELECT COALESCE(o.cust_id, n.cust_id) AS cust_id,
+       |  CASE WHEN o.cust_id IS NULL THEN 'insert'
+       |       WHEN n.cust_id IS NULL THEN 'delete'
+       |       ELSE 'update' END AS op,
+       |  n.segment AS segment, n.acctbal AS acctbal
+       |FROM old o FULL OUTER JOIN new n ON o.cust_id = n.cust_id
+       |WHERE o.cust_id IS NULL OR n.cust_id IS NULL
+       |   OR o.segment <> n.segment OR o.acctbal <> n.acctbal
+       |ORDER BY cust_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val feed = changeFeed(s, dir)
+    val old = feed.filter($"eff_ts" === to_timestamp(lit("2024-01-01 00:00:00")))
+      .select($"cust_id".as("o_id"), $"segment".as("o_seg"), $"acctbal".as("o_bal"))
+    val latest = graft.ops.Scd2.latest(feed, "cust_id", "eff_ts",
+      Seq("segment", "acctbal"))
+      .select($"cust_id".as("n_id"), $"segment".as("n_seg"), $"acctbal".as("n_bal"))
+    old.join(latest, $"o_id" === $"n_id", "full_outer")
+      .filter($"o_id".isNull || $"n_id".isNull ||
+        $"o_seg" =!= $"n_seg" || $"o_bal" =!= $"n_bal")
+      .select(coalesce($"o_id", $"n_id").as("cust_id"),
+        when($"o_id".isNull, "insert")
+          .when($"n_id".isNull, "delete")
+          .otherwise("update").as("op"),
+        $"n_seg".as("segment"), $"n_bal".as("acctbal"))
+      .orderBy("cust_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(q60, q60b, q65, q66)
 }

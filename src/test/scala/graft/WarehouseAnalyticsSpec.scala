@@ -109,6 +109,37 @@ class WarehouseAnalyticsSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("snapshot diff (q66) round-trips: old + diff == new") {
+    // the CDC feed q66 derives must, replayed onto the old snapshot,
+    // reproduce the new snapshot exactly — the defining law of a diff
+    val diff = Warehouse.q66.fn(spark, sf).cache()
+    val feed = Warehouse.changeFeed(spark, sf)
+    val old = feed.filter($"eff_ts" === to_timestamp(lit("2024-01-01 00:00:00")))
+      .select("cust_id", "segment", "acctbal")
+    val newSnap = graft.ops.Scd2.latest(feed, "cust_id", "eff_ts",
+      Seq("segment", "acctbal")).select("cust_id", "segment", "acctbal")
+    val upserts = diff.filter($"op" =!= "delete")
+      .select("cust_id", "segment", "acctbal")
+    val deletes = diff.filter($"op" === "delete").select("cust_id")
+    val replayed = old
+      .join(diff.select("cust_id"), Seq("cust_id"), "left_anti") // untouched
+      .unionByName(upserts)
+      .join(deletes, Seq("cust_id"), "left_anti")
+    assert(replayed.exceptAll(newSnap).isEmpty && newSnap.exceptAll(replayed).isEmpty)
+    diff.unpersist()
+  }
+
+  test("quality audit (q65): structural checks are zero, childless is informational") {
+    val audit = Warehouse.q65.fn(spark, sf)
+      .as[(String, Long)].collect().toMap
+    assert(audit("duplicate_orderkeys") == 0)
+    assert(audit("null_customer_names") == 0)
+    assert(audit("orphan_order_custkeys") == 0)
+    assert(audit("nonpositive_totalprice") == 0)
+    assert(audit("childless_custkeys") >= 0)
+    assert(audit.size == 5)
+  }
+
   test("semantic dedup: verdict laws — one keeper per cluster, sizes partition the corpus") {
     val out = NorthStar.q41j.fn(spark, sf).cache()
     val n = Tables.embeddings(spark, sf).count()
