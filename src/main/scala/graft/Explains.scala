@@ -31,7 +31,7 @@ object Explains {
     "q47b_salted_skew_join", "q43h_lm_logprob", "q41j_dedup_semantic",
     "q63_approx_percentile", "q62_partitioned_layout_pruning",
     "q64_dynamic_partition_pruning", "q65_quality_audit",
-    "q66_snapshot_diff_cdc")
+    "q66_snapshot_diff_cdc", "q41k_dedup_incremental_neardup")
 
   /** Prose above a query's plan — the one- paragraph reading guide for
     * the plan properties SCALING.md leans on. Keyed by query name so a
@@ -95,6 +95,14 @@ object Explains {
         |documented at the query): the dim is a STORED table (a literal Seq
         |constant-folds its Filter away) and the predicate is a comparison
         |(a bare boolean flag fails isLikelySelective).""".stripMargin,
+    "q41k_dedup_incremental_neardup" ->
+      """Cross-corpus near-dup: the batch and corpus shingle relations join
+        |only through the blocking keys (rare shingles two-sided, plus the
+        |unpaired-doc fallback's least-hot keys), then the pair-bounded
+        |common-count enumeration — the corpus never self-joins, and its
+        |hashed-shingle relation is the only thing it contributes (the
+        |persistable artifact at 100 TB). The final verdict is a left join
+        |of the batch id list against the pair aggregate.""".stripMargin,
     "q65_quality_audit" ->
       """Load-gate constraint audit: five independent checks, each a single
         |aggregate or a co-partitioned LEFT ANTI join (both referential

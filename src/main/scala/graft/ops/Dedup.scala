@@ -100,6 +100,103 @@ object Dedup {
 
   /** Word-level shingles (distinct), the unit for MinHash / Jaccard:
     * positions 1..n-k+1 (1-based), k consecutive tokens each. */
+  /** Cross-corpus NEAR-dup verdicts (the fuzzy twin of
+    * [[incrementalKeepIds]]): each batch doc is tested for n-gram
+    * Jaccard similarity against the EXISTING corpus — the crawl-
+    * pipeline question "is this newly-fetched page a near-copy of
+    * anything we already hold?". Same machinery as the in-corpus q41d
+    * path, made two-sided: rare-shingle blocking with the document
+    * frequency computed over BOTH relations (a shingle common in the
+    * corpus is just as useless a blocking key when it arrives in a
+    * batch), candidates only ACROSS the sides (batch×batch dup-ness is
+    * [[exactKeeperIds]]/q41d's job), pair-bounded common counts.
+    *
+    * At 100 TB the asymmetry is the point: the corpus side contributes
+    * its (hashed) shingle relation — which a production deployment
+    * persists once, like q41h's fingerprint table — and the per-batch
+    * cost is bounded by batch shingles × maxDf, never by corpus size.
+    *
+    * Returns one verdict row PER BATCH DOC: (batch_id, matched,
+    * n_matches, best_jaccard). */
+  /** Fallback generator width for all-hot batch docs (no rare shingle
+    * at all — boilerplate text, invisible to rare-shingle blocking by
+    * construction; the cross-corpus analog of q41g's generator 2).
+    * The q41k oracle SQL interpolates THIS constant. */
+  val NearDupFallbackShingles = 4
+
+  def incrementalNearDup(existing: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, k: Int = 2, maxDf: Int = 20,
+      threshold: Double = 0.2): DataFrame = {
+    // the batch side keeps the shingle STRING alongside the hash: the
+    // fallback generator ranks by (df, shingle) and the string tiebreak
+    // is the one ordering both engines share (hash ordering is
+    // Spark-only — ranking by it would silently desync the oracle)
+    val shB = wordShingles(spreadToCores(batch), idCol, textCol, k)
+      .select(col("doc"), col("shingle"), xxhash64(col("shingle")).as("sh"))
+      .localCheckpoint()
+    val shE = wordShingles(spreadToCores(existing), idCol, textCol, k)
+      .select(col("doc"), xxhash64(col("shingle")).as("sh"))
+      .localCheckpoint()
+    val dfreq = shB.select("doc", "sh").unionByName(shE).groupBy("sh")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val rareSh = dfreq.filter(col("c") <= maxDf).select("sh")
+    val cand1 = shB.join(rareSh, "sh").select(col("doc").as("da"), col("sh"))
+      .join(shE.join(rareSh, "sh").select(col("doc").as("db"), col("sh")), "sh")
+      .select("da", "db")
+      .localCheckpoint() // consumed twice: the union below + generator 2's unpaired set
+    // Generator 2 — batch docs generator 1 left UNPAIRED: either
+    // all-hot (every shingle above maxDf — boilerplate, invisible to
+    // rare blocking by construction), or their only rare shingles are
+    // NOVEL (absent from the corpus — e.g. a prefix edit mints a new
+    // rare bigram while every shared bigram is hot, so the rare key
+    // probes nothing). For exactly those docs, rank the doc's OWN
+    // shingles by global frequency (least-hot first, string tiebreak)
+    // and block on the top NearDupFallbackShingles. A near-copy shares
+    // ~all shingles, so it shares these; fan-out per key is that
+    // shingle's df — just above maxDf for the least-hot — so the
+    // volume is O(|unpaired docs| × m × df), linear where a naive
+    // unpaired×corpus join would be quadratic.
+    val hotDocs = shB.select("doc").distinct()
+      .join(cand1.select(col("da").as("doc")), Seq("doc"), "left_anti")
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc").orderBy(col("c"), col("shingle"))
+    val fbKeys = shB.join(hotDocs, Seq("doc"), "left_semi")
+      .join(dfreq, "sh")
+      .withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") <= NearDupFallbackShingles)
+      .select(col("doc").as("da"), col("sh"))
+    val cand2 = fbKeys
+      .join(shE.select(col("doc").as("db"), col("sh")), "sh")
+      .select("da", "db")
+    val cand = cand1.unionByName(cand2).distinct().localCheckpoint()
+    val shBc = shB.join(cand.select(col("da").as("doc")), Seq("doc"), "left_semi")
+      .localCheckpoint()
+    val shEc = shE.join(cand.select(col("db").as("doc")), Seq("doc"), "left_semi")
+      .localCheckpoint()
+    graft.CheckpointJanitor.dropNow(shE)
+    val sizesB = shBc.groupBy("doc").agg(count(lit(1)).as("n"))
+    val sizesE = shEc.groupBy("doc").agg(count(lit(1)).as("n"))
+    val common = cand
+      .join(shBc.as("s1"), col("s1.doc") === col("da"))
+      .join(shEc.as("s2"), col("s2.doc") === col("db") && col("s2.sh") === col("s1.sh"))
+      .groupBy("da", "db").agg(count(lit(1)).as("cm"))
+    val pairs = common
+      .join(sizesB.as("na"), col("na.doc") === col("da"))
+      .join(sizesE.as("nb"), col("nb.doc") === col("db"))
+      .withColumn("j",
+        col("cm").cast("double") / (col("na.n") + col("nb.n") - col("cm")))
+      .filter(col("j") >= threshold)
+    val verdicts = pairs.groupBy("da")
+      .agg(count(lit(1)).as("nm"), round(max(col("j")), 6).as("bj"))
+    batch.select(col(idCol).as("batch_id"))
+      .join(verdicts.withColumnRenamed("da", "batch_id"), Seq("batch_id"), "left_outer")
+      .select(col("batch_id"),
+        when(col("nm").isNotNull, 1L).otherwise(0L).as("matched"),
+        coalesce(col("nm"), lit(0L)).as("n_matches"),
+        coalesce(col("bj"), lit(0.0)).as("best_jaccard"))
+  }
+
   def wordShingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val tokens = split(lower(col(textCol)), "\\s+")
     val shingles = when(size(tokens) >= k,

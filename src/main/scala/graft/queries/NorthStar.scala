@@ -567,6 +567,83 @@ object NorthStar {
       .orderBy("doc_id", "rk")
   }
 
+  /** Incremental cross-corpus NEAR-dup (q41k): the fuzzy twin of
+    * q41h — a freshly-ingested batch (deterministic derivation:
+    * 'copy '-prefixed near-copies of every doc_id%10=3 corpus doc,
+    * vowel-swapped genuinely-new text for doc_id%10=4) is tested for
+    * n-gram Jaccard similarity against the EXISTING corpus, one
+    * verdict per batch doc. [[graft.ops.Dedup.incrementalNearDup]]
+    * carries the two-sided blocking topology; the oracle restates the
+    * identical relational program over the same derivations. The
+    * prefix-copies must match (they keep every original bigram), the
+    * vowel-swapped docs must not (most bigrams change). */
+  val q41k = QueryDef("q41k_dedup_incremental_neardup",
+    """WITH exdocs AS (SELECT doc_id AS doc, text FROM documents),
+      |badocs AS (
+      |  SELECT doc_id + 2000000 AS doc, 'copy ' || text AS text
+      |  FROM documents WHERE doc_id % 10 = 3
+      |  UNION ALL
+      |  SELECT doc_id + 3000000 AS doc, translate(text, 'aeiou', 'xyzwv') AS text
+      |  FROM documents WHERE doc_id % 10 = 4),
+      |tE AS (SELECT doc, string_split_regex(lower(text), '\s+') AS l FROM exdocs),
+      |tB AS (SELECT doc, string_split_regex(lower(text), '\s+') AS l FROM badocs),
+      |shE AS (SELECT DISTINCT doc,
+      |    UNNEST(list_transform(generate_series(1, len(l) - 1),
+      |      i -> l[i] || ' ' || l[i + 1])) AS shingle FROM tE),
+      |shB AS (SELECT DISTINCT doc,
+      |    UNNEST(list_transform(generate_series(1, len(l) - 1),
+      |      i -> l[i] || ' ' || l[i + 1])) AS shingle FROM tB),
+      |df AS (SELECT shingle, COUNT(*) AS c FROM (
+      |    SELECT doc, shingle FROM shE UNION ALL SELECT doc, shingle FROM shB) u
+      |  GROUP BY 1),
+      |rare AS (SELECT shingle FROM df WHERE c <= 20),
+      |cand1 AS (SELECT DISTINCT b.doc AS da, e.doc AS db
+      |          FROM shB b JOIN rare USING (shingle)
+      |          JOIN shE e USING (shingle)),
+      |hot AS (SELECT doc FROM shB EXCEPT SELECT da FROM cand1),
+      |fb AS (SELECT doc, shingle FROM (
+      |    SELECT b.doc, b.shingle,
+      |      ROW_NUMBER() OVER (PARTITION BY b.doc
+      |        ORDER BY df.c, b.shingle) AS rk
+      |    FROM shB b JOIN hot USING (doc) JOIN df USING (shingle)) t
+      |  WHERE rk <= 4),
+      |cand2 AS (SELECT DISTINCT f.doc AS da, e.doc AS db
+      |          FROM fb f JOIN shE e USING (shingle)),
+      |cand AS (SELECT da, db FROM cand1 UNION SELECT da, db FROM cand2),
+      |sizesB AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS n FROM shB GROUP BY doc),
+      |sizesE AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS n FROM shE GROUP BY doc),
+      |common AS (SELECT c.da, c.db, CAST(COUNT(*) AS BIGINT) AS cm
+      |           FROM cand c
+      |           JOIN shB s1 ON s1.doc = c.da
+      |           JOIN shE s2 ON s2.doc = c.db AND s2.shingle = s1.shingle
+      |           GROUP BY 1, 2),
+      |pairs AS (SELECT da, CAST(cm AS DOUBLE) / (na.n + nb.n - cm) AS j
+      |          FROM common
+      |          JOIN sizesB na ON na.doc = da JOIN sizesE nb ON nb.doc = db
+      |          WHERE CAST(cm AS DOUBLE) / (na.n + nb.n - cm) >= 0.2),
+      |verd AS (SELECT da, CAST(COUNT(*) AS BIGINT) AS n_matches,
+      |                ROUND(MAX(j), 6) AS best_jaccard
+      |         FROM pairs GROUP BY 1)
+      |SELECT b.doc AS batch_id,
+      |  CAST(CASE WHEN v.da IS NULL THEN 0 ELSE 1 END AS BIGINT) AS matched,
+      |  COALESCE(v.n_matches, 0) AS n_matches,
+      |  COALESCE(v.best_jaccard, 0.0) AS best_jaccard
+      |FROM badocs b LEFT JOIN verd v ON v.da = b.doc
+      |ORDER BY batch_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    val batch = d.filter($"doc_id" % 10 === 3)
+      .select(($"doc_id" + 2000000L).as("doc_id"),
+        concat(lit("copy "), $"text").as("text"))
+      .unionByName(d.filter($"doc_id" % 10 === 4)
+        .select(($"doc_id" + 3000000L).as("doc_id"),
+          translate($"text", "aeiou", "xyzwv").as("text")))
+    graft.CheckpointJanitor.evictAfterConsumption(
+      Dedup.incrementalNearDup(d, batch, "doc_id", "text",
+        k = 2, maxDf = 20, threshold = 0.2)
+        .orderBy("batch_id"))
+  }
+
   /** Corpus-trained unigram-LM quality scoring (q43h): P(w) from one
     * token pass, each doc scored by mean token log-prob + per-token
     * perplexity — the cheap stand-in for an LM quality filter, trained
@@ -762,6 +839,6 @@ object NorthStar {
   }
 
   val defs: Seq[QueryDef] = Seq(q41a, q41h, q41i, q41b, q41c, q41d, q41e, q41f, q41g,
-    q41j, q42, q42b, q42c, q42d, q42e, q43a, q43b, q43c, q43d, q43e, q43f,
+    q41j, q41k, q42, q42b, q42c, q42d, q42e, q43a, q43b, q43c, q43d, q43e, q43f,
     q43g, q43h, q44, q44b, q44c)
 }

@@ -413,4 +413,29 @@ class DedupSpec extends SparkSpec {
     val expected = Tables.documents(spark, sf).filter($"doc_id" % 10 === 0).count()
     assert(exact.count() == expected)
   }
+
+  test("cross-corpus near-dup: every prefix-copy caught, no fresh doc flagged") {
+    // q41k's construction: 'copy '-prefixed near-copies must all match
+    // their originals (generator 2 covers the docs whose only rare
+    // shingle is the NOVEL prefix bigram — rare-blocking alone missed
+    // 20/50 of them before the unpaired-doc fallback); vowel-swapped
+    // fresh docs must not match anything.
+    val d = Tables.documents(spark, sf).select("doc_id", "text")
+    val batch = d.filter($"doc_id" % 10 === 3)
+      .select(($"doc_id" + 2000000L).as("doc_id"),
+        concat(lit("copy "), $"text").as("text"))
+      .unionByName(d.filter($"doc_id" % 10 === 4)
+        .select(($"doc_id" + 3000000L).as("doc_id"),
+          translate($"text", "aeiou", "xyzwv").as("text")))
+    val v = Dedup.incrementalNearDup(d, batch, "doc_id", "text").cache()
+    assert(v.count() == batch.count(), "one verdict per batch doc")
+    val copies = v.filter($"batch_id" < 3000000L)
+    val fresh = v.filter($"batch_id" >= 3000000L)
+    assert(copies.filter($"matched" === 0).isEmpty,
+      "a prefix-copy escaped the near-dup check")
+    assert(fresh.filter($"matched" === 1).isEmpty,
+      "a genuinely-new doc was falsely flagged")
+    assert(v.filter($"best_jaccard" < 0 || $"best_jaccard" > 1).isEmpty)
+    v.unpersist()
+  }
 }
