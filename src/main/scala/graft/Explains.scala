@@ -31,7 +31,8 @@ object Explains {
     "q47b_salted_skew_join", "q43h_lm_logprob", "q41j_dedup_semantic",
     "q63_approx_percentile", "q62_partitioned_layout_pruning",
     "q64_dynamic_partition_pruning", "q65_quality_audit",
-    "q66_snapshot_diff_cdc", "q41k_dedup_incremental_neardup")
+    "q66_snapshot_diff_cdc", "q41k_dedup_incremental_neardup",
+    "q67_bucket_pruned_lookup")
 
   /** Prose above a query's plan — the one- paragraph reading guide for
     * the plan properties SCALING.md leans on. Keyed by query name so a
@@ -95,6 +96,15 @@ object Explains {
         |documented at the query): the dim is a STORED table (a literal Seq
         |constant-folds its Filter away) and the predicate is a comparison
         |(a bare boolean flag fails isLikelySelective).""".stripMargin,
+    "q67_bucket_pruned_lookup" ->
+      """The bucketed-table point lookup: the IN-list on the bucketing key
+        |prunes the scan to the buckets the literals hash to
+        |(`SelectedBucketsCount: 2 out of 8`, Bucketed: true), and the
+        |aggregate keyed on the same column runs WITHOUT an exchange — the
+        |layout serves lookup and co-located aggregation at once. Note the
+        |aggregate is load-bearing: with nothing downstream needing the
+        |bucketing, DisableUnnecessaryBucketedScan drops the bucketed read
+        |and the pruning with it.""".stripMargin,
     "q41k_dedup_incremental_neardup" ->
       """Cross-corpus near-dup: the batch and corpus shingle relations join
         |only through the blocking keys (rare shingles two-sided, plus the

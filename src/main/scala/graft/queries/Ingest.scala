@@ -238,8 +238,11 @@ object Ingest {
   /** The bucketed join itself, exposed for PlanSpec's no-exchange
     * assertion: both sides land in the catalog bucketed 8-ways by the
     * join key, so the sort-merge join reads co-located buckets. */
-  def bucketedJoinInput(s: org.apache.spark.sql.SparkSession, dir: String)
-      : org.apache.spark.sql.DataFrame = {
+  /** Ensure the bucketed catalog tables exist for `dir` (extracted
+    * from [[bucketedJoinInput]] so q67's bucket-pruning read shares
+    * the same tables without paying for the join). */
+  private[queries] def ensureBucketedTables(
+      s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     // synchronized (mirroring Tables.registerViews): two concurrent
     // executions must not both enter the rebuild and interleave
     // DROP/overwrite on the same catalog tables
@@ -271,6 +274,11 @@ object Ingest {
         bucketedDir.set(dir) // only after BOTH tables hold dir's rows
       }
     }
+  }
+
+  def bucketedJoinInput(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    ensureBucketedTables(s, dir)
     s.table("graft.orders_b").join(s.table("graft.lineitem_b"),
       col("l_orderkey") === col("o_orderkey"))
   }
@@ -381,5 +389,32 @@ object Ingest {
       .orderBy("event_date")
   }
 
-  val defs: Seq[QueryDef] = Seq(q45, q45b, q46, q46b, q46c, q50, q62, q64)
+  /** Bucket pruning (q67): the third scan lever beside q62/q64 —
+    * a point lookup on the BUCKETING key of a bucketed catalog table
+    * reads only the buckets the literals hash to
+    * (`SelectedBucketsCount: k out of 8` on the scan, PlanSpec-
+    * pinned), no shuffle, no full scan. At 100 TB this is the
+    * primary-key-lookup shape: hash the key, open one bucket's files.
+    * Shares q50's bucketed tables; the oracle runs the same IN filter
+    * over the unbucketed source. */
+  val q67 = QueryDef("q67_bucket_pruned_lookup",
+    """SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE), 6) AS qty
+      |FROM lineitem WHERE l_orderkey IN (1, 7, 33)
+      |GROUP BY 1 ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    ensureBucketedTables(s, dir)
+    // the aggregate is keyed on the BUCKETING key, so the bucketed
+    // scan both prunes (IN-list → 2 of 8 buckets) and feeds the
+    // aggregate exchange-free — without the agg, Spark's
+    // DisableUnnecessaryBucketedScan rightly drops the bucketed read
+    // (and with it the pruning)
+    s.table("graft.lineitem_b")
+      .filter($"l_orderkey".isin(1L, 7L, 33L))
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_lines"), graft.Canon.dsum($"l_quantity").as("qty"))
+      .orderBy("l_orderkey")
+  }
+
+  val defs: Seq[QueryDef] = Seq(q45, q45b, q46, q46b, q46c, q50, q62, q64, q67)
 }

@@ -367,6 +367,67 @@ object Streaming {
       .orderBy("user_id")
   }
 
+  /** Full-outer stream-stream interval join (q48d): completes the
+    * declared join family (q48 inner / q48c left / full here). Null
+    * extension happens for EACH side exactly at its state eviction:
+    * a left row's window must fully pass the final watermark
+    * (ts_a + 5min < wm, q48c's rule), a right row evicts once no
+    * future left row can precede it (ts_b < wm — the join needs
+    * ts_a < ts_b, and future arrivals have ts_a ≥ wm). The oracle
+    * reproduces both eviction rules against wm = max(ts) - 10min;
+    * StreamScaleSpec separately pins the state bound on the horizon. */
+  val q48d = QueryDef("q48d_stream_stream_full_outer",
+    """WITH mx AS (SELECT max(ts) AS m FROM events),
+      |lrows AS (
+      |  SELECT a.user_id, a.event_id, a.ts, COUNT(b.ts) AS matches
+      |  FROM events a LEFT JOIN events b
+      |    ON a.user_id = b.user_id
+      |   AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTES
+      |  GROUP BY 1, 2, 3),
+      |rrows AS (
+      |  SELECT b.user_id, b.event_id, b.ts, COUNT(a.ts) AS matches
+      |  FROM events b LEFT JOIN events a
+      |    ON a.user_id = b.user_id
+      |   AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTES
+      |  GROUP BY 1, 2, 3),
+      |agg_l AS (
+      |  SELECT user_id, CAST(SUM(matches) AS BIGINT) AS matched,
+      |    CAST(SUM(CASE WHEN matches = 0
+      |         AND ts + INTERVAL 5 MINUTES < m - INTERVAL 10 MINUTES
+      |         THEN 1 ELSE 0 END) AS BIGINT) AS lonly
+      |  FROM lrows CROSS JOIN mx GROUP BY 1),
+      |agg_r AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CASE WHEN matches = 0
+      |         AND ts < m - INTERVAL 10 MINUTES
+      |         THEN 1 ELSE 0 END) AS BIGINT) AS ronly
+      |  FROM rrows CROSS JOIN mx GROUP BY 1)
+      |SELECT user_id, matched + lonly + ronly AS row_cnt,
+      |  matched AS matched_cnt, lonly AS left_null_cnt,
+      |  ronly AS right_null_cnt
+      |FROM agg_l JOIN agg_r USING (user_id)
+      |WHERE matched + lonly + ronly > 0
+      |ORDER BY user_id""".stripMargin) { (s0, dir) =>
+    val s = streamSession(s0)
+    import s.implicits._
+    val a = streamEvents(s, dir).withWatermark("ts", "10 minutes")
+      .select($"user_id", $"ts".as("ts_a"))
+    val b = streamEvents(s, dir).withWatermark("ts", "10 minutes")
+      .select($"user_id".as("user_b"), $"ts".as("ts_b"))
+    val joined = a.join(b,
+      $"user_id" === $"user_b" &&
+        $"ts_b" > $"ts_a" && $"ts_b" <= $"ts_a" + expr("INTERVAL 5 MINUTES"),
+      "full_outer")
+    val sink = runToTable(s, joined, "append")
+    sink.groupBy(coalesce($"user_id", $"user_b").as("user_id"))
+      .agg(count(lit(1)).as("row_cnt"),
+        sum(when($"ts_a".isNotNull && $"ts_b".isNotNull, 1L).otherwise(0L))
+          .as("matched_cnt"),
+        sum(when($"ts_b".isNull, 1L).otherwise(0L)).as("left_null_cnt"),
+        sum(when($"ts_a".isNull, 1L).otherwise(0L)).as("right_null_cnt"))
+      .orderBy("user_id")
+  }
+
   /** Streaming CDC upsert (q60c): the change feed arrives as a STREAM
     * (maxFilesPerTrigger=1 forces multiple micro-batches, so latest-
     * wins state genuinely merges across triggers), `max(struct(eff,
@@ -399,5 +460,6 @@ object Streaming {
   private val cdcFeedScratch =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  val defs: Seq[QueryDef] = Seq(q36, q37, q38, q39, q39b, q48, q48b, q48c, q60c)
+  val defs: Seq[QueryDef] = Seq(q36, q37, q38, q39, q39b, q48, q48b, q48c, q48d,
+    q60c)
 }

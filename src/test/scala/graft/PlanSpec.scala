@@ -170,6 +170,16 @@ class PlanSpec extends SparkSpec {
       s"expected a dynamic pruning subquery on the fact scan:\n${plan.take(3000)}")
   }
 
+  test("q67 lookup on the bucketing key reads a pruned bucket subset") {
+    val df = graft.queries.Ingest.q67.fn(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined, s"scan must report bucket pruning:\n${plan.take(2000)}")
+    assert(m.get.group(1).toInt < m.get.group(2).toInt,
+      "the IN-list lookup must touch a strict subset of buckets")
+  }
+
   test("q47b salted join plans a ShuffledHashJoin keyed on (partkey, salt)") {
     val df = graft.queries.Joins.q47b.fn(spark, sf)
     df.collect()
