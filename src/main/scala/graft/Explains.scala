@@ -32,7 +32,8 @@ object Explains {
     "q63_approx_percentile", "q62_partitioned_layout_pruning",
     "q64_dynamic_partition_pruning", "q65_quality_audit",
     "q66_snapshot_diff_cdc", "q41k_dedup_incremental_neardup",
-    "q67_bucket_pruned_lookup")
+    "q67_bucket_pruned_lookup", "q43i_boilerplate_strip",
+    "q68_gap_fill_rolling")
 
   /** Prose above a query's plan — the one- paragraph reading guide for
     * the plan properties SCALING.md leans on. Keyed by query name so a
@@ -96,6 +97,19 @@ object Explains {
         |documented at the query): the dim is a STORED table (a literal Seq
         |constant-folds its Filter away) and the predicate is a comparison
         |(a bare boolean flag fails isLikelySelective).""".stripMargin,
+    "q43i_boilerplate_strip" ->
+      """The C4 boilerplate rule as one pass: posexplode lines, line-hash
+        |frequency aggregate (map-side combine; the relation is distinct-
+        |line-sized), frequency join back, per-doc ordered reassembly via
+        |array_sort(collect_list(struct(pos,line))) — per-doc state is that
+        |doc's own lines. No pattern list anywhere; the corpus itself
+        |defines what is chrome.""".stripMargin,
+    "q68_gap_fill_rolling" ->
+      """Date-spine densification: the spine explodes sequence() per user
+        |(users × 30 rows — calendar-bounded, never event-bounded), one
+        |co-keyed left join fills the gaps with explicit zeros, and the
+        |7-day rolling average rides the same user_id partitioning as the
+        |fill join's shuffle.""".stripMargin,
     "q67_bucket_pruned_lookup" ->
       """The bucketed-table point lookup: the IN-list on the bucketing key
         |prunes the scan to the buckets the literals hash to

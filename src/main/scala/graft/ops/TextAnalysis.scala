@@ -129,6 +129,35 @@ object TextAnalysis {
         col("tfidf"), col("rk").cast("int").as("rk"))
   }
 
+  /** Corpus-frequency boilerplate stripping (the C4 rule): drop every
+    * LINE that occurs in more than `maxLineDf` documents — navigation
+    * chrome, subscribe banners, copyright footers repeat verbatim
+    * across a crawl, and line-level global frequency finds them
+    * without any pattern list. One posexplode pass, a line-hash
+    * aggregate (map-side combine; the hash relation is
+    * vocabulary-sized), a frequency join back, and a per-doc ordered
+    * reassembly via sort_array(collect_list(struct(pos, line))) —
+    * the only per-doc state is that doc's own lines. */
+  def stripBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+      maxLineDf: Int): DataFrame = {
+    val lines = docs.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val freq = lines.groupBy("line").agg(count(lit(1)).as("ldf"))
+    val kept = lines.join(freq, "line").filter(col("ldf") <= maxLineDf)
+    docs.select(col(idCol),
+        (size(split(col(textCol), "\n"))).as("n_lines_in"))
+      .join(
+        kept.groupBy(col(idCol)).agg(
+          count(lit(1)).as("n_lines_kept"),
+          md5(concat_ws("\n",
+            transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+              x => x.getField("line")))).as("clean_hash")),
+        Seq(idCol), "left_outer")
+      .select(col(idCol), col("n_lines_in").cast("long").as("n_lines_in"),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
+        coalesce(col("clean_hash"), md5(lit(""))).as("clean_hash"))
+  }
+
   /** Corpus-trained unigram-LM scoring — the perplexity-proxy quality
     * filter: P(w) = corpus count / corpus tokens, each document scored
     * by its mean token log-probability (and the equivalent per-token

@@ -124,5 +124,59 @@ object Analytics {
       .orderBy("user_id", "session_idx")
   }
 
-  val defs: Seq[QueryDef] = Seq(q57, q58, q61)
+  /** Date-spine gap fill + rolling window (q68): per-user daily
+    * activity densified over the full calendar (absent days become
+    * explicit zero rows — the shape every downstream time-series
+    * model/chart needs), then a 7-day rolling average over the now
+    * gap-free frame. The spine is users × 30 days built by exploding
+    * a `sequence()` per user (no driver-side loop); the fill is one
+    * left join co-keyed with the daily aggregate; the rolling window
+    * rides the same user partitioning. Row counts are bounded by
+    * users × days — calendar densification, not event volume. */
+  val q68 = QueryDef("q68_gap_fill_rolling",
+    """WITH daily AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt,
+      |    ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6) AS val_sum
+      |  FROM events GROUP BY 1, 2),
+      |users AS (SELECT DISTINCT user_id FROM events),
+      |spine AS (
+      |  SELECT u.user_id,
+      |    CAST(UNNEST(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+      |      INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM users u),
+      |filled AS (
+      |  SELECT s.user_id, s.day,
+      |    COALESCE(d.cnt, 0) AS cnt, COALESCE(d.val_sum, 0.0) AS val_sum
+      |  FROM spine s LEFT JOIN daily d
+      |    ON d.user_id = s.user_id AND d.day = s.day)
+      |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+      |  CAST(cnt AS BIGINT) AS cnt, val_sum,
+      |  ROUND(CAST(SUM(CAST(val_sum AS DECIMAL(28,6))) OVER w AS DOUBLE)
+      |        / COUNT(*) OVER w, 6) AS avg_7d
+      |FROM filled
+      |WINDOW w AS (PARTITION BY user_id ORDER BY day
+      |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, day""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val daily = ev.groupBy($"user_id",
+        to_date(date_trunc("day", $"ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"), graft.Canon.dsum($"value").as("val_sum"))
+    val spine = ev.select("user_id").distinct().select($"user_id",
+      explode(sequence(to_date(lit("2024-01-01")), to_date(lit("2024-01-30")),
+        expr("interval 1 day"))).as("day"))
+    val filled = spine.join(daily, Seq("user_id", "day"), "left_outer")
+      .select($"user_id", $"day", coalesce($"cnt", lit(0L)).as("cnt"),
+        coalesce($"val_sum", lit(0.0)).as("val_sum"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("day").rowsBetween(-6, 0)
+    filled.select($"user_id", date_format($"day", "yyyy-MM-dd").as("day"),
+        $"cnt", $"val_sum",
+        round(sum($"val_sum".cast(graft.Canon.Money)).over(w).cast("double")
+          / count(lit(1)).over(w), 6).as("avg_7d"))
+      .orderBy("user_id", "day")
+  }
+
+  val defs: Seq[QueryDef] = Seq(q57, q58, q61, q68)
 }

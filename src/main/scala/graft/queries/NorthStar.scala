@@ -726,6 +726,54 @@ object NorthStar {
       .orderBy("vec_id")
   }
 
+  /** Boilerplate line stripping (q43i, the C4 rule): lines repeating
+    * across more than 10 documents are chrome, not content — strip
+    * them by global line frequency, no pattern list. The corpus is
+    * documents with deterministic boilerplate injected (a subscribe
+    * banner on every 3rd doc, a copyright footer on every 5th), so
+    * the expected removals are known by construction;
+    * [[graft.ops.TextAnalysis.stripBoilerplate]] carries the one-pass
+    * topology. Output: per-doc line counts in/kept + md5 of the
+    * cleaned reassembly (identical string → identical hash in both
+    * engines). */
+  val q43i = QueryDef("q43i_boilerplate_strip",
+    """WITH docs2 AS (
+      |  SELECT doc_id,
+      |    text ||
+      |    CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'subscribe to our newsletter today' ELSE '' END ||
+      |    CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'copyright 2024 example corp all rights reserved' ELSE '' END
+      |    AS text
+      |  FROM documents),
+      |lines AS (
+      |  SELECT doc_id,
+      |    UNNEST(generate_series(1, len(l))) AS pos,
+      |    UNNEST(l) AS line
+      |  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM docs2)),
+      |freq AS (SELECT line, COUNT(*) AS ldf FROM lines GROUP BY 1),
+      |kept AS (SELECT l.doc_id, l.pos, l.line FROM lines l
+      |         JOIN freq USING (line) WHERE freq.ldf <= 10),
+      |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines_kept,
+      |          md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_hash
+      |        FROM kept GROUP BY 1)
+      |SELECT d.doc_id,
+      |  CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines_in,
+      |  COALESCE(a.n_lines_kept, 0) AS n_lines_kept,
+      |  COALESCE(a.clean_hash, md5('')) AS clean_hash
+      |FROM docs2 d LEFT JOIN agg a USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val docs2 = Tables.documents(s, dir).select($"doc_id",
+      concat($"text",
+        when($"doc_id" % 3 === 0,
+          concat(lit("\n"), lit("subscribe to our newsletter today")))
+          .otherwise(""),
+        when($"doc_id" % 5 === 0,
+          concat(lit("\n"), lit("copyright 2024 example corp all rights reserved")))
+          .otherwise("")).as("text"))
+    TextAnalysis.stripBoilerplate(docs2, "doc_id", "text", maxLineDf = 10)
+      .orderBy("doc_id")
+  }
+
   /** End-to-end curation pipeline — the composed flow a training-data
     * build actually runs: corpus (with duplicates) → quality filter
     * (score ≥ 0.5, ≥ 5 tokens) → exact dedup (keep min doc id per
@@ -840,5 +888,5 @@ object NorthStar {
 
   val defs: Seq[QueryDef] = Seq(q41a, q41h, q41i, q41b, q41c, q41d, q41e, q41f, q41g,
     q41j, q41k, q42, q42b, q42c, q42d, q42e, q43a, q43b, q43c, q43d, q43e, q43f,
-    q43g, q43h, q44, q44b, q44c)
+    q43g, q43h, q43i, q44, q44b, q44c)
 }

@@ -364,6 +364,60 @@ object SqlQueries {
           |      FROM lp GROUP BY 1)
           |SELECT doc_id, n_tokens, avg_logp, ROUND(exp(-avg_logp), 6) AS ppl
           |FROM d ORDER BY doc_id""".stripMargin),
+      // q68: generate_series→explode(sequence), strftime→date_format;
+      // WINDOW clause is shared dialect.
+      (Analytics.q68,
+        """WITH daily AS (
+          |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+          |    CAST(COUNT(*) AS BIGINT) AS cnt,
+          |    ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6) AS val_sum
+          |  FROM events GROUP BY 1, 2),
+          |users AS (SELECT DISTINCT user_id FROM events),
+          |spine AS (
+          |  SELECT u.user_id,
+          |    explode(sequence(DATE '2024-01-01', DATE '2024-01-30',
+          |      interval 1 day)) AS day
+          |  FROM users u),
+          |filled AS (
+          |  SELECT s.user_id, s.day,
+          |    COALESCE(d.cnt, 0L) AS cnt, COALESCE(d.val_sum, 0.0D) AS val_sum
+          |  FROM spine s LEFT JOIN daily d
+          |    ON d.user_id = s.user_id AND d.day = s.day)
+          |SELECT user_id, date_format(day, 'yyyy-MM-dd') AS day,
+          |  CAST(cnt AS BIGINT) AS cnt, val_sum,
+          |  ROUND(CAST(SUM(CAST(val_sum AS DECIMAL(28,6))) OVER w AS DOUBLE)
+          |        / COUNT(*) OVER w, 6) AS avg_7d
+          |FROM filled
+          |WINDOW w AS (PARTITION BY user_id ORDER BY day
+          |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+          |ORDER BY user_id, day""".stripMargin),
+      // q43i: parallel-UNNEST zip → posexplode, string_agg(ORDER BY) →
+      // concat_ws over array_sort(collect_list(struct)); chr(10) shared.
+      (NorthStar.q43i,
+        """WITH docs2 AS (
+          |  SELECT doc_id,
+          |    concat(text,
+          |      CASE WHEN doc_id % 3 = 0
+          |        THEN concat(chr(10), 'subscribe to our newsletter today') ELSE '' END,
+          |      CASE WHEN doc_id % 5 = 0
+          |        THEN concat(chr(10), 'copyright 2024 example corp all rights reserved') ELSE '' END)
+          |    AS text
+          |  FROM documents),
+          |lines AS (SELECT doc_id, posexplode(split(text, chr(10))) AS (pos, line) FROM docs2),
+          |freq AS (SELECT line, COUNT(*) AS ldf FROM lines GROUP BY 1),
+          |kept AS (SELECT l.doc_id, l.pos, l.line FROM lines l
+          |         JOIN freq USING (line) WHERE freq.ldf <= 10),
+          |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines_kept,
+          |          md5(concat_ws(chr(10),
+          |            transform(array_sort(collect_list(struct(pos, line))),
+          |              x -> x.line))) AS clean_hash
+          |        FROM kept GROUP BY 1)
+          |SELECT d.doc_id,
+          |  CAST(size(split(d.text, chr(10))) AS BIGINT) AS n_lines_in,
+          |  COALESCE(a.n_lines_kept, 0L) AS n_lines_kept,
+          |  COALESCE(a.clean_hash, md5('')) AS clean_hash
+          |FROM docs2 d LEFT JOIN agg a USING (doc_id)
+          |ORDER BY doc_id""".stripMargin),
       // q43g (TF-IDF): unnest(string_split_regex) → explode(split),
       // double literals D-suffixed; everything else is shared dialect.
       (NorthStar.q43g,

@@ -97,4 +97,25 @@ class TextAnalysisSpec extends SparkSpec {
     val perDoc = out.values.groupBy(_._1).view.mapValues(_.size)
     assert(perDoc.values.forall(_ <= 5))
   }
+
+  test("boilerplate strip recovers exactly the pre-injection text") {
+    // q43i's corpus: original docs + injected banner/footer lines; the
+    // strip must remove exactly the injected lines (corpus-hot) and
+    // keep every original line (unique), so clean_hash == md5(original)
+    val d = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val docs2 = d.select($"doc_id",
+      concat($"text",
+        when($"doc_id" % 3 === 0, concat(lit("\n"), lit("subscribe to our newsletter today"))).otherwise(""),
+        when($"doc_id" % 5 === 0, concat(lit("\n"), lit("copyright 2024 example corp all rights reserved"))).otherwise(""))
+        .as("text"))
+    val out = TextAnalysis.stripBoilerplate(docs2, "doc_id", "text", maxLineDf = 10)
+    val expected = d.select($"doc_id", md5($"text").as("expect_hash"))
+    val joined = out.join(expected, "doc_id")
+    assert(joined.filter($"clean_hash" =!= $"expect_hash").isEmpty,
+      "stripping must recover the original text byte-for-byte")
+    assert(joined.filter($"n_lines_kept" =!= 1).isEmpty,
+      "every original doc is a single (unique) line here")
+    // injected docs really did have more lines going in
+    assert(out.filter($"doc_id" % 3 === 0 && $"n_lines_in" < 2).isEmpty)
+  }
 }
