@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global ranking — the building block q59's budget
+  * selection uses, factored out: a total-order rank over the whole
+  * relation WITHOUT a single-partition window. Range shuffle on the
+  * sort key (partition i's rows all precede partition i+1's), per-
+  * partition row counts collected driver-side (bounded by the
+  * partition count, never row count), then partition-LOCAL row_number
+  * plus the partition's offset. Ties must be broken by the caller's
+  * sort columns (include a unique key) — with a total order, the rank
+  * is partitioning-independent and therefore oracle-stable.
+  */
+object Ranking {
+
+  def globalRank(df: DataFrame, rankCol: String,
+      sortCols: Column*): DataFrame = {
+    val staged = df.repartitionByRange(sortCols: _*)
+      .withColumn("_pid", spark_partition_id())
+      // the counts agg and the rank pass must see the SAME partitioning
+      // (range sampling re-runs otherwise)
+      .localCheckpoint()
+    val counts = staged.groupBy("_pid").agg(count(lit(1)).as("_n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets: Map[Int, Long] =
+      counts.scanLeft((0, 0L)) { case ((_, acc), (pid, n)) => (pid + 1, acc + n) }
+        .init.zip(counts).map { case ((_, off), (pid, _)) => pid -> off }.toMap
+    val w = Window.partitionBy("_pid").orderBy(sortCols: _*)
+    staged.withColumn(rankCol,
+      row_number().over(w).cast("long") +
+        coalesce(element_at(typedLit(offsets), col("_pid")), lit(0L)))
+      .drop("_pid")
+  }
+
+  /** Token-balanced shard assignment (LPT-flavored): rank docs by
+    * size descending (unique-key tiebreak), deal rank-round-robin
+    * into `shards` — the biggest docs spread first, so shard token
+    * totals stay within a few percent of each other, which is what a
+    * distributed training job needs from its input shards. Entirely
+    * deterministic: the assignment is a pure function of the corpus. */
+  def balancedShards(df: DataFrame, sizeCol: String, idCol: String,
+      shards: Int): DataFrame =
+    globalRank(df, "_rank", col(sizeCol).desc, col(idCol).asc)
+      .withColumn("shard", ((col("_rank") - 1) % shards).cast("int"))
+      .drop("_rank")
+}

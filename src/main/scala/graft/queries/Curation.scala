@@ -185,5 +185,34 @@ object Curation5x {
       .orderBy("doc_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(q52, q52b, q53, q54, q54b, q55, q59)
+  /** Token-balanced shard assignment (q69): deal the corpus into 8
+    * shards with near-equal token totals — what a distributed training
+    * job needs from its input shards. LPT-flavored: global rank by
+    * size descending ([[graft.ops.Ranking.globalRank]] — range
+    * shuffle + per-partition offsets, NO single-partition window),
+    * rank-round-robin assignment. The oracle affords a plain global
+    * ROW_NUMBER; CurationSpec pins the ≤5% imbalance the dealing
+    * guarantees. */
+  val q69 = QueryDef("q69_balanced_shards",
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |r AS (SELECT doc_id, n_tokens,
+      |        ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) AS rk
+      |      FROM d)
+      |SELECT CAST((rk - 1) % 8 AS INTEGER) AS shard,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val d = graft.Tables.documents(s, dir).select($"doc_id",
+      size(split(trim($"text"), "\\s+")).cast("long").as("n_tokens"))
+    graft.ops.Ranking.balancedShards(d, "n_tokens", "doc_id", shards = 8)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+      .orderBy("shard")
+  }
+
+  val defs: Seq[QueryDef] = Seq(q52, q52b, q53, q54, q54b, q55, q59, q69)
 }

@@ -181,4 +181,34 @@ class CurationSpec extends SparkSpec {
     assert(Curation.selectUnderBudget(scored, "doc_id", "quality",
       "n_tokens", total).count() == scored.count())
   }
+
+  test("global rank is a permutation consistent with the total order") {
+    val d = Tables.documents(spark, sf).select($"doc_id",
+      size(split(trim($"text"), "\\s+")).cast("long").as("n_tokens"))
+    val n = d.count()
+    val ranked = graft.ops.Ranking.globalRank(d, "rk",
+      $"n_tokens".desc, $"doc_id".asc).cache()
+    assert(ranked.select("rk").distinct().count() == n, "ranks must be unique")
+    val mm = ranked.agg(min("rk"), max("rk")).head()
+    assert(mm.getLong(0) == 1L && mm.getLong(1) == n, "ranks must be 1..n")
+    // rank order must agree with the declared sort everywhere
+    val disorder = ranked.as("a").join(ranked.as("b"),
+        col("a.rk") === col("b.rk") - 1)
+      .filter(col("a.n_tokens") < col("b.n_tokens") ||
+        (col("a.n_tokens") === col("b.n_tokens") &&
+          col("a.doc_id") > col("b.doc_id")))
+    assert(disorder.isEmpty, "adjacent ranks out of sort order")
+    ranked.unpersist()
+  }
+
+  test("balanced shards: token totals within 5% of each other") {
+    val d = Tables.documents(spark, sf).select($"doc_id",
+      size(split(trim($"text"), "\\s+")).cast("long").as("n_tokens"))
+    val totals = graft.ops.Ranking.balancedShards(d, "n_tokens", "doc_id", 8)
+      .groupBy("shard").agg(sum("n_tokens").as("t"))
+      .select("t").as[Long].collect()
+    assert(totals.length == 8)
+    assert(totals.max.toDouble / totals.min <= 1.05,
+      s"shard imbalance ${totals.max}/${totals.min}")
+  }
 }
