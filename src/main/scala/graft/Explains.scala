@@ -33,7 +33,7 @@ object Explains {
     "q64_dynamic_partition_pruning", "q65_quality_audit",
     "q66_snapshot_diff_cdc", "q41k_dedup_incremental_neardup",
     "q67_bucket_pruned_lookup", "q43i_boilerplate_strip",
-    "q68_gap_fill_rolling")
+    "q68_gap_fill_rolling", "q69_balanced_shards")
 
   /** Prose above a query's plan — the one- paragraph reading guide for
     * the plan properties SCALING.md leans on. Keyed by query name so a
@@ -97,6 +97,13 @@ object Explains {
         |documented at the query): the dim is a STORED table (a literal Seq
         |constant-folds its Filter away) and the predicate is a comparison
         |(a bare boolean flag fails isLikelySelective).""".stripMargin,
+    "q69_balanced_shards" ->
+      """Token-balanced sharding on the factored-out Ranking.globalRank:
+        |range exchange on (n_tokens DESC, doc_id), per-partition counts
+        |collected driver-side (bounded by partition count), partition-
+        |LOCAL row_number + offset — the same no-global-window discipline
+        |as q59, now reusable. The dealing aggregate is a tiny per-shard
+        |rollup.""".stripMargin,
     "q43i_boilerplate_strip" ->
       """The C4 boilerplate rule as one pass: posexplode lines, line-hash
         |frequency aggregate (map-side combine; the relation is distinct-
