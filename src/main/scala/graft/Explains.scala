@@ -33,12 +33,52 @@ object Explains {
     "q64_dynamic_partition_pruning", "q65_quality_audit",
     "q66_snapshot_diff_cdc", "q41k_dedup_incremental_neardup",
     "q67_bucket_pruned_lookup", "q43i_boilerplate_strip",
-    "q68_gap_fill_rolling", "q69_balanced_shards")
+    "q68_gap_fill_rolling", "q69_balanced_shards",
+    // round-15 batch 9: incremental-agg maintenance, profiling,
+    // anomaly scoring, frequency sketch, bigram LM
+    "q70_incremental_agg_merge", "q71_profile_summary",
+    "q72_anomaly_zscore", "q73_heavy_hitters", "q43j_bigram_lm")
 
   /** Prose above a query's plan — the one- paragraph reading guide for
     * the plan properties SCALING.md leans on. Keyed by query name so a
     * full regeneration never loses the annotations. */
   val notes: Map[String, String] = Map(
+    "q70_incremental_agg_merge" ->
+      """Partial-aggregate merge: base and delta each collapse to
+        |(month, status) partials — two partial+final HashAggregate pairs
+        |over DISJOINT pushed-down date slices of the scan — and the merge
+        |re-aggregates the union of partials. At 100 TB the base partials are
+        |a stored O(groups) table, so a refresh reads only the delta; the
+        |oracle recomputing over ALL rows proves merge(partials(A),
+        |partials(B)) ≡ agg(A ∪ B) bit-exactly (decimal sums).""".stripMargin,
+    "q71_profile_summary" ->
+      """One aggregate pass melted by `stack` carries all scalar metrics (no
+        |per-metric re-scan); each COUNT(DISTINCT) is its own single-column
+        |shuffle — deliberately OUTSIDE the main aggregate so Catalyst does
+        |not plan an Expand (row-tripling) over the corpus; the histogram is
+        |one integer-DIV groupBy. Report is O(metrics) rows at any corpus
+        |size.""".stripMargin,
+    "q72_anomaly_zscore" ->
+      """The corpus-proportional work is ONE (event_type, day) partial+final
+        |aggregate; the trailing-window z-score runs over the DAYS relation
+        |(types × days rows). The window carries only exact BIGINT sums
+        |(Σcnt, Σcnt², n) — μ/σ²/z derive in one fixed IEEE expression tree,
+        |no stddev accumulator, so the hash is engine- and
+        |partitioning-proof.""".stripMargin,
+    "q73_heavy_hitters" ->
+      """Sketch-vs-exact discipline for FREQUENCY (q35 = distinct, q63 =
+        |quantiles): the exact top-10 is a term-keyed partial+final count
+        |aggregate plus a row_number over the vocab-sized distinct relation;
+        |the approx_top_k ItemsSketch is ONE pass with KB state — the 100 TB
+        |path. maxItemsTracked ≥ vocab ⇒ the estimate is exact, so sketch_ok
+        |is a hard equality; sketch k (50) > report k (10) absorbs
+        |count-tie reordering at the boundary.""".stripMargin,
+    "q43j_bigram_lm" ->
+      """One bigram-explode pass feeds both the (a,b) count aggregate and the
+        |scoring join; c(a) and V come from the token pass; the 1-row V
+        |broadcasts. The per-doc mean is EXACT integer micro-nat arithmetic
+        |(sum + DIV) — no decimal/double rounding boundary anywhere in the
+        |mean (the davg half-boundary bites at sf0.1 doc 1705).""".stripMargin,
     "q59_budget_select" ->
       """Distributed global prefix sum — range shuffle on (quality DESC, doc_id),
         |per-partition offsets as a literal map (driver-side, bounded by the

@@ -187,4 +187,57 @@ object TextAnalysis {
         graft.Canon.davg(col("lp")).as("avg_logp"))
       .withColumn("ppl", round(exp(-col("avg_logp")), 6))
   }
+
+  /** Corpus-trained BIGRAM LM scoring (q43j) — [[unigramLogProb]]'s
+    * sequence-aware sibling: P(b|a) = (c(a,b) + 1) / (c(a) + V)
+    * (add-one smoothing; c(a) is the full unigram count, V the
+    * distinct-token count), each doc scored by the mean log-prob of
+    * its bigrams. Plan shape: ONE bigram-explode pass feeds both the
+    * count relation and the scoring join; c(a) and V come from the
+    * token pass; V (one row) broadcasts, and the two count joins are
+    * vocab-/bigram-type-sized — BHJ here, SMJ at web-corpus
+    * vocabularies, both chosen by Catalyst. Cross-engine determinism
+    * goes one step beyond q43h's rounded-decimal mean: per-bigram
+    * log-probs are quantized to INTEGER micro-nats (round(ln·10⁶) —
+    * a generic double, so the rounding boundary is hit with ~10⁻¹⁰
+    * probability), and the per-doc mean is then EXACT BIGINT
+    * arithmetic — sum of micro-nats, ×1000, integer-DIV by the
+    * bigram count (negated to positives first, so truncation
+    * semantics agree everywhere) — with zero floating-point anywhere
+    * in the mean. Motivation: the davg discipline divides a
+    * 6-dp-exact decimal sum by the count, and when that quotient
+    * lands EXACTLY on a .5×10⁻⁶ boundary DuckDB's ROUND (FP-product,
+    * half-away) and Spark's (exact-expansion HALF_UP) disagree —
+    * q43j's sf0.1 corpus hits this at doc 1705 (Σlp −327.752592 over
+    * 96 bigrams = −3.4140895 exactly). Integer DIV has no boundary.
+    * Docs with < 2 tokens have no bigrams and drop out (same rule
+    * both engines). */
+  def bigramLogProb(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val words = docs
+      .select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("w"))
+      .filter(size(col("w")) >= 2)
+    val bg = words.select(col(idCol), explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> struct(element_at(w, i) AS a, element_at(w, i + 1) AS b))")).as("p"))
+      .select(col(idCol), col("p.a").as("a"), col("p.b").as("b"))
+    val bc = bg.groupBy("a", "b").agg(count(lit(1)).as("cab"))
+    val toks = docs
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("t"))
+      .filter(col("t") =!= "")
+    val uc = toks.groupBy(col("t").as("a")).agg(count(lit(1)).as("ca"))
+    val vocab = toks.agg(countDistinct(col("t")).as("v"))
+    val lp = bg.join(bc, Seq("a", "b")).join(uc, Seq("a"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lpm", round(log(
+        (col("cab") + 1).cast("double") / (col("ca") + col("v")).cast("double"))
+        * 1000000.0, 0).cast("long"))
+    lp.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lpm")).as("k"))
+      // exact integer mean in nano-nats: (−k)·1000 DIV n, negated back
+      .withColumn("avg_logp",
+        -(expr("(-k) * 1000L DIV n_bigrams").cast("double")) / 1000000000.0)
+      .withColumn("ppl", round(exp(-col("avg_logp")), 6))
+      .drop("k")
+  }
 }

@@ -264,6 +264,53 @@ object Aggregates {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** Frequent-item (heavy-hitter) sketch beside its exact twin (q73 —
+    * the q35/q63 discipline extended to FREQUENCY sketches): the
+    * exact corpus-wide token top-10 is duck-checked value-for-value,
+    * and Spark's `approx_top_k` (DataSketches ItemsSketch — the
+    * KB-state structure that finds hot keys in one pass at 100 TB,
+    * where the exact groupBy needs a vocab-sized shuffle) must agree
+    * with the exact count on every top-10 row. With maxItemsTracked
+    * (10 000) ≥ the distinct-term count the sketch is exact by
+    * construction, so `sketch_ok` is a hard equality, not a
+    * tolerance; the oracle pins the verdict TRUE. The ranking window
+    * runs over the DISTINCT-TERM relation — vocab-sized, which grows
+    * sublinearly with the corpus (Heaps' law), so the single-partition
+    * row_number is bounded; the two corpus passes (exact + sketch)
+    * are the comparison's point, not overhead a user pays. */
+  val q73 = QueryDef("q73_heavy_hitters",
+    """WITH toks AS (
+      |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS term
+      |  FROM documents),
+      |t2 AS (SELECT term FROM toks WHERE term <> ''),
+      |tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM t2 GROUP BY 1),
+      |r AS (SELECT term, cnt,
+      |        ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rk FROM tc)
+      |SELECT term, cnt, CAST(rk AS BIGINT) AS rk, TRUE AS sketch_ok
+      |FROM r WHERE rk <= 10 ORDER BY rk""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, dir)
+      .select(explode(split(lower($"text"), "\\s+")).as("term"))
+      .filter($"term" =!= "")
+    val exact = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val top = exact
+      .withColumn("rk", row_number().over(Window.orderBy($"cnt".desc, $"term")))
+      .filter($"rk" <= 10)
+    // sketch k (50) > report k (10): a COUNT tie at the report
+    // boundary lets the sketch order tied items arbitrarily, so the
+    // margin guarantees every exact top-10 term appears in the sketch
+    // output regardless of tie-break (first observed failure: 'merge',
+    // tied at rank 10, swapped out of the sketch's top-10)
+    val sketch = toks.agg(expr("approx_top_k(term, 50, 10000)").as("tk"))
+      .select(explode($"tk").as("e"))
+      .select($"e.item".as("term"), $"e.count".as("apx_cnt"))
+    top.join(sketch, Seq("term"), "left_outer")
+      .select($"term", $"cnt", $"rk".cast("long").as("rk"),
+        ($"apx_cnt".isNotNull && $"apx_cnt" === $"cnt").as("sketch_ok"))
+      .orderBy("rk")
+  }
+
   val defs: Seq[QueryDef] =
-    Seq(q16, q17, q17b, q18, q19, q19b, q19c, q20, q35, q47, q49, q63)
+    Seq(q16, q17, q17b, q18, q19, q19b, q19c, q20, q35, q47, q49, q63, q73)
 }

@@ -178,5 +178,73 @@ object Analytics {
       .orderBy("user_id", "day")
   }
 
-  val defs: Seq[QueryDef] = Seq(q57, q58, q61, q68)
+  /** Rolling z-score anomaly flags (q72): per-(event_type, day)
+    * volumes scored against the TRAILING 7-day window (rows 7
+    * preceding .. 1 preceding — the current day never contaminates
+    * its own baseline), z = (cnt − μ)/σ, |z| > 2 flagged. The
+    * monitoring query a pipeline runs over its own ingest volumes.
+    *
+    * Determinism across engines: the window carries only exact
+    * BIGINT sums (Σcnt, Σcnt², n), and μ/σ²/z are derived from them
+    * in ONE fixed IEEE expression tree — no streaming stddev
+    * accumulator (Spark's stddev_samp and DuckDB's disagree in
+    * association order). σ² ≤ 0 (constant window, or the tiny
+    * negative the subtraction can produce at var≈0) → z NULL, flag 0.
+    * Plan: one (type, day) partial-agg pass over events, then a
+    * window over the DAYS relation — types × days rows, thousands of
+    * times smaller than the corpus; per-partition window state is
+    * the 8-row frame. At 100 TB the corpus pass is the only
+    * data-proportional term. */
+  val q72 = QueryDef("q72_anomaly_zscore",
+    """WITH d AS (
+      |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+      |         CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, day, cnt,
+      |    CAST(COUNT(cnt) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS np,
+      |    CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS sm,
+      |    CAST(SUM(cnt * cnt) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS ssq
+      |  FROM d),
+      |v AS (
+      |  SELECT event_type, day, cnt, np,
+      |    CAST(sm AS DOUBLE) / np AS mu,
+      |    (CAST(ssq AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) / np)
+      |      / (np - 1) AS vr
+      |  FROM w WHERE np >= 3)
+      |SELECT event_type, day, cnt,
+      |  CASE WHEN vr > 0
+      |       THEN ROUND((CAST(cnt AS DOUBLE) - mu) / sqrt(vr), 6) END AS z,
+      |  CAST(CASE WHEN vr > 0 AND
+      |            abs((CAST(cnt AS DOUBLE) - mu) / sqrt(vr)) > 2.0
+      |       THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+      |FROM v ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.events(s, dir)
+      .groupBy($"event_type", date_format($"ts", "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val win = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-7, -1)
+    d.withColumn("np", count($"cnt").over(win))
+      .withColumn("sm", sum($"cnt").over(win))
+      .withColumn("ssq", sum($"cnt" * $"cnt").over(win))
+      .filter($"np" >= 3)
+      .withColumn("mu", $"sm".cast("double") / $"np")
+      .withColumn("vr",
+        ($"ssq".cast("double") - $"sm".cast("double") * $"sm".cast("double") / $"np")
+          / ($"np" - 1))
+      .select($"event_type", $"day", $"cnt",
+        when($"vr" > 0,
+          round(($"cnt".cast("double") - $"mu") / sqrt($"vr"), 6)).as("z"),
+        when($"vr" > 0 &&
+            abs(($"cnt".cast("double") - $"mu") / sqrt($"vr")) > 2.0, 1L)
+          .otherwise(0L).as("is_anomaly"))
+      .orderBy("event_type", "day")
+  }
+
+  val defs: Seq[QueryDef] = Seq(q57, q58, q61, q68, q72)
 }

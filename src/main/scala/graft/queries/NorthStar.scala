@@ -671,6 +671,45 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** Bigram-LM perplexity scoring (q43j): q43h's sequence-aware
+    * sibling — P(b|a) = (c(a,b)+1)/(c(a)+V) with add-one smoothing,
+    * trained and applied in the same job. A doc full of corpus-common
+    * WORDS in corpus-unusual ORDER now scores badly, which the
+    * unigram model cannot see; this is the standard cheap LM quality
+    * filter shape. The per-doc mean is EXACT integer micro-nat
+    * arithmetic (no davg: the decimal-sum-over-count quotient lands
+    * exactly on a .5×10⁻⁶ ROUND boundary at sf0.1 doc 1705, where the
+    * engines' half-handling disagrees — see
+    * [[graft.ops.TextAnalysis.bigramLogProb]]); docs with < 2 tokens
+    * drop out in both engines. */
+  val q43j = QueryDef("q43j_bigram_lm",
+    """WITH w AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+      |  FROM documents
+      |  WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 2),
+      |bg AS (
+      |  SELECT doc_id, split_part(p, ' ', 1) AS a, split_part(p, ' ', 2) AS b
+      |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+      |          i -> w[i] || ' ' || w[i + 1])) AS p FROM w)),
+      |bc AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cab FROM bg GROUP BY 1, 2),
+      |toks AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+      |         FROM documents),
+      |t2 AS (SELECT t FROM toks WHERE t <> ''),
+      |uc AS (SELECT t AS a, CAST(COUNT(*) AS BIGINT) AS ca FROM t2 GROUP BY 1),
+      |vocab AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v FROM t2),
+      |lp AS (SELECT bg.doc_id,
+      |         CAST(ROUND(ln(CAST(bc.cab + 1 AS DOUBLE) / CAST(uc.ca + vocab.v AS DOUBLE))
+      |              * 1000000.0) AS BIGINT) AS lpm
+      |       FROM bg JOIN bc USING (a, b) JOIN uc USING (a) CROSS JOIN vocab),
+      |d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |        -(CAST(((-SUM(lpm)) * 1000) // COUNT(*) AS DOUBLE)) / 1000000000.0 AS avg_logp
+      |      FROM lp GROUP BY 1)
+      |SELECT doc_id, n_bigrams, avg_logp, ROUND(exp(-avg_logp), 6) AS ppl
+      |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    TextAnalysis.bigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   /** End-to-end semantic dedup (q41j, the SemDeDup shape): LSH-bucketed
     * cosine near-dup pairs (q42c's machinery, literal splitmix64
     * hyperplanes so the oracle reproduces the buckets bit-exactly) →
@@ -888,5 +927,5 @@ object NorthStar {
 
   val defs: Seq[QueryDef] = Seq(q41a, q41h, q41i, q41b, q41c, q41d, q41e, q41f, q41g,
     q41j, q41k, q42, q42b, q42c, q42d, q42e, q43a, q43b, q43c, q43d, q43e, q43f,
-    q43g, q43h, q43i, q44, q44b, q44c)
+    q43g, q43h, q43i, q43j, q44, q44b, q44c)
 }

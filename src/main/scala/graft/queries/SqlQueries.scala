@@ -436,7 +436,62 @@ object SqlQueries {
           |  SELECT scored.*, ROW_NUMBER() OVER (
           |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
           |  FROM scored) t WHERE rk <= 5
-          |ORDER BY doc_id, rk""".stripMargin))
+          |ORDER BY doc_id, rk""".stripMargin),
+      // round-15 batch 9 additions: q70/q72 swap strftime→date_format;
+      // q71 additionally quantile_cont→percentile, //→DIV, VARCHAR→
+      // STRING; q73/q43j are full rewrites (unnest(string_split_regex)
+      // → explode(split), list_transform(generate_series)→
+      // transform(sequence), //→DIV).
+      (Warehouse.q70, Warehouse.q70.oracle.get.replace(
+        "strftime(o_orderdate, '%Y-%m')",
+        "date_format(o_orderdate, 'yyyy-MM')")),
+      (Warehouse.q71, Warehouse.q71.oracle.get
+        .replace("quantile_cont(n_chars, 0.5)", "percentile(n_chars, 0.5D)")
+        .replace("n_chars // 250", "n_chars DIV 250")
+        .replace("CAST(b AS VARCHAR)", "CAST(b AS STRING)")),
+      (Analytics.q72, Analytics.q72.oracle.get.replace(
+        "strftime(ts, '%Y-%m-%d')",
+        "date_format(ts, 'yyyy-MM-dd')")),
+      (Aggregates.q73,
+        """WITH toks AS (
+          |  SELECT explode(split(lower(text), '\\s+')) AS term FROM documents),
+          |t2 AS (SELECT term FROM toks WHERE term <> ''),
+          |tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM t2 GROUP BY 1),
+          |r AS (SELECT term, cnt,
+          |        ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rk FROM tc),
+          |top AS (SELECT term, cnt, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 10),
+          |sk AS (SELECT e.item AS term, e.count AS apx
+          |       FROM (SELECT explode(tk) AS e FROM
+          |              (SELECT approx_top_k(term, 50, 10000) AS tk FROM t2)))
+          |SELECT t.term, t.cnt, t.rk,
+          |  (s.apx IS NOT NULL AND s.apx = t.cnt) AS sketch_ok
+          |FROM top t LEFT JOIN sk s ON t.term = s.term
+          |ORDER BY rk""".stripMargin),
+      (NorthStar.q43j,
+        """WITH w AS (
+          |  SELECT doc_id, split(trim(lower(text)), '\\s+') AS w
+          |  FROM documents
+          |  WHERE size(split(trim(lower(text)), '\\s+')) >= 2),
+          |bg AS (
+          |  SELECT doc_id, p.a AS a, p.b AS b
+          |  FROM (SELECT doc_id, explode(transform(sequence(1, size(w) - 1),
+          |          i -> struct(element_at(w, i) AS a, element_at(w, i + 1) AS b))) AS p
+          |        FROM w)),
+          |bc AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cab FROM bg GROUP BY 1, 2),
+          |toks AS (SELECT explode(split(trim(lower(text)), '\\s+')) AS t
+          |         FROM documents),
+          |t2 AS (SELECT t FROM toks WHERE t <> ''),
+          |uc AS (SELECT t AS a, CAST(COUNT(*) AS BIGINT) AS ca FROM t2 GROUP BY 1),
+          |vocab AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v FROM t2),
+          |lp AS (SELECT bg.doc_id,
+          |         CAST(ROUND(ln(CAST(bc.cab + 1 AS DOUBLE) / CAST(uc.ca + vocab.v AS DOUBLE))
+          |              * 1000000.0D) AS BIGINT) AS lpm
+          |       FROM bg JOIN bc USING (a, b) JOIN uc USING (a) CROSS JOIN vocab),
+          |d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+          |        -(CAST(((-SUM(lpm)) * 1000) DIV COUNT(*) AS DOUBLE)) / 1000000000.0D AS avg_logp
+          |      FROM lp GROUP BY 1)
+          |SELECT doc_id, n_bigrams, avg_logp, ROUND(exp(-avg_logp), 6) AS ppl
+          |FROM d ORDER BY doc_id""".stripMargin))
   }
 
   /** Spark-SQL text of q43b, generated from the SAME stopword profiles

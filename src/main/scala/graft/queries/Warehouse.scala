@@ -198,5 +198,126 @@ object Warehouse {
       .orderBy("cust_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(q60, q60b, q65, q66)
+  /** Incremental materialized-aggregate maintenance (q70): the
+    * monthly revenue rollup kept fresh by MERGING stored partial
+    * aggregates with a delta batch instead of rescanning the base.
+    * Base = orders before 2000-01-01 (the "already aggregated"
+    * history), delta = everything after; each side collapses to
+    * per-(month, status) partials — count / sum / min / max, all
+    * algebraically mergeable — and the refresh re-aggregates the
+    * UNION OF PARTIALS (sum of counts, sum of sums, min of mins, max
+    * of maxes), deriving avg = sum/count only at publish. At 100 TB
+    * the base partials are a stored table of O(groups) rows, so a
+    * refresh scans ONLY the delta: the whole merge is delta-sized +
+    * O(groups). Prices go through DECIMAL(12,2) so every sum is
+    * exact integer arithmetic — associativity-proof across the
+    * base/delta split and across engines. The oracle recomputes the
+    * rollup directly over all of orders: hash equality IS the proof
+    * of the partial-merge law (merge(partials(A), partials(B)) ≡
+    * agg(A ∪ B)). */
+  val q70 = QueryDef("q70_incremental_agg_merge",
+    """WITH src AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |         o_orderstatus AS status,
+      |         CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      |  FROM orders)
+      |SELECT month, status, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(price) AS DOUBLE) AS sum_price,
+      |  CAST(MIN(price) AS DOUBLE) AS min_price,
+      |  CAST(MAX(price) AS DOUBLE) AS max_price,
+      |  ROUND(CAST(SUM(price) AS DOUBLE) / COUNT(*), 6) AS avg_price
+      |FROM src GROUP BY month, status
+      |ORDER BY month, status""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val ord = Tables.orders(s, dir).select(
+      date_format($"o_orderdate", "yyyy-MM").as("month"),
+      $"o_orderstatus".as("status"),
+      $"o_totalprice".cast("decimal(12,2)").as("price"),
+      $"o_orderdate".as("od"))
+    val cutoff = to_timestamp(lit("2000-01-01 00:00:00"))
+    def partials(df: DataFrame): DataFrame =
+      df.groupBy("month", "status").agg(
+        count(lit(1)).as("pn"), sum($"price").as("ps"),
+        min($"price").as("pmn"), max($"price").as("pmx"))
+    val base  = partials(ord.filter($"od" < cutoff))
+    val delta = partials(ord.filter($"od" >= cutoff))
+    base.unionByName(delta).groupBy("month", "status").agg(
+        sum($"pn").cast("long").as("n_orders"),
+        sum($"ps").as("ms"), min($"pmn").as("mmn"), max($"pmx").as("mmx"))
+      .select($"month", $"status", $"n_orders",
+        $"ms".cast("double").as("sum_price"),
+        $"mmn".cast("double").as("min_price"),
+        $"mmx".cast("double").as("max_price"),
+        round($"ms".cast("double") / $"n_orders", 6).as("avg_price"))
+      .orderBy("month", "status")
+  }
+
+  /** Column-profiling summary (q71): the Deequ/dbt-profile operator a
+    * pipeline runs before trusting a new corpus drop — row count,
+    * empty-text count, n_chars min/max/mean/median, lang and source
+    * cardinalities, and a fixed-bound equi-width histogram of
+    * n_chars (10 × 250-char buckets, top bucket open), all in a tall
+    * (metric, value) report. Plan shape: the scalar metrics are ONE
+    * aggregate pass melted by `stack` (no re-scan per metric); each
+    * distinct-count is its own single-column shuffle (kept out of
+    * the main aggregate so Catalyst doesn't plan an Expand over the
+    * corpus); the histogram is one integer-arithmetic groupBy. Report
+    * size is O(metrics) whatever the corpus size. Exact percentile ≡
+    * DuckDB quantile_cont under R-7 (the q43f precedent). */
+  val q71 = QueryDef("q71_profile_summary",
+    """WITH m AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_rows,
+      |    CAST(SUM(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS DOUBLE) AS text_empty,
+      |    CAST(MIN(n_chars) AS DOUBLE) AS n_chars_min,
+      |    CAST(MAX(n_chars) AS DOUBLE) AS n_chars_max,
+      |    ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(n_chars), 6) AS n_chars_mean,
+      |    ROUND(quantile_cont(n_chars, 0.5), 6) AS n_chars_p50
+      |  FROM documents),
+      |d1 AS (SELECT CAST(COUNT(DISTINCT lang) AS DOUBLE) AS v FROM documents),
+      |d2 AS (SELECT CAST(COUNT(DISTINCT source) AS DOUBLE) AS v FROM documents),
+      |h AS (SELECT least(n_chars // 250, 9) AS b, CAST(COUNT(*) AS DOUBLE) AS v
+      |      FROM documents GROUP BY 1)
+      |SELECT metric, value FROM (
+      |  SELECT 'n_rows' AS metric, n_rows AS value FROM m
+      |  UNION ALL SELECT 'text_empty', text_empty FROM m
+      |  UNION ALL SELECT 'n_chars_min', n_chars_min FROM m
+      |  UNION ALL SELECT 'n_chars_max', n_chars_max FROM m
+      |  UNION ALL SELECT 'n_chars_mean', n_chars_mean FROM m
+      |  UNION ALL SELECT 'n_chars_p50', n_chars_p50 FROM m
+      |  UNION ALL SELECT 'lang_distinct', v FROM d1
+      |  UNION ALL SELECT 'source_distinct', v FROM d2
+      |  UNION ALL SELECT 'hist_' || CAST(b AS VARCHAR), v FROM h)
+      |ORDER BY metric""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val melted = docs.agg(
+        count(lit(1)).cast("double").as("n_rows"),
+        sum(when($"text".isNull || $"text" === "", 1).otherwise(0))
+          .cast("double").as("text_empty"),
+        min($"n_chars").cast("double").as("n_chars_min"),
+        max($"n_chars").cast("double").as("n_chars_max"),
+        round(sum($"n_chars").cast("double") / count($"n_chars"), 6)
+          .as("n_chars_mean"),
+        round(expr("percentile(n_chars, 0.5D)"), 6).as("n_chars_p50"))
+      .select(expr(
+        """stack(6,
+          |  'n_rows', n_rows, 'text_empty', text_empty,
+          |  'n_chars_min', n_chars_min, 'n_chars_max', n_chars_max,
+          |  'n_chars_mean', n_chars_mean, 'n_chars_p50', n_chars_p50)
+          |AS (metric, value)""".stripMargin))
+    def dcount(metric: String, c: String) =
+      docs.agg(countDistinct(col(c)).cast("double").as("value"))
+        .select(lit(metric).as("metric"), $"value")
+    val hist = docs
+      .groupBy(expr("least(n_chars DIV 250, 9)").as("b"))
+      .agg(count(lit(1)).cast("double").as("value"))
+      .select(concat(lit("hist_"), $"b".cast("string")).as("metric"), $"value")
+    melted
+      .unionByName(dcount("lang_distinct", "lang"))
+      .unionByName(dcount("source_distinct", "source"))
+      .unionByName(hist)
+      .orderBy("metric")
+  }
+
+  val defs: Seq[QueryDef] = Seq(q60, q60b, q65, q66, q70, q71)
 }

@@ -118,4 +118,40 @@ class TextAnalysisSpec extends SparkSpec {
     // injected docs really did have more lines going in
     assert(out.filter($"doc_id" % 3 === 0 && $"n_lines_in" < 2).isEmpty)
   }
+
+  test("bigram LM: hand-computed smoothed probabilities, exact integer mean") {
+    // corpus: d1 = "x x x" (bigrams xx, xx), d2 = "x y" (bigram xy)
+    // unigrams: c(x)=4, c(y)=1, V=2
+    // P(x|x) = (2+1)/(4+2) = 0.5        → lpm = round(ln(.5)·1e6)  = -693147
+    // P(y|x) = (1+1)/(4+2) = 1/3        → lpm = round(ln(1/3)·1e6) = -1098612
+    val docs = Seq((1L, "x x x"), (2L, "x y")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.length == 2)
+    val d1 = out(0); val d2 = out(1)
+    assert(d1.getLong(1) == 2 && d2.getLong(1) == 1)
+    // avg = -((-k)*1000 DIV n)/1e9, exact integer arithmetic
+    assert(d1.getDouble(2) == -(693147L * 2 * 1000 / 2) / 1e9)
+    assert(d2.getDouble(2) == -1098612L * 1000 / 1e9)
+    assert(d2.getDouble(3) == math.rint(math.exp(1.098612) * 1e6) / 1e6)
+  }
+
+  test("bigram LM sees word ORDER where the unigram model cannot") {
+    // corpus dominated by the order "alpha beta"; probe docs use the
+    // same unigram bag in both orders → identical unigram score,
+    // different bigram score (the model's reason to exist)
+    val train = (1L to 20L).map(i => (i, "alpha beta")) :+
+      (21L, "beta alpha")
+    val docs = train.toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(docs, "doc_id", "text")
+      .select($"doc_id", $"avg_logp").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) > out(21L),
+      "the corpus-common order must outscore the rare order")
+    val uni = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+      .select($"doc_id", $"avg_logp").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(uni(1L) == uni(21L),
+      "unigram scoring is order-blind on the same bag of words")
+  }
 }

@@ -140,6 +140,95 @@ class WarehouseAnalyticsSpec extends SparkSpec {
     assert(audit.size == 5)
   }
 
+  test("q70 incremental merge law: merge(partials(base), partials(delta)) == agg(all)") {
+    val merged = Warehouse.q70.fn(spark, sf)
+    // the law's right-hand side, computed directly (no split, no merge)
+    val direct = Tables.orders(spark, sf)
+      .select(date_format($"o_orderdate", "yyyy-MM").as("month"),
+        $"o_orderstatus".as("status"),
+        $"o_totalprice".cast("decimal(12,2)").as("price"))
+      .groupBy("month", "status")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"price").cast("double").as("sum_price"),
+        min($"price").cast("double").as("min_price"),
+        max($"price").cast("double").as("max_price"))
+      .withColumn("avg_price", round($"sum_price" / $"n_orders", 6))
+      .orderBy("month", "status")
+    assert(merged.collect().toSeq == direct.collect().toSeq,
+      "partial-aggregate merge must be bit-identical to the direct aggregate")
+  }
+
+  test("q71 profile: metric key set is complete and n_rows/histogram are consistent") {
+    val prof = Warehouse.q71.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val fixed = Set("n_rows", "text_empty", "n_chars_min", "n_chars_max",
+      "n_chars_mean", "n_chars_p50", "lang_distinct", "source_distinct")
+    assert(fixed.subsetOf(prof.keySet))
+    assert(prof.keySet.forall(k => fixed(k) || k.startsWith("hist_")))
+    val nRows = Tables.documents(spark, sf).count().toDouble
+    assert(prof("n_rows") == nRows)
+    // histogram buckets partition the corpus exactly
+    val histSum = prof.collect { case (k, v) if k.startsWith("hist_") => v }.sum
+    assert(histSum == nRows, "histogram buckets must partition all rows")
+    assert(prof("n_chars_min") <= prof("n_chars_p50") &&
+      prof("n_chars_p50") <= prof("n_chars_max"))
+  }
+
+  test("q72 z-score: constant baseline + spike → spike flagged, constants unflagged") {
+    // fixture events table: one type, days 1..9 constant 10 events/day,
+    // day 10 spikes to 100 — written as a real events.parquet so the
+    // declared query runs end-to-end against it
+    val dir = java.nio.file.Files.createTempDirectory("graft_zscore").toString
+    val rows = for {
+      day <- 1 to 10
+      i <- 1 to (if (day == 10) 100 else 10)
+    } yield (day * 1000L + i, f"2024-03-$day%02d 12:00:00", i.toLong, "view",
+      1.0, "{}")
+    rows.toDF("event_id", "tss", "user_id", "event_type", "value", "props")
+      .select($"event_id", to_timestamp($"tss").as("ts"), $"user_id",
+        $"event_type", $"value", $"props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.queries.Analytics.q72.fn(spark, dir).collect()
+    // days 1-3 dropped (np < 3); days 4-9 constant window → vr = 0 → z null
+    val byDay = out.map(r => r.getString(1) -> r).toMap
+    assert(byDay.keySet == (4 to 10).map(d => f"2024-03-$d%02d").toSet)
+    (4 to 9).foreach { d =>
+      val r = byDay(f"2024-03-$d%02d")
+      assert(r.isNullAt(3) && r.getLong(4) == 0L,
+        s"constant-window day $d must have null z and no flag")
+    }
+    val spike = byDay("2024-03-10")
+    assert(spike.isNullAt(3) && spike.getLong(4) == 0L,
+      "a spike over an all-constant window has vr=0 → null z by the guard")
+    // now a noisy baseline: alternate 9/11, then spike — vr > 0, |z| > 2
+    val rows2 = for {
+      day <- 1 to 10
+      i <- 1 to (if (day == 10) 100 else if (day % 2 == 0) 11 else 9)
+    } yield (day * 1000L + i, f"2024-03-$day%02d 12:00:00", i.toLong, "view",
+      1.0, "{}")
+    rows2.toDF("event_id", "tss", "user_id", "event_type", "value", "props")
+      .select($"event_id", to_timestamp($"tss").as("ts"), $"user_id",
+        $"event_type", $"value", $"props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out2 = graft.queries.Analytics.q72.fn(spark, dir).collect()
+      .map(r => r.getString(1) -> r).toMap
+    val sp2 = out2("2024-03-10")
+    assert(!sp2.isNullAt(3) && sp2.getDouble(3) > 2.0 && sp2.getLong(4) == 1L,
+      "spike over a noisy baseline must be flagged")
+    assert((4 to 9).forall(d => out2(f"2024-03-$d%02d").getLong(4) == 0L),
+      "baseline days must stay unflagged")
+  }
+
+  test("q73 heavy hitters: sketch agrees with exact on every top-10 row") {
+    val out = graft.queries.Aggregates.q73.fn(spark, sf).collect()
+    assert(out.length == 10)
+    assert(out.forall(_.getBoolean(3)),
+      "maxItemsTracked >= vocab ⇒ the sketch estimate is exact on every row")
+    val cnts = out.map(_.getLong(1))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b },
+      "rows must rank by descending count")
+  }
+
   test("semantic dedup: verdict laws — one keeper per cluster, sizes partition the corpus") {
     val out = NorthStar.q41j.fn(spark, sf).cache()
     val n = Tables.embeddings(spark, sf).count()
