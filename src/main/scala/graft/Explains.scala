@@ -37,12 +37,34 @@ object Explains {
     // round-15 batch 9: incremental-agg maintenance, profiling,
     // anomaly scoring, frequency sketch, bigram LM
     "q70_incremental_agg_merge", "q71_profile_summary",
-    "q72_anomaly_zscore", "q73_heavy_hitters", "q43j_bigram_lm")
+    "q72_anomaly_zscore", "q73_heavy_hitters", "q43j_bigram_lm",
+    // round-15 batch 10: diversity selection, sequence examples,
+    // winsorization
+    "q74_cluster_balanced_select", "q75_sequence_examples",
+    "q76_winsorize_clamp")
 
   /** Prose above a query's plan — the one- paragraph reading guide for
     * the plan properties SCALING.md leans on. Keyed by query name so a
     * full regeneration never loses the annotations. */
   val notes: Map[String, String] = Map(
+    "q74_cluster_balanced_select" ->
+      """Diversity-preserving subsample: cell assignment is a pure map over
+        |the corpus (argmax against centroid literals — the q42d quantizer,
+        |built once and collected as a few KB), so the ONLY exchange is the
+        |per-cell ranking window: `cells` partitions whose combined input is
+        |the corpus. No all-pairs stage, no global sort.""".stripMargin,
+    "q75_sequence_examples" ->
+      """Lead-chain formulation: one user_id exchange feeds row_number + three
+        |lead()s in a SINGLE Window operator (same spec), with a bounded
+        |3-row look-ahead buffer — a collect_list formulation would buffer a
+        |bot user's whole history in one task. Output rows = events with ≥ 3
+        |successors, linear in the corpus.""".stripMargin,
+    "q76_winsorize_clamp" ->
+      """The per-language bounds aggregate is O(languages) rows — bounded by
+        |the world's language count at any corpus size, so the explicit
+        |broadcast is scale-safe by construction (contrast the per-user
+        |relations in q57/q58, deliberately left to Catalyst). The clamp is a
+        |map-only expression in the scan stage.""".stripMargin,
     "q70_incremental_agg_merge" ->
       """Partial-aggregate merge: base and delta each collapse to
         |(month, status) partials — two partial+final HashAggregate pairs

@@ -320,6 +320,34 @@ object Similarity {
       .withColumn("cell", -element_at(bestCells(cents)(col("ce"), col("cnorm"), 1), 1)
         .getField("nc"))
 
+  /** Cluster-balanced diverse subset selection (q74, the SemDeDup /
+    * DiverseEvol curation shape): quantize the corpus with the IVF
+    * coarse quantizer ([[ivfCentroids]] — strided seeds + one
+    * exact-decimal Lloyd step, centroids become literals), score every
+    * vector's REPRESENTATIVENESS as the cosine to its own cell's
+    * centroid, and keep the top `m` most-representative vectors PER
+    * CELL — a diversity-preserving subsample: every region of
+    * embedding space keeps members, however dense or sparse, instead
+    * of a global score cut that drains sparse regions. Plan shape:
+    * assignment is the same pure map over the corpus as [[ivfTopK]]'s
+    * (argmax over centroid literals, no shuffle); the only exchange is
+    * the per-CELL ranking window — `cells` partitions whose combined
+    * input is the corpus, frames bounded per cell. Output carries the
+    * full verdict (cell, representativeness, rank, kept) so the
+    * curation pipeline joins the drop back onto the corpus. */
+  def clusterBalancedSelect(corpus: DataFrame, cells: Int,
+      m: Int): DataFrame = {
+    val cents = ivfCentroids(corpus, cells)
+    val scored = corpus.select(col("vec_id").as("vid"), col("embedding").as("ce"))
+      .withColumn("cnorm", normSqDecimal(col("ce")))
+      .withColumn("best", element_at(bestCells(cents)(col("ce"), col("cnorm"), 1), 1))
+      .select(col("vid"), (-col("best.nc")).as("cell"), col("best.c").as("cs"))
+    val w = Window.partitionBy("cell").orderBy(col("cs").desc, col("vid"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("vid"), col("cell"), round(col("cs"), 6).as("rep"), col("rk"),
+        when(col("rk") <= m, 1L).otherwise(0L).as("kept"))
+  }
+
   /** Probe-only IVF top-k over a PRE-ASSIGNED corpus relation
     * (round-12 verdict item 2): a bare [[ivfTopKWith]] still recomputes
     * the cell argmax over 100% of the corpus on EVERY query batch —
@@ -486,11 +514,14 @@ object Similarity {
     * scale-invariant), assignment, probe, verify — recomputed from the
     * table so the full IVF answer hash-checks. `queryPred` selects the
     * query subset of `src`. */
-  def ivfSql(cells: Int, nprobe: Int, k: Int,
-      src: String = "embeddings",
-      queryPred: String = "vec_id % 100 = 0"): String = {
-    def cosSql(e: String, c: String, ne: String, nc: String) =
-      s"${dotSql(e, c)} / sqrt($ne * $nc)"
+  private def cosSql(e: String, c: String, ne: String, nc: String) =
+    s"${dotSql(e, c)} / sqrt($ne * $nc)"
+
+  /** The quantizer-build prefix shared by [[ivfSql]] and
+    * [[clusterSelectSql]]: strided seeds, one exact-decimal Lloyd
+    * step, refined centroids + norms (CTEs `st` … `cnorms`). Extracted
+    * verbatim so both oracles recompute the IDENTICAL quantizer. */
+  private def ivfQuantizerCte(cells: Int, src: String): String =
     s"""WITH st AS (SELECT CAST(GREATEST(COUNT(*) // $cells, 1) AS BIGINT) AS stride FROM $src),
        |seeds0 AS (SELECT CAST(vec_id // (SELECT stride FROM st) AS INTEGER) AS cell,
        |                  embedding AS se
@@ -515,7 +546,35 @@ object Similarity {
        |       generate_series(1, $dim) AS t(j)
        |  GROUP BY a.cell, t.j),
        |cents AS (SELECT cell, list(s ORDER BY j) AS ce FROM sums GROUP BY cell),
-       |cnorms AS (SELECT cell, ${dotSql("ce", "ce")} AS cn FROM cents),
+       |cnorms AS (SELECT cell, ${dotSql("ce", "ce")} AS cn FROM cents)""".stripMargin
+
+  /** DuckDB twin of [[clusterBalancedSelect]]: the shared quantizer
+    * CTEs, then per-vector best (cell, representativeness-cosine) and
+    * a per-cell rank — identical tie-breaks to the Spark side. */
+  def clusterSelectSql(cells: Int, m: Int,
+      src: String = "embeddings"): String =
+    ivfQuantizerCte(cells, src) + s""",
+       |rep0 AS (
+       |  SELECT vid, cell, cs FROM (
+       |    SELECT e.vec_id AS vid, c.cell,
+       |      ${cosSql("e.embedding", "c.ce", "ne.nrm", "cn.cn")} AS cs,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cosSql("e.embedding", "c.ce", "ne.nrm", "cn.cn")} DESC, c.cell ASC) AS rn
+       |    FROM $src e CROSS JOIN cents c
+       |    JOIN norms ne ON ne.vec_id = e.vec_id
+       |    JOIN cnorms cn ON cn.cell = c.cell)
+       |  WHERE rn = 1),
+       |r AS (SELECT vid, cell, cs,
+       |        ROW_NUMBER() OVER (PARTITION BY cell ORDER BY cs DESC, vid) AS rk
+       |      FROM rep0)
+       |SELECT vid, cell, ROUND(cs, 6) AS rep, CAST(rk AS BIGINT) AS rk,
+       |  CAST(CASE WHEN rk <= $m THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM r ORDER BY cell, rk""".stripMargin
+
+  def ivfSql(cells: Int, nprobe: Int, k: Int,
+      src: String = "embeddings",
+      queryPred: String = "vec_id % 100 = 0"): String = {
+    ivfQuantizerCte(cells, src) + s""",
        |assign AS (
        |  SELECT vid, cell FROM (
        |    SELECT e.vec_id AS vid, c.cell,

@@ -246,5 +246,43 @@ object Analytics {
       .orderBy("event_type", "day")
   }
 
-  val defs: Seq[QueryDef] = Seq(q57, q58, q61, q68, q72)
+  /** Sequence training examples (q75): next-event-prediction pairs
+    * from per-user event streams — a length-3 context window and its
+    * following event, the (context, target) dataset shape a behavioral
+    * sequence model trains on. Built with a LEAD CHAIN over one
+    * user_id window, NOT collect_list: per-user arrays would buffer a
+    * bot account's millions of events in one task, while lead(k) keeps
+    * a bounded 3-row look-ahead whatever the user's history length —
+    * the formulation that survives skewed users at 100 TB. One
+    * exchange total; output rows = events with ≥ 3 successors. */
+  val q75 = QueryDef("q75_sequence_examples",
+    """WITH t AS (
+      |  SELECT user_id, event_type,
+      |    ROW_NUMBER() OVER w AS pos,
+      |    lead(event_type, 1) OVER w AS t1,
+      |    lead(event_type, 2) OVER w AS t2,
+      |    lead(event_type, 3) OVER w AS t3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, CAST(pos AS BIGINT) AS pos,
+      |  event_type || '>' || t1 || '>' || t2 AS context, t3 AS target
+      |FROM t WHERE t3 IS NOT NULL
+      |ORDER BY user_id, pos""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .select($"user_id", $"event_type", $"ts", $"event_id")
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("t1", lead("event_type", 1).over(w))
+      .withColumn("t2", lead("event_type", 2).over(w))
+      .withColumn("t3", lead("event_type", 3).over(w))
+      .filter($"t3".isNotNull)
+      .select($"user_id", $"pos",
+        concat_ws(">", $"event_type", $"t1", $"t2").as("context"),
+        $"t3".as("target"))
+      .orderBy("user_id", "pos")
+  }
+
+  val defs: Seq[QueryDef] = Seq(q57, q58, q61, q68, q72, q75)
 }

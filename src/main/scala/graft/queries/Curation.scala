@@ -214,5 +214,38 @@ object Curation5x {
       .orderBy("shard")
   }
 
-  val defs: Seq[QueryDef] = Seq(q52, q52b, q53, q54, q54b, q55, q59, q69)
+  /** Per-language winsorization (q76): clamp n_chars into each
+    * language's [p05, p95] band — the outlier-trimming normalization a
+    * curation pipeline applies before length-based scoring, so one
+    * pathological 10 MB doc can't dominate a mean. The per-language
+    * bounds relation is O(languages) rows — bounded by the world's
+    * language count at ANY corpus size, so the broadcast hint is
+    * scale-safe (unlike a per-user or per-key broadcast) — and the
+    * clamp itself is a map-only expression in the scan stage. Exact
+    * percentile ≡ DuckDB quantile_cont under R-7 (q43f precedent);
+    * comparisons use the ROUNDED bounds on both sides. */
+  val q76 = QueryDef("q76_winsorize_clamp",
+    """WITH b AS (SELECT lang, ROUND(quantile_cont(n_chars, 0.05), 6) AS lo,
+      |                  ROUND(quantile_cont(n_chars, 0.95), 6) AS hi
+      |           FROM documents GROUP BY 1)
+      |SELECT d.doc_id, d.lang, d.n_chars, b.lo, b.hi,
+      |  LEAST(GREATEST(CAST(d.n_chars AS DOUBLE), b.lo), b.hi) AS clamped,
+      |  CAST(CASE WHEN d.n_chars < b.lo OR d.n_chars > b.hi
+      |       THEN 1 ELSE 0 END AS BIGINT) AS was_clamped
+      |FROM documents d JOIN b USING (lang)
+      |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val b = docs.groupBy("lang").agg(
+      round(expr("percentile(n_chars, 0.05D)"), 6).as("lo"),
+      round(expr("percentile(n_chars, 0.95D)"), 6).as("hi"))
+    docs.join(broadcast(b), Seq("lang"))
+      .select($"doc_id", $"lang", $"n_chars", $"lo", $"hi",
+        least(greatest($"n_chars".cast("double"), $"lo"), $"hi").as("clamped"),
+        when($"n_chars" < $"lo" || $"n_chars" > $"hi", 1L)
+          .otherwise(0L).as("was_clamped"))
+      .orderBy("doc_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(q52, q52b, q53, q54, q54b, q55, q59, q69, q76)
 }

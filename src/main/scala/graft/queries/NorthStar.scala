@@ -403,6 +403,24 @@ object NorthStar {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Cluster-balanced diverse subset selection (q74): IVF-quantize the
+    * corpus (q42d's deterministic coarse quantizer), rank every vector
+    * within its cell by cosine-to-own-centroid (representativeness),
+    * keep the top 8 per cell — every region of embedding space
+    * retains members, where a global score cut would drain sparse
+    * regions (the diversity-preserving subsample a curation pipeline
+    * runs between dedup and packing). Fully hash-checked: the oracle
+    * recomputes the identical quantizer (shared CTE text with q42d's
+    * oracle) and the identical ranks
+    * ([[graft.ops.Similarity.clusterBalancedSelect]] documents the
+    * map-only assignment + per-cell window plan). */
+  val q74 = QueryDef("q74_cluster_balanced_select",
+    Similarity.clusterSelectSql(cells = 16, m = 8)) { (s, dir) =>
+    Similarity.clusterBalancedSelect(Tables.embeddings(s, dir),
+      cells = 16, m = 8)
+      .orderBy("cell", "rk")
+  }
+
   /** Token frequency top-100 (split → explode → count). */
   val q43a = QueryDef("q43a_token_counts",
     """SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -926,6 +944,6 @@ object NorthStar {
   }
 
   val defs: Seq[QueryDef] = Seq(q41a, q41h, q41i, q41b, q41c, q41d, q41e, q41f, q41g,
-    q41j, q41k, q42, q42b, q42c, q42d, q42e, q43a, q43b, q43c, q43d, q43e, q43f,
+    q41j, q41k, q42, q42b, q42c, q42d, q42e, q74, q43a, q43b, q43c, q43d, q43e, q43f,
     q43g, q43h, q43i, q43j, q44, q44b, q44c)
 }

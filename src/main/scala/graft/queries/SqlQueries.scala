@@ -491,7 +491,14 @@ object SqlQueries {
           |        -(CAST(((-SUM(lpm)) * 1000) DIV COUNT(*) AS DOUBLE)) / 1000000000.0D AS avg_logp
           |      FROM lp GROUP BY 1)
           |SELECT doc_id, n_bigrams, avg_logp, ROUND(exp(-avg_logp), 6) AS ppl
-          |FROM d ORDER BY doc_id""".stripMargin))
+          |FROM d ORDER BY doc_id""".stripMargin),
+      // round-15 batch 10: q75 is ANSI enough to run verbatim (WINDOW
+      // clause, lead, || are shared dialect); q76 swaps quantile_cont→
+      // percentile.
+      verbatim(Analytics.q75),
+      (Curation5x.q76, Curation5x.q76.oracle.get
+        .replace("quantile_cont(n_chars, 0.05)", "percentile(n_chars, 0.05D)")
+        .replace("quantile_cont(n_chars, 0.95)", "percentile(n_chars, 0.95D)")))
   }
 
   /** Spark-SQL text of q43b, generated from the SAME stopword profiles

@@ -211,4 +211,19 @@ class CurationSpec extends SparkSpec {
     assert(totals.max.toDouble / totals.min <= 1.05,
       s"shard imbalance ${totals.max}/${totals.min}")
   }
+
+  test("winsorize (q76): clamp laws — band membership, flag iff outside, ~90% untouched") {
+    val out = graft.queries.Curation5x.q76.fn(spark, sf).cache()
+    // clamped value always inside the band; equals raw iff unflagged
+    assert(out.filter($"clamped" < $"lo" || $"clamped" > $"hi").isEmpty)
+    assert(out.filter(($"was_clamped" === 0) =!=
+      ($"clamped" === $"n_chars".cast("double"))).isEmpty)
+    assert(out.filter(($"was_clamped" === 1) =!=
+      ($"n_chars" < $"lo" || $"n_chars" > $"hi")).isEmpty)
+    // p05/p95 band ⇒ at most ~10% + interpolation slack clamped
+    val n = out.count().toDouble
+    val flagged = out.filter($"was_clamped" === 1).count().toDouble
+    assert(flagged / n <= 0.12, s"flag rate ${flagged / n} exceeds the p05/p95 band")
+    out.unpersist()
+  }
 }

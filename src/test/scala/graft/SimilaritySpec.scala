@@ -235,4 +235,28 @@ class SimilaritySpec extends SparkSpec {
     val cs = top.select("cosine").as[Double].collect()
     assert(cs.nonEmpty && cs.forall(c => c <= 1.0 + 1e-9 && c >= -1.0 - 1e-9))
   }
+
+  test("cluster-balanced select: verdict laws — full coverage, dense ranks, per-cell quota") {
+    val emb = Tables.embeddings(spark, sf)
+    val m = 8
+    val out = Similarity.clusterBalancedSelect(emb, cells = 16, m = m).cache()
+    assert(out.count() == emb.count(), "every vector gets a verdict")
+    // kept ⇔ rank within quota; ranks dense 1..size per cell
+    assert(out.filter(($"kept" === 1) =!= ($"rk" <= m)).isEmpty)
+    val perCell = out.groupBy("cell").agg(
+      min("rk").as("lo"), max("rk").as("hi"), count(lit(1)).as("n"),
+      sum("kept").as("nkept"))
+    assert(perCell.filter($"lo" =!= 1 || $"hi" =!= $"n").isEmpty,
+      "ranks must be dense 1..n per cell")
+    assert(perCell.filter($"nkept" =!= least($"n", lit(m.toLong))).isEmpty,
+      "each cell keeps exactly min(m, members)")
+    // cells agree with the shared quantizer's assignment
+    val cents = Similarity.ivfCentroids(emb, 16)
+    val assign = Similarity.ivfAssign(emb, cents)
+      .withColumnRenamed("cell", "acell")
+    assert(out.join(assign, out("vid") === assign("vid"))
+      .filter($"cell" =!= $"acell").isEmpty,
+      "selection must use the identical IVF assignment")
+    out.unpersist()
+  }
 }

@@ -219,6 +219,30 @@ class WarehouseAnalyticsSpec extends SparkSpec {
       "baseline days must stay unflagged")
   }
 
+  test("q75 sequence examples: lead-chain windows on a hand-ordered stream") {
+    // user 1: a b c d e → examples (a>b>c, d), (b>c>d, e); user 2: too short
+    val e = ev(
+      (1L, "2024-01-01 00:00:01", 1L, 1.0), // a=view
+      (1L, "2024-01-01 00:00:02", 2L, 1.0),
+      (1L, "2024-01-01 00:00:03", 3L, 1.0),
+      (1L, "2024-01-01 00:00:04", 4L, 1.0),
+      (1L, "2024-01-01 00:00:05", 5L, 1.0),
+      (2L, "2024-01-01 00:00:01", 6L, 1.0),
+      (2L, "2024-01-01 00:00:02", 7L, 1.0),
+      (2L, "2024-01-01 00:00:03", 8L, 1.0))
+      .withColumn("event_type",
+        element_at(split(lit("a,b,c,d,e,x,y,z"), ","), $"event_id".cast("int")))
+      .withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_seq").toString
+    e.select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.queries.Analytics.q75.fn(spark, dir)
+      .select("user_id", "pos", "context", "target")
+      .as[(Long, Long, String, String)].collect().toSet
+    assert(out == Set((1L, 1L, "a>b>c", "d"), (1L, 2L, "b>c>d", "e")),
+      "3-context windows with the following event as target; short users drop")
+  }
+
   test("q73 heavy hitters: sketch agrees with exact on every top-10 row") {
     val out = graft.queries.Aggregates.q73.fn(spark, sf).collect()
     assert(out.length == 10)
