@@ -41,12 +41,28 @@ object Explains {
     // round-15 batch 10: diversity selection, sequence examples,
     // winsorization
     "q74_cluster_balanced_select", "q75_sequence_examples",
-    "q76_winsorize_clamp")
+    "q76_winsorize_clamp",
+    // round-15 batch 11: quota sampling + percentile-rank normalization
+    "q77_stratum_quota_sample", "q78_quality_percentile_rank")
 
   /** Prose above a query's plan — the one- paragraph reading guide for
     * the plan properties SCALING.md leans on. Keyed by query name so a
     * full regeneration never loses the annotations. */
   val notes: Map[String, String] = Map(
+    "q77_stratum_quota_sample" ->
+      """The load-bearing node is WindowGroupLimit (Partial below the
+        |(lang, source) exchange, Final above it): Catalyst rewrites
+        |row_number ≤ 10 into a per-group TOP-K, so each map task keeps at
+        |most 10 rows per stratum BEFORE shuffling and the stratum is never
+        |sorted in full — the rewrite that makes a quota sample viable on a
+        |billion-doc stratum. SamplerSpec pins the node.""".stripMargin,
+    "q78_quality_percentile_rank" ->
+      """The DataFrame entry plans Ranking.globalRank — range exchange on
+        |(n_chars DESC, doc_id), per-partition row_number + literal offset
+        |map — with the 1-row count broadcast on top; no single-partition
+        |window. Its `_sql` twin deliberately carries the naive global-window
+        |text and must hash-agree, documenting the rewrite a user's SQL gets
+        |for free by switching entries.""".stripMargin,
     "q74_cluster_balanced_select" ->
       """Diversity-preserving subsample: cell assignment is a pure map over
         |the corpus (argmax against centroid literals — the q42d quantizer,

@@ -247,5 +247,33 @@ object Curation5x {
       .orderBy("doc_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(q52, q52b, q53, q54, q54b, q55, q59, q69, q76)
+  /** Global quality percentile rank (q78): normalize every doc's
+    * quality signal (n_chars here) to its corpus percentile in [0, 1]
+    * — the threshold-free form a curation pipeline filters on ("drop
+    * the bottom 10%" survives corpus drift where "drop n_chars < 200"
+    * does not). The global ordering uses `Ranking.globalRank` (q59/
+    * q69's range-shuffle + per-partition-offset machinery) — NO
+    * single-partition window; the total count joins on as a broadcast
+    * 1-row aggregate. Ties broken by doc_id so rank ≡ row_number and
+    * pctl = (rank−1)/(n−1) exactly, both engines. */
+  val q78 = QueryDef("q78_quality_percentile_rank",
+    """SELECT doc_id, n_chars,
+      |  ROUND(CAST(rk - 1 AS DOUBLE) / (n - 1), 6) AS pctl
+      |FROM (SELECT doc_id, n_chars,
+      |        ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rk,
+      |        COUNT(*) OVER () AS n
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val d = Tables.documents(s, dir).select($"doc_id", $"n_chars")
+    val n = d.agg(count(lit(1)).as("n"))
+    graft.ops.Ranking.globalRank(d, "rk", $"n_chars".desc, $"doc_id".asc)
+      .crossJoin(broadcast(n))
+      .select($"doc_id", $"n_chars",
+        round(($"rk" - 1).cast("double") / ($"n" - 1), 6).as("pctl"))
+      .orderBy("doc_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(q52, q52b, q53, q54, q54b, q55, q59, q69, q76,
+    q78)
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Q41–Q44 + training-data pipeline ops: dedup family, similarity
@@ -45,6 +46,20 @@ object NorthStar {
     * v2 copy dies within-batch). The existing side contributes only
     * its hash column — the projection a persisted fingerprint table
     * serves at 100 TB. */
+  /** The deterministic "fresh crawl batch" shared by q41h/q41i and the
+    * streaming twin q79: every 7th doc re-ingested verbatim (cross-
+    * corpus dup), plus two ' v2' variants of it (an in-batch dup pair
+    * that is NOT in the corpus). */
+  private[queries] def incrementalBatch(d: DataFrame): DataFrame = {
+    import d.sparkSession.implicits._
+    val sevenths = d.filter($"doc_id" % 7 === 0)
+    sevenths.withColumn("doc_id", $"doc_id" + 2000000)
+      .unionByName(sevenths.select(($"doc_id" + 3000000).as("doc_id"),
+        concat($"text", lit(" v2")).as("text")))
+      .unionByName(sevenths.select(($"doc_id" + 4000000).as("doc_id"),
+        concat($"text", lit(" v2")).as("text")))
+  }
+
   val q41h = QueryDef("q41h_dedup_incremental",
     """WITH base AS (SELECT doc_id, text FROM documents),
       |batch AS (
@@ -59,13 +74,7 @@ object NorthStar {
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     import s.implicits._
     val d = Tables.documents(s, dir).select("doc_id", "text")
-    val sevenths = d.filter($"doc_id" % 7 === 0)
-    val batch = sevenths.withColumn("doc_id", $"doc_id" + 2000000)
-      .unionByName(sevenths.select(($"doc_id" + 3000000).as("doc_id"),
-        concat($"text", lit(" v2")).as("text")))
-      .unionByName(sevenths.select(($"doc_id" + 4000000).as("doc_id"),
-        concat($"text", lit(" v2")).as("text")))
-    Dedup.incrementalKeepIds(d, batch, "doc_id", "text")
+    Dedup.incrementalKeepIds(d, incrementalBatch(d), "doc_id", "text")
       .orderBy("doc_id")
   }
 
@@ -78,13 +87,7 @@ object NorthStar {
   val q41i = QueryDef("q41i_dedup_incremental_bloom", q41h.oracle.get) { (s, dir) =>
     import s.implicits._
     val d = Tables.documents(s, dir).select("doc_id", "text")
-    val sevenths = d.filter($"doc_id" % 7 === 0)
-    val batch = sevenths.withColumn("doc_id", $"doc_id" + 2000000)
-      .unionByName(sevenths.select(($"doc_id" + 3000000).as("doc_id"),
-        concat($"text", lit(" v2")).as("text")))
-      .unionByName(sevenths.select(($"doc_id" + 4000000).as("doc_id"),
-        concat($"text", lit(" v2")).as("text")))
-    Dedup.incrementalKeepIdsBloom(d, batch, "doc_id", "text")
+    Dedup.incrementalKeepIdsBloom(d, incrementalBatch(d), "doc_id", "text")
       .orderBy("doc_id")
   }
 

@@ -126,5 +126,36 @@ object Sampling {
       .orderBy("source")
   }
 
-  val defs: Seq[QueryDef] = Seq(q51, q51b, q51c, q51d, q51e, q56)
+  /** Fixed-quota stratified sample (q77): exactly min(10, members)
+    * docs per (lang, source) stratum — the fixed-SIZE companion of
+    * q51b's rate-based stratified sampling (a rate cannot promise "10
+    * eval docs per stratum"; a quota can). Selection order inside a
+    * stratum is a deterministic PRF rank (md5 of the id — every engine
+    * agrees on the hex), so the sample is reproducible and
+    * key-structure-independent, the reservoir-sampling equivalent
+    * without randomness. Plan shape: one (lang, source) exchange;
+    * Spark's WindowGroupLimit rewrites row_number ≤ k into a per-group
+    * TOP-K that keeps only 10 rows per stratum ON EACH MAP SIDE before
+    * and after the exchange — the stratum never sorts in full, which
+    * is exactly what survives a billion-doc stratum (EXPLAINS shows
+    * the WindowGroupLimit node). */
+  val q77 = QueryDef("q77_stratum_quota_sample",
+    """WITH r AS (
+      |  SELECT doc_id, lang, source,
+      |    ROW_NUMBER() OVER (PARTITION BY lang, source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents)
+      |SELECT doc_id, lang, source, CAST(rk AS BIGINT) AS rk
+      |FROM r WHERE rk <= 10 ORDER BY lang, source, rk""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang", "source")
+      .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+    Tables.documents(s, dir).select($"doc_id", $"lang", $"source")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 10)
+      .orderBy("lang", "source", "rk")
+  }
+
+  val defs: Seq[QueryDef] = Seq(q51, q51b, q51c, q51d, q51e, q56, q77)
 }

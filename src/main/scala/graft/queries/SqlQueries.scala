@@ -498,7 +498,14 @@ object SqlQueries {
       verbatim(Analytics.q75),
       (Curation5x.q76, Curation5x.q76.oracle.get
         .replace("quantile_cont(n_chars, 0.05)", "percentile(n_chars, 0.05D)")
-        .replace("quantile_cont(n_chars, 0.95)", "percentile(n_chars, 0.95D)")))
+        .replace("quantile_cont(n_chars, 0.95)", "percentile(n_chars, 0.95D)")),
+      // batch 11: q77 swaps VARCHAR→STRING; q78's global window text is
+      // ANSI (the DataFrame twin deliberately plans it differently —
+      // Ranking.globalRank vs the text's single-partition window — and
+      // the hash must still agree)
+      (Sampling.q77, Sampling.q77.oracle.get
+        .replace("CAST(doc_id AS VARCHAR)", "CAST(doc_id AS STRING)")),
+      verbatim(Curation5x.q78))
   }
 
   /** Spark-SQL text of q43b, generated from the SAME stopword profiles

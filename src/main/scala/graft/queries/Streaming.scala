@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.Canon
+import graft.{Canon, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -460,6 +460,41 @@ object Streaming {
   private val cdcFeedScratch =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Streaming incremental dedup (q79): q41h's crawl-ingest shape with
+    * the fresh batch arriving as a STREAM — multi-file parquet feed,
+    * maxFilesPerTrigger=1 forces multi-batch arrival, and a
+    * min(doc_id)-per-content-hash streaming aggregate merges
+    * first-keeper state ACROSS triggers (Complete mode publishes the
+    * converged set, the q60c pattern). The corpus fingerprint
+    * anti-join runs batch-side on the sink — at 100 TB it is the
+    * persisted-fingerprint-table join of q41h, stream state is one
+    * (hash, min-id) pair per distinct arriving content. Shares q41h's
+    * oracle VERBATIM: trigger count must not change the answer
+    * (batch ≡ stream equivalence). */
+  val q79 = QueryDef("q79_stream_incremental_dedup",
+    NorthStar.q41h.oracle.get) { (s0, dir) =>
+    val s = streamSession(s0)
+    import s.implicits._
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    val batch = NorthStar.incrementalBatch(d)
+    val root = dedupFeedScratch.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft_sdedup").toString + "/feed"
+      batch.repartition(4).write.mode("overwrite").parquet(p)
+      p
+    })
+    val stream = s.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1").parquet(root)
+    val firstKeeper = stream.withColumn("h", md5($"text"))
+      .groupBy($"h").agg(min($"doc_id").as("doc_id"))
+    runToTable(s, firstKeeper, "complete")
+      .join(d.select(md5($"text").as("h")), Seq("h"), "left_anti")
+      .select($"doc_id")
+      .orderBy("doc_id")
+  }
+
+  private val dedupFeedScratch =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   val defs: Seq[QueryDef] = Seq(q36, q37, q38, q39, q39b, q48, q48b, q48c, q48d,
-    q60c)
+    q60c, q79)
 }

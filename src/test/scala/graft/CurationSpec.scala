@@ -212,6 +212,20 @@ class CurationSpec extends SparkSpec {
       s"shard imbalance ${totals.max}/${totals.min}")
   }
 
+  test("percentile rank (q78): [0,1] bounds, extremes, anti-monotone in the score") {
+    val out = graft.queries.Curation5x.q78.fn(spark, sf)
+      .select("doc_id", "n_chars", "pctl")
+      .as[(Long, Long, Double)].collect()
+    assert(out.forall { case (_, _, p) => p >= 0.0 && p <= 1.0 })
+    val best = out.minBy(r => (-r._2, r._1)) // longest doc, smallest id
+    val worst = out.maxBy(r => (-r._2, r._1)) // shortest doc, largest id
+    assert(best._3 == 0.0, "the top-quality doc must sit at percentile 0")
+    val sorted = out.sortBy(r => (-r._2, r._1)).map(_._3)
+    assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b },
+      "pctl must be non-decreasing as quality decreases")
+    assert(math.abs(worst._3 - 1.0) < 1e-9)
+  }
+
   test("winsorize (q76): clamp laws — band membership, flag iff outside, ~90% untouched") {
     val out = graft.queries.Curation5x.q76.fn(spark, sf).cache()
     // clamped value always inside the band; equals raw iff unflagged

@@ -152,4 +152,24 @@ class SamplerSpec extends SparkSpec {
       assert(out.count() > 0, s"${d.name} returned no rows at $sf")
     }
   }
+
+  test("q77 quota sample: per-stratum min(10, members), deterministic, rank-limit pushed") {
+    val docs = Tables.documents(spark, sf)
+    val out = Sampling.q77.fn(spark, sf).cache()
+    val kept = out.groupBy("lang", "source").agg(count(lit(1)).as("k"))
+    val sizes = docs.groupBy("lang", "source").agg(count(lit(1)).as("n"))
+    assert(kept.join(sizes, Seq("lang", "source"))
+      .filter($"k" =!= least($"n", lit(10L))).isEmpty,
+      "each stratum must keep exactly min(10, members)")
+    // reproducible: a second run selects the identical ids
+    val again = Sampling.q77.fn(spark, sf).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(again == out.select("doc_id").as[Long].collect().sorted.toSeq)
+    // the row_number ≤ k filter must become a rank-limit (top-k per
+    // stratum on both sides of the exchange), not a full stratum sort
+    val plan = Sampling.q77.fn(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank-limit pushdown missing — full stratum sort would not scale:\n$plan")
+    out.unpersist()
+  }
 }

@@ -219,6 +219,16 @@ class WarehouseAnalyticsSpec extends SparkSpec {
       "baseline days must stay unflagged")
   }
 
+  test("q79 streaming incremental dedup equals the batch q41h (trigger-count invariance)") {
+    val streamed = graft.queries.Streaming.q79.fn(spark, sf)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val batch = graft.queries.NorthStar.q41h.fn(spark, sf)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(streamed == batch,
+      "multi-trigger streaming arrival must not change the kept set")
+    assert(streamed.nonEmpty)
+  }
+
   test("q75 sequence examples: lead-chain windows on a hand-ordered stream") {
     // user 1: a b c d e → examples (a>b>c, d), (b>c>d, e); user 2: too short
     val e = ev(
