@@ -43,12 +43,26 @@ object Explains {
     "q74_cluster_balanced_select", "q75_sequence_examples",
     "q76_winsorize_clamp",
     // round-15 batch 11: quota sampling + percentile-rank normalization
-    "q77_stratum_quota_sample", "q78_quality_percentile_rank")
+    "q77_stratum_quota_sample", "q78_quality_percentile_rank",
+    // round-15 batch 12: audio decode + generation time travel
+    "q44d_multimodal_wav_decode", "q80_refresh_time_travel")
 
   /** Prose above a query's plan — the one- paragraph reading guide for
     * the plan properties SCALING.md leans on. Keyed by query name so a
     * full regeneration never loses the annotations. */
   val notes: Map[String, String] = Map(
+    "q44d_multimodal_wav_decode" ->
+      """q44c's audio twin: binary WAV payloads synthesized and decoded
+        |partition-wise (the justified mapPartitions — a RIFF chunk walker is
+        |not a relational expression), then a plain partial+final aggregate.
+        |The decode never leaves the task: no shuffle carries payload
+        |bytes.""".stripMargin,
+    "q80_refresh_time_travel" ->
+      """Two generation scans (live + retained predecessor) joined on the
+        |rollup key — both sides are O(groups) parquet reads resolved via the
+        |pointer protocol, so time travel costs two small scans and no
+        |corpus work. The refreshes themselves are the q46 stage-and-swap
+        |path.""".stripMargin,
     "q77_stratum_quota_sample" ->
       """The load-bearing node is WindowGroupLimit (Partial below the
         |(lang, source) exchange, Final above it): Catalyst rewrites

@@ -170,4 +170,107 @@ object Multimodal {
       rows.map(r => decodePpm(r.media_id, r.payload))
     }
   }
+
+  /** Audio features from decoded PCM: format fields from the parsed
+    * RIFF header, per-channel |sample| sums + global peak from the
+    * sample walk. */
+  case class AudioFeatures(media_id: Long, sample_rate: Int, channels: Int,
+      n_frames: Long, l_abs_sum: Long, r_abs_sum: Long, peak: Int)
+
+  /** Deterministic 16-bit stereo PCM WAV encoder — the fixture's
+    * "microphone". Interleaved sample i (frame·2 + channel) takes the
+    * int16 value ((id·31 + i·7) mod 65536) − 32768, restated verbatim
+    * by the oracle. Standard 44-byte RIFF/WAVE/fmt/data layout. */
+  def encodeWav(id: Long, nFrames: Int, sampleRate: Int = 8000): Array[Byte] = {
+    val n = nFrames * 2
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    bb.put("RIFF".getBytes(ascii)).putInt(36 + dataLen)
+      .put("WAVE".getBytes(ascii))
+    bb.put("fmt ".getBytes(ascii)).putInt(16)
+      .putShort(1)                       // PCM
+      .putShort(2)                       // stereo
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2 * 2)        // byte rate
+      .putShort(4)                       // block align
+      .putShort(16)                      // bits per sample
+    bb.put("data".getBytes(ascii)).putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      bb.putShort((((id * 31L + i * 7L) % 65536L) - 32768L).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Real RIFF parser: validates RIFF/WAVE, then WALKS THE CHUNK LIST
+    * (fmt then data, skipping unknown chunks — the part naive offset-44
+    * readers get wrong on files with LIST/INFO chunks), checks the PCM
+    * format fields, then folds the interleaved int16 samples into
+    * per-channel stats. Throws on malformed input — a decoder, not a
+    * fingerprint. */
+  def decodeWav(id: Long, bytes: Array[Byte]): AudioFeatures = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val b = new Array[Byte](4); bb.get(b)
+      new String(b, java.nio.charset.StandardCharsets.US_ASCII)
+    }
+    require(fourcc() == "RIFF", "not a RIFF stream")
+    bb.getInt() // riff payload length
+    require(fourcc() == "WAVE", "not a WAVE form")
+    var sampleRate = -1; var channels = -1; var bits = -1
+    var dataStart = -1; var dataLen = -1
+    while (bb.remaining() >= 8 && dataStart < 0) {
+      val ck = fourcc(); val len = bb.getInt()
+      ck match {
+        case "fmt " =>
+          val end = bb.position() + len
+          require(bb.getShort() == 1, "not PCM")
+          channels = bb.getShort()
+          sampleRate = bb.getInt()
+          bb.getInt(); bb.getShort() // byte rate, block align
+          bits = bb.getShort()
+          bb.position(end + (len & 1)) // chunks are word-aligned
+        case "data" =>
+          dataStart = bb.position(); dataLen = len
+        case _ =>
+          bb.position(bb.position() + len + (len & 1)) // skip unknown chunk
+      }
+    }
+    require(sampleRate > 0 && dataStart >= 0, "missing fmt /data chunk")
+    require(bits == 16 && channels == 2, "unsupported PCM layout")
+    require(dataLen % 4 == 0 && dataStart + dataLen <= bytes.length,
+      s"truncated data chunk: $dataLen bytes from $dataStart")
+    var l = 0L; var r = 0L; var peak = 0
+    var i = 0
+    val n = dataLen / 2
+    bb.position(dataStart)
+    while (i < n) {
+      val s = bb.getShort().toInt
+      val a = math.abs(s)
+      if ((i & 1) == 0) l += a else r += a
+      if (a > peak) peak = a
+      i += 1
+    }
+    AudioFeatures(id, sampleRate, channels, n / 2, l, r, peak)
+  }
+
+  /** Media table with REAL audio payloads: one stereo WAV per
+    * document, 64–127 frames derived from the id (oracle-mirrorable). */
+  def fromDocumentsWav(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      MediaRow(id, "audio_wav", encodeWav(id, (64 + id % 64).toInt))
+    }
+  }
+
+  /** Partition-wise real audio decode — [[extractPixelFeatures]]'
+    * audio twin. */
+  def extractAudioFeatures(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(rows => rows.map(r => decodeWav(r.media_id, r.payload)))
+  }
 }

@@ -73,6 +73,31 @@ object StagedRefresh {
     spark.read.parquet(new Path(root, gen).toString)
   }
 
+  /** One-step TIME TRAVEL: read the generation the pointer named
+    * before the latest swap. [[refresh]]'s GC deliberately retains the
+    * immediate predecessor (originally so in-flight readers that
+    * resolved the old pointer finish their scans); that same retention
+    * is a queryable contract — the Delta/Iceberg "previous snapshot"
+    * read with a retention window of exactly one refresh. Fails loudly
+    * when fewer than two refreshes ever completed. */
+  def readPrevious(spark: SparkSession, root: String): DataFrame = {
+    val cur = currentGen(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"no completed generation under $root (pointer file absent)"))
+    val curN = cur.stripPrefix(GenPrefix).toLong
+    val rootPath = new Path(root)
+    val ctx = fc(spark, rootPath)
+    val prev = ctx.util.listStatus(rootPath)
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith(GenPrefix) && n != cur)
+      .map(_.stripPrefix(GenPrefix).toLong)
+      .filter(_ < curN)
+      .sorted.lastOption
+      .getOrElse(throw new IllegalStateException(
+        s"no predecessor generation under $root (need ≥ 2 refreshes)"))
+    spark.read.parquet(new Path(rootPath, GenPrefix + prev).toString)
+  }
+
   /** Stage `df` as the next generation, atomically swap the pointer,
     * GC old generations. Returns the new generation dir name.
     *

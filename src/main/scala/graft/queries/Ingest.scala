@@ -416,5 +416,57 @@ object Ingest {
       .orderBy("l_orderkey")
   }
 
-  val defs: Seq[QueryDef] = Seq(q45, q45b, q46, q46b, q46c, q50, q62, q64, q67)
+  /** One-step generation time travel (q80): two full refreshes land a
+    * pre-restatement and a post-restatement monthly rollup in the same
+    * stage-and-swap root; the query then reads BOTH the live
+    * generation and its retained predecessor
+    * ([[graft.ops.StagedRefresh.readPrevious]]) and reports the
+    * per-status restatement delta — the audit question ("what did the
+    * refresh change?") that overwrite-in-place loads cannot answer.
+    * GC's keep-the-predecessor rule, originally for in-flight readers,
+    * is thereby a queryable contract: a Delta/Iceberg-style previous-
+    * snapshot read with a retention window of exactly one refresh.
+    * Decimal sums on both sides make the delta exact (v2 restates
+    * every 7th order's price by +100). */
+  val q80 = QueryDef("q80_refresh_time_travel",
+    """WITH v1 AS (
+      |  SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS s
+      |  FROM orders GROUP BY 1),
+      |v2 AS (
+      |  SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100.0
+      |                       ELSE o_totalprice END AS DECIMAL(12,2))) AS DOUBLE) AS s
+      |  FROM orders GROUP BY 1)
+      |SELECT v2.status, v2.n AS n_current, v1.n AS n_previous,
+      |  ROUND(v2.s - v1.s, 2) AS restated_delta
+      |FROM v2 JOIN v1 USING (status) ORDER BY status""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val ord = Tables.orders(s, dir)
+    def rollup(price: org.apache.spark.sql.Column) =
+      ord.select($"o_orderstatus".as("status"),
+          price.cast("decimal(12,2)").as("price"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), sum($"price").as("s"))
+    val v1 = rollup($"o_totalprice")
+    val v2 = rollup(when($"o_orderkey" % 7 === 0, $"o_totalprice" + 100.0)
+      .otherwise($"o_totalprice"))
+    val root = loadScratch.computeIfAbsent(dir + "#tt",
+      _ => java.nio.file.Files.createTempDirectory("graft_tt").toString + "/rollup")
+    val (cur, prev) = root.synchronized {
+      graft.ops.StagedRefresh.refresh(v1, root)
+      graft.ops.StagedRefresh.refresh(v2, root)
+      (graft.ops.StagedRefresh.readCurrent(s, root).localCheckpoint(),
+        graft.ops.StagedRefresh.readPrevious(s, root).localCheckpoint())
+    }
+    cur.select($"status", $"n".as("n_current"), $"s".as("s_cur"))
+      .join(prev.select($"status", $"n".as("n_previous"), $"s".as("s_prev")),
+        Seq("status"))
+      .select($"status", $"n_current", $"n_previous",
+        round(($"s_cur" - $"s_prev").cast("double"), 2).as("restated_delta"))
+      .orderBy("status")
+  }
+
+  val defs: Seq[QueryDef] = Seq(q45, q45b, q46, q46b, q46c, q50, q62, q64, q67,
+    q80)
 }

@@ -946,7 +946,35 @@ object NorthStar {
       .orderBy("media_id")
   }
 
+  /** Real WAV audio decode (q44d — q44c's audio twin): one
+    * deterministic 16-bit stereo PCM WAV per document, decoded by a
+    * REAL RIFF chunk-walker (validates RIFF/WAVE, walks fmt →
+    * data skipping unknown chunks, checks the PCM layout) into
+    * per-channel |sample| sums and the global peak — the
+    * loudness/clipping screen an audio curation pipeline runs. The
+    * oracle restates the sample formula over generate_series, so
+    * header parse + chunk walk + sample fold are all hash-checked
+    * ([[graft.ops.Multimodal.decodeWav]]; partition-wise decode is
+    * the justified mapPartitions, as q44c). */
+  val q44d = QueryDef("q44d_multimodal_wav_decode",
+    """SELECT doc_id AS media_id, 8000 AS sample_rate, 2 AS channels,
+      |  CAST(nf AS BIGINT) AS n_frames,
+      |  CAST(SUM(abs(((doc_id * 31 + (2 * f) * 7) % 65536) - 32768)) AS BIGINT) AS l_abs_sum,
+      |  CAST(SUM(abs(((doc_id * 31 + (2 * f + 1) * 7) % 65536) - 32768)) AS BIGINT) AS r_abs_sum,
+      |  CAST(MAX(GREATEST(abs(((doc_id * 31 + (2 * f) * 7) % 65536) - 32768),
+      |                    abs(((doc_id * 31 + (2 * f + 1) * 7) % 65536) - 32768))) AS INTEGER) AS peak
+      |FROM (SELECT doc_id, 64 + doc_id % 64 AS nf FROM documents),
+      |  UNNEST(generate_series(0, nf - 1)) AS fs(f)
+      |GROUP BY doc_id, nf ORDER BY media_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val media = Multimodal.fromDocumentsWav(s, Tables.documents(s, dir))
+    Multimodal.extractAudioFeatures(media).toDF()
+      .select("media_id", "sample_rate", "channels", "n_frames",
+        "l_abs_sum", "r_abs_sum", "peak")
+      .orderBy("media_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(q41a, q41h, q41i, q41b, q41c, q41d, q41e, q41f, q41g,
     q41j, q41k, q42, q42b, q42c, q42d, q42e, q74, q43a, q43b, q43c, q43d, q43e, q43f,
-    q43g, q43h, q43i, q43j, q44, q44b, q44c)
+    q43g, q43h, q43i, q43j, q44, q44b, q44c, q44d)
 }

@@ -50,4 +50,40 @@ class MultimodalSpec extends SparkSpec {
     assert(media.schema("payload").dataType ==
       org.apache.spark.sql.types.BinaryType)
   }
+
+  test("WAV round-trip: hand-computed channel sums, peak and header fields") {
+    // id=5, 2 frames → interleaved samples ((5·31 + i·7) mod 65536) − 32768:
+    // i=0: −32613 (L), i=1: −32606 (R), i=2: −32599 (L), i=3: −32592 (R)
+    val f = Multimodal.decodeWav(5L, Multimodal.encodeWav(5L, nFrames = 2))
+    assert(f.sample_rate == 8000 && f.channels == 2 && f.n_frames == 2)
+    assert(f.l_abs_sum == 32613L + 32599L)
+    assert(f.r_abs_sum == 32606L + 32592L)
+    assert(f.peak == 32613)
+  }
+
+  test("WAV parser walks the chunk list (unknown chunk before data) and rejects junk") {
+    // splice a LIST chunk between fmt and data — a naive offset-44
+    // reader would read garbage; the chunk walker must skip it
+    val base = Multimodal.encodeWav(9L, nFrames = 3)
+    val expected = Multimodal.decodeWav(9L, base)
+    val list = java.nio.ByteBuffer.allocate(14)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    list.put("LIST".getBytes("US-ASCII")).putInt(6)
+      .put("INFOab".getBytes("US-ASCII"))
+    val spliced = java.nio.ByteBuffer
+      .allocate(base.length + 14).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    spliced.put(base, 0, 36)              // RIFF..fmt chunk end
+      .put(list.array())                  // foreign chunk
+      .put(base, 36, base.length - 36)    // data chunk
+    // patch the RIFF payload length for the extra 14 bytes
+    spliced.putInt(4, base.length - 8 + 14)
+    val viaWalk = Multimodal.decodeWav(9L, spliced.array())
+    assert(viaWalk == expected, "chunk walker must skip the LIST chunk")
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav(1L, "RIFFxxxxJUNK".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] { // truncated data chunk
+      Multimodal.decodeWav(9L, base.dropRight(6))
+    }
+  }
 }

@@ -62,6 +62,24 @@ class StageSwapSpec extends SparkSpec {
     assert(vals(root) == Set(3))
   }
 
+  test("time travel: readPrevious returns the pre-swap generation; loud without one") {
+    val root = freshRoot()
+    StagedRefresh.refresh(Seq(1).toDF("v"), root)
+    // exactly one refresh → current readable, previous must fail loudly
+    assert(vals(root) == Set(1))
+    val e = intercept[IllegalStateException] {
+      StagedRefresh.readPrevious(spark, root).collect()
+    }
+    assert(e.getMessage.contains("predecessor"))
+    StagedRefresh.refresh(Seq(2).toDF("v"), root)
+    assert(vals(root) == Set(2))
+    assert(StagedRefresh.readPrevious(spark, root).as[Int].collect().toSet == Set(1))
+    // after a third refresh the window slides: previous is now gen-2's data
+    StagedRefresh.refresh(Seq(3).toDF("v"), root)
+    assert(StagedRefresh.readPrevious(spark, root).as[Int].collect().toSet == Set(2),
+      "the one-refresh retention window must slide with the pointer")
+  }
+
   test("GC after crash recovery spares the LIVE predecessor, not the orphan") {
     // gen-1 live; gen-2 orphaned by a crash before its swap; the
     // recovery refresh becomes gen-3. GC by generation NUMBER would
