@@ -45,12 +45,20 @@ object Explains {
     // round-15 batch 11: quota sampling + percentile-rank normalization
     "q77_stratum_quota_sample", "q78_quality_percentile_rank",
     // round-15 batch 12: audio decode + generation time travel
-    "q44d_multimodal_wav_decode", "q80_refresh_time_travel")
+    "q44d_multimodal_wav_decode", "q80_refresh_time_travel",
+    // round-15 batch 13: inverted-index sparse similarity
+    "q81_tfidf_more_like_this")
 
   /** Prose above a query's plan — the one- paragraph reading guide for
     * the plan properties SCALING.md leans on. Keyed by query name so a
     * full regeneration never loses the annotations. */
   val notes: Map[String, String] = Map(
+    "q81_tfidf_more_like_this" ->
+      """Inverted-index sparse similarity: the pair generator is a term-keyed
+        |join (query weights × posting lists) — no all-pairs stage exists in
+        |the plan — and the (qid, did) dot aggregate runs partial map-side
+        |before its exchange. Every sum is exact decimal; the one double
+        |division sits above the final join.""".stripMargin,
     "q44d_multimodal_wav_decode" ->
       """q44c's audio twin: binary WAV payloads synthesized and decoded
         |partition-wise (the justified mapPartitions — a RIFF chunk walker is

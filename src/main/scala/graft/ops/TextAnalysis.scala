@@ -240,4 +240,53 @@ object TextAnalysis {
       .withColumn("ppl", round(exp(-col("avg_logp")), 6))
       .drop("k")
   }
+
+  /** "More like this" (q81): sparse TF-IDF cosine top-k document
+    * neighbors via an INVERTED-INDEX join — the third similarity
+    * implementation shape beside dense LSH (q42b) and IVF (q42d/e):
+    * no embeddings, no all-pairs — each (query, candidate) pair is
+    * generated ONLY through terms they share, with the per-(qid, did)
+    * partial dot products combined map-side. With a fixed query
+    * batch, pair volume is Σ_term tf_q(term)·df(term) — linear in the
+    * corpus; at web scale the standard df-ceiling (drop stop-terms)
+    * bounds the hot-term fan-out, noted rather than applied here
+    * because the fixture vocabulary has no long tail to drop.
+    *
+    * Numeric discipline: weights use q43g's exact formula rounded at
+    * 6 dp, then live as DECIMAL(18,6) — every product and sum (dots,
+    * norms²) is exact decimal, order-independent; the single double
+    * division + sqrt is one fixed IEEE expression, and ranks order by
+    * the ROUNDED score (q43g's rank discipline), so the whole top-k
+    * is engine- and partitioning-proof. */
+  def moreLikeThis(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, queryModulo: Int = 100): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc"),
+        explode(split(lower(col(textCol)), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n"))
+    val w = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("w",
+        round(col("tf") * (log((col("n") + 1.0) / (col("df") + 1.0)) + 1.0), 6)
+          .cast("decimal(18,6)"))
+      .select("doc", "term", "w")
+    val norms = w.groupBy("doc").agg(sum(col("w") * col("w")).as("nsq"))
+    val q = w.filter(col("doc") % queryModulo === 0)
+      .select(col("doc").as("qid"), col("term"), col("w").as("wq"))
+    val pairs = q
+      .join(w.select(col("doc").as("did"), col("term"), col("w").as("wd")),
+        Seq("term"))
+      .filter(col("qid") =!= col("did"))
+      .groupBy("qid", "did").agg(sum(col("wq") * col("wd")).as("dot"))
+    val scored = pairs
+      .join(norms.select(col("doc").as("qid"), col("nsq").as("nq")), Seq("qid"))
+      .join(norms.select(col("doc").as("did"), col("nsq").as("nd")), Seq("did"))
+      .withColumn("score", round(col("dot").cast("double") /
+        sqrt(col("nq").cast("double") * col("nd").cast("double")), 6))
+    val win = Window.partitionBy("qid").orderBy(col("score").desc, col("did"))
+    scored.withColumn("rk", row_number().over(win).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("did"), col("rk"), col("score"))
+  }
 }

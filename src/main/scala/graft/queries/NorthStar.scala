@@ -588,6 +588,46 @@ object NorthStar {
       .orderBy("doc_id", "rk")
   }
 
+  /** Sparse TF-IDF "more like this" (q81): top-5 nearest documents
+    * per query doc via an inverted-index join — the third similarity
+    * shape beside dense LSH (q42b) and IVF (q42d/e), and the one that
+    * needs NO embeddings: candidate pairs exist only through shared
+    * terms, partial dot products combine map-side, and the whole
+    * pipeline is exact-decimal up to one final IEEE division
+    * ([[graft.ops.TextAnalysis.moreLikeThis]] documents the plan and
+    * the df-ceiling that bounds hot-term fan-out at web scale). Ranks
+    * order by the ROUNDED score (q43g's discipline). */
+  val q81 = QueryDef("q81_tfidf_more_like_this",
+    """WITH toks AS (
+      |  SELECT doc_id AS doc, unnest(string_split_regex(lower(text), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc, term, CAST(COUNT(*) AS BIGINT) AS tf
+      |       FROM toks WHERE term <> '' GROUP BY 1, 2),
+      |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+      |w AS (SELECT tf.doc, tf.term,
+      |        CAST(ROUND(tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0), 6)
+      |             AS DECIMAL(18,6)) AS w
+      |      FROM tf JOIN df USING (term) CROSS JOIN n),
+      |norms AS (SELECT doc, SUM(w * w) AS nsq FROM w GROUP BY 1),
+      |q AS (SELECT doc AS qid, term, w AS wq FROM w WHERE doc % 100 = 0),
+      |pairs AS (SELECT q.qid, d.doc AS did, SUM(q.wq * d.w) AS dot
+      |          FROM q JOIN w d USING (term) WHERE d.doc <> q.qid
+      |          GROUP BY 1, 2),
+      |scored AS (SELECT p.qid, p.did,
+      |             ROUND(CAST(p.dot AS DOUBLE) /
+      |               sqrt(CAST(nq.nsq AS DOUBLE) * CAST(nd.nsq AS DOUBLE)), 6) AS score
+      |           FROM pairs p JOIN norms nq ON nq.doc = p.qid
+      |                        JOIN norms nd ON nd.doc = p.did)
+      |SELECT qid, did, CAST(rk AS BIGINT) AS rk, score FROM (
+      |  SELECT qid, did, score, ROW_NUMBER() OVER (
+      |    PARTITION BY qid ORDER BY score DESC, did) AS rk
+      |  FROM scored) WHERE rk <= 5
+      |ORDER BY qid, rk""".stripMargin) { (s, dir) =>
+    TextAnalysis.moreLikeThis(Tables.documents(s, dir), "doc_id", "text", k = 5)
+      .orderBy("qid", "rk")
+  }
+
   /** Incremental cross-corpus NEAR-dup (q41k): the fuzzy twin of
     * q41h — a freshly-ingested batch (deterministic derivation:
     * 'copy '-prefixed near-copies of every doc_id%10=3 corpus doc,
@@ -976,5 +1016,5 @@ object NorthStar {
 
   val defs: Seq[QueryDef] = Seq(q41a, q41h, q41i, q41b, q41c, q41d, q41e, q41f, q41g,
     q41j, q41k, q42, q42b, q42c, q42d, q42e, q74, q43a, q43b, q43c, q43d, q43e, q43f,
-    q43g, q43h, q43i, q43j, q44, q44b, q44c, q44d)
+    q43g, q43h, q43i, q43j, q44, q44b, q44c, q44d, q81)
 }

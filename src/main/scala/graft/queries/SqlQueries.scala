@@ -505,7 +505,11 @@ object SqlQueries {
       // the hash must still agree)
       (Sampling.q77, Sampling.q77.oracle.get
         .replace("CAST(doc_id AS VARCHAR)", "CAST(doc_id AS STRING)")),
-      verbatim(Curation5x.q78))
+      verbatim(Curation5x.q78),
+      // batch 13: q81 swaps only the tokenizer spelling
+      (NorthStar.q81, NorthStar.q81.oracle.get
+        .replace("unnest(string_split_regex(lower(text), '\\s+'))",
+          "explode(split(lower(text), '\\\\s+'))")))
   }
 
   /** Spark-SQL text of q43b, generated from the SAME stopword profiles

@@ -136,6 +136,45 @@ class TextAnalysisSpec extends SparkSpec {
     assert(d2.getDouble(3) == math.rint(math.exp(1.098612) * 1e6) / 1e6)
   }
 
+  test("more-like-this: inverted-index join equals a dense driver-side tf-idf cosine") {
+    val corpus = Seq(
+      (0L, "apple banana apple"), (1L, "apple banana"),
+      (2L, "cherry durian cherry durian"), (3L, "cherry durian"),
+      (4L, "apple cherry"), (5L, "banana durian banana"))
+    val out = TextAnalysis.moreLikeThis(
+        corpus.toDF("doc_id", "text"), "doc_id", "text", k = 3, queryModulo = 3)
+      .select("qid", "did", "rk", "score")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // dense reference: full tf-idf vectors, all-pairs cosine, top-3
+    val tf = corpus.map { case (id, t) =>
+      id -> t.split("\\s+").groupBy(identity).map { case (w, a) => w -> a.length }
+    }.toMap
+    val vocabDf = tf.values.flatMap(_.keys).toSeq.groupBy(identity)
+      .map { case (w, a) => w -> a.length }
+    val n = corpus.size.toDouble
+    def weight(c: Int, df: Int): BigDecimal =
+      BigDecimal(c * (math.log((n + 1.0) / (df + 1.0)) + 1.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val vecs = tf.map { case (id, m) =>
+      id -> m.map { case (w, c) => w -> weight(c, vocabDf(w)) }
+    }
+    def cos(a: Map[String, BigDecimal], b: Map[String, BigDecimal]): Double = {
+      val dot = a.keySet.intersect(b.keySet).toSeq.map(w => a(w) * b(w)).sum
+      val na = a.values.map(x => x * x).sum; val nb = b.values.map(x => x * x).sum
+      BigDecimal(dot.toDouble / math.sqrt(na.toDouble * nb.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = (for {
+      qid <- Seq(0L, 3L)
+      ranked = corpus.map(_._1).filter(_ != qid)
+        .map(did => (did, cos(vecs(qid), vecs(did))))
+        .sortBy { case (did, s) => (-s, did) }.take(3).zipWithIndex
+      ((did, s), i) <- ranked
+    } yield (qid, did, (i + 1).toLong, s)).toSet
+    assert(out == expected,
+      s"inverted-index result diverged from the dense reference:\n$out\nvs\n$expected")
+  }
+
   test("bigram LM sees word ORDER where the unigram model cannot") {
     // corpus dominated by the order "alpha beta"; probe docs use the
     // same unigram bag in both orders → identical unigram score,
