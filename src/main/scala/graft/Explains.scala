@@ -47,12 +47,22 @@ object Explains {
     // round-15 batch 12: audio decode + generation time travel
     "q44d_multimodal_wav_decode", "q80_refresh_time_travel",
     // round-15 batch 13: inverted-index sparse similarity
-    "q81_tfidf_more_like_this")
+    "q81_tfidf_more_like_this",
+    // round-15 batch 14: SCD2 point-in-time temporal join
+    "q82_scd2_point_in_time")
 
   /** Prose above a query's plan — the one- paragraph reading guide for
     * the plan properties SCALING.md leans on. Keyed by query name so a
     * full regeneration never loses the annotations. */
   val notes: Map[String, String] = Map(
+    "q82_scd2_point_in_time" ->
+      """The interval formulation the oracle (and the _sql dual) writes never
+        |appears in this plan: the as-of rewrite unions facts with the
+        |version feed and resolves the containing version with ONE per-key
+        |running-last window — each relation shuffles once on cust_id, no
+        |interval theta-join, no dimension replication. Interval ≡ as-of
+        |because version intervals chain; the hash equality is the
+        |proof.""".stripMargin,
     "q81_tfidf_more_like_this" ->
       """Inverted-index sparse similarity: the pair generator is a term-keyed
         |join (query weights × posting lists) — no all-pairs stage exists in

@@ -509,7 +509,18 @@ object SqlQueries {
       // batch 13: q81 swaps only the tokenizer spelling
       (NorthStar.q81, NorthStar.q81.oracle.get
         .replace("unnest(string_split_regex(lower(text), '\\s+'))",
-          "explode(split(lower(text), '\\\\s+'))")))
+          "explode(split(lower(text), '\\\\s+'))")),
+      // batch 14: q82 swaps to_days→timestampadd and strftime→
+      // date_format; NOTE the SQL text keeps the INTERVAL-join
+      // formulation, so this dual pins interval ≡ as-of a second time,
+      // now inside one engine
+      (Warehouse.q82, Warehouse.q82.oracle.get
+        .replace("TIMESTAMP '2024-01-01 00:00:00'\n" +
+          "          + to_days(CAST(event_id % 120 AS INT))",
+          "timestampadd(DAY, CAST(event_id % 120 AS INT), " +
+            "TIMESTAMP '2024-01-01 00:00:00')")
+        .replace("strftime(f.lts, '%Y-%m-%d %H:%M:%S')",
+          "date_format(f.lts, 'yyyy-MM-dd HH:mm:ss')")))
   }
 
   /** Spark-SQL text of q43b, generated from the SAME stopword profiles

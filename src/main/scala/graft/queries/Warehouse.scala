@@ -319,5 +319,51 @@ object Warehouse {
       .orderBy("metric")
   }
 
-  val defs: Seq[QueryDef] = Seq(q60, q60b, q65, q66, q70, q71)
+  /** SCD2 point-in-time temporal join (q82): every fact row joined to
+    * the dimension VERSION that was valid at its event time — the
+    * query a type-2 dimension exists to answer, composing q60's
+    * history with the as-of machinery. The oracle writes the textbook
+    * INTERVAL formulation (valid_from ≤ t < valid_to over the q60
+    * history); the Spark entry plans the equivalent AS-OF join
+    * ([[graft.ops.AsOf.join]] — union + one per-key window pass, no
+    * interval-predicate join at all): because version intervals CHAIN,
+    * "interval containing t" ≡ "last version starting ≤ t", and the
+    * hash-equality of the two formulations is the proof. Facts are a
+    * deterministic derivation of events spread across the feed's
+    * version dates; at 100 TB the as-of side shuffles each relation
+    * once on the key, where the naive interval theta-join would
+    * replicate the dimension against every fact. */
+  val q82 = QueryDef("q82_scd2_point_in_time",
+    s"""WITH $feedCte,
+       |hist AS (
+       |  SELECT cust_id, segment, acctbal, eff_ts AS valid_from,
+       |    lead(eff_ts) OVER (PARTITION BY cust_id ORDER BY eff_ts) AS valid_to
+       |  FROM chg),
+       |f AS (SELECT event_id,
+       |        1 + user_id % (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS cust_id,
+       |        TIMESTAMP '2024-01-01 00:00:00'
+       |          + to_days(CAST(event_id % 120 AS INT)) AS lts
+       |      FROM events)
+       |SELECT f.event_id, f.cust_id,
+       |  strftime(f.lts, '%Y-%m-%d %H:%M:%S') AS lookup_ts,
+       |  h.segment, h.acctbal
+       |FROM f JOIN hist h ON h.cust_id = f.cust_id
+       |  AND h.valid_from <= f.lts
+       |  AND (h.valid_to IS NULL OR f.lts < h.valid_to)
+       |ORDER BY f.event_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val cnt = Tables.customer(s, dir).agg(count(lit(1)).as("c"))
+    val facts = Tables.events(s, dir).crossJoin(broadcast(cnt))
+      .select($"event_id", (lit(1) + $"user_id" % $"c").as("cust_id"),
+        expr("timestampadd(DAY, CAST(event_id % 120 AS INT), " +
+          "TIMESTAMP '2024-01-01 00:00:00')").as("lts"))
+    graft.ops.AsOf.join(facts, "cust_id", "lts",
+        changeFeed(s, dir), "cust_id", "eff_ts",
+        Seq("segment", "acctbal"), tieBreak = "cust_id")
+      .select($"event_id", $"cust_id", graft.Canon.tsStr($"lts").as("lookup_ts"),
+        $"asof_segment".as("segment"), $"asof_acctbal".as("acctbal"))
+      .orderBy("event_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(q60, q60b, q65, q66, q70, q71, q82)
 }

@@ -219,6 +219,30 @@ class WarehouseAnalyticsSpec extends SparkSpec {
       "baseline days must stay unflagged")
   }
 
+  test("q82 point-in-time: one version per fact; boundary facts take the NEW version") {
+    val out = Warehouse.q82.fn(spark, sf).cache()
+    val nEvents = Tables.events(spark, sf).count()
+    assert(out.count() == nEvents,
+      "chained intervals ⇒ exactly one dimension version per fact")
+    // a fact timestamped exactly at a restatement boundary
+    // (2024-02-01 00:00:00, cust_id % 7 = 0) must see the restated
+    // (+100) balance — interval [from, to) and as-of ≤ agree here
+    val boundary = out.filter(
+      $"lookup_ts" === "2024-02-01 00:00:00" && $"cust_id" % 7 === 0)
+    if (boundary.count() > 0) {
+      val cust = Tables.customer(spark, sf)
+        .select($"c_custkey".as("cust_id"), round($"c_acctbal" + 100.0, 2).as("expect"))
+      assert(boundary.join(cust, "cust_id")
+        .filter($"acctbal" =!= $"expect").isEmpty,
+        "boundary fact must resolve to the version effective AT its timestamp")
+    }
+    // facts after the 2024-03-01 restatement on %13 keys see MACHINERY
+    val late = out.filter($"lookup_ts" >= "2024-03-01 00:00:00" &&
+      $"cust_id" % 13 === 0 && $"cust_id" <= 1000000)
+    assert(late.filter($"segment" =!= "MACHINERY").isEmpty)
+    out.unpersist()
+  }
+
   test("q79 streaming incremental dedup equals the batch q41h (trigger-count invariance)") {
     val streamed = graft.queries.Streaming.q79.fn(spark, sf)
       .select("doc_id").as[Long].collect().sorted.toSeq
