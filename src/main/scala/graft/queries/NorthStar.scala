@@ -588,6 +588,65 @@ object NorthStar {
       .orderBy("doc_id", "rk")
   }
 
+  /** kNN label classification (q83): predict each query vector's
+    * label by majority vote over its 5 nearest neighbors (exact
+    * cosine, [[graft.ops.Similarity.cosineTopK]]) — the standard
+    * label-propagation / auto-labeling shape an embedding pipeline
+    * runs to extend a small labeled seed set, and the first query to
+    * exercise the embeddings table's `label` column. Deterministic
+    * end-to-end: the neighbor set is the decimal-exact top-k (total
+    * tie-break on vid), the vote is integer counting, and the
+    * predicted label breaks vote ties on the SMALLEST label. Output
+    * carries the true label so the result doubles as a
+    * leave-one-out accuracy audit. Plan: the kNN join is q42's
+    * broadcast-query shape; votes and prediction are two tiny
+    * per-query aggregates. */
+  val q83 = QueryDef("q83_knn_label_classify",
+    """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
+      |norms AS (
+      |  SELECT vec_id, CAST(list_sum(list_transform(embedding,
+      |    x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(23,14)))) AS DOUBLE) AS nrm
+      |  FROM embeddings),
+      |pairs AS (
+      |  SELECT q.vec_id AS qid, e.vec_id AS vid,
+      |    CAST(list_sum(list_transform(generate_series(1, len(q.embedding)),
+      |      i -> CAST(CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+      |           AS DECIMAL(23,14)))) AS DOUBLE) AS dot
+      |  FROM q, embeddings e WHERE e.vec_id <> q.vec_id),
+      |scored AS (
+      |  SELECT qid, vid, dot / sqrt(nq.nrm * ne.nrm) AS cosine
+      |  FROM pairs JOIN norms nq ON nq.vec_id = qid JOIN norms ne ON ne.vec_id = vid),
+      |top AS (SELECT qid, vid FROM (
+      |    SELECT qid, vid,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vid) AS rk
+      |    FROM scored) WHERE rk <= 5),
+      |votes AS (SELECT t.qid, e.label, CAST(COUNT(*) AS BIGINT) AS votes
+      |          FROM top t JOIN embeddings e ON e.vec_id = t.vid GROUP BY 1, 2),
+      |pred AS (SELECT qid, label AS pred_label, votes FROM (
+      |    SELECT qid, label, votes, ROW_NUMBER() OVER (
+      |      PARTITION BY qid ORDER BY votes DESC, label) AS rn
+      |    FROM votes) WHERE rn = 1)
+      |SELECT p.qid, CAST(e.label AS INTEGER) AS true_label,
+      |  CAST(p.pred_label AS INTEGER) AS pred_label, p.votes
+      |FROM pred p JOIN embeddings e ON e.vec_id = p.qid
+      |ORDER BY p.qid""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, dir)
+    val labels = emb.select($"vec_id", $"label")
+    val top = Similarity.cosineTopK(emb, emb.filter($"vec_id" % 100 === 0), k = 5)
+      .select($"qid", $"vid")
+    val votes = top.join(labels.withColumnRenamed("vec_id", "vid"), "vid")
+      .groupBy("qid", "label").agg(count(lit(1)).as("votes"))
+    val rn = Window.partitionBy("qid").orderBy($"votes".desc, $"label")
+    val pred = votes.withColumn("rn", row_number().over(rn))
+      .filter($"rn" === 1)
+      .select($"qid", $"label".as("pred_label"), $"votes")
+    pred.join(labels.select($"vec_id".as("qid"), $"label".as("true_label")), "qid")
+      .select($"qid", $"true_label", $"pred_label", $"votes")
+      .orderBy("qid")
+  }
+
   /** Sparse TF-IDF "more like this" (q81): top-5 nearest documents
     * per query doc via an inverted-index join — the third similarity
     * shape beside dense LSH (q42b) and IVF (q42d/e), and the one that
@@ -1016,5 +1075,5 @@ object NorthStar {
 
   val defs: Seq[QueryDef] = Seq(q41a, q41h, q41i, q41b, q41c, q41d, q41e, q41f, q41g,
     q41j, q41k, q42, q42b, q42c, q42d, q42e, q74, q43a, q43b, q43c, q43d, q43e, q43f,
-    q43g, q43h, q43i, q43j, q44, q44b, q44c, q44d, q81)
+    q43g, q43h, q43i, q43j, q44, q44b, q44c, q44d, q81, q83)
 }

@@ -236,6 +236,24 @@ class SimilaritySpec extends SparkSpec {
     assert(cs.nonEmpty && cs.forall(c => c <= 1.0 + 1e-9 && c >= -1.0 - 1e-9))
   }
 
+  test("kNN classify (q83): majority vote corrects a mislabeled query vector") {
+    // two clean clusters; the query (vec_id 0) sits in cluster A but
+    // carries cluster B's label — 4-of-5 neighbor votes must override
+    val rows =
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 1) +:          // mislabeled query
+      (1L to 4L).map(i => (i, Array(1.0f, 0.01f * i, 0f, 0f), 0)) ++:
+      (5L to 8L).map(i => (i, Array(0.01f * i, 1.0f, 0f, 0f), 1))
+    val dir = java.nio.file.Files.createTempDirectory("graft_knn").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .withColumn("label", $"label".cast("int"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.queries.NorthStar.q83.fn(spark, dir)
+      .select("qid", "true_label", "pred_label", "votes")
+      .as[(Long, Int, Int, Long)].collect()
+    assert(out.toSeq == Seq((0L, 1, 0, 4L)),
+      "4 of 5 nearest neighbors carry label 0 — the vote must say 0")
+  }
+
   test("cluster-balanced select: verdict laws — full coverage, dense ranks, per-cell quota") {
     val emb = Tables.embeddings(spark, sf)
     val m = 8
