@@ -15,7 +15,7 @@ object SparkEntry {
     Scans.defs ++ Joins.defs ++ Aggregates.defs ++ Windows.defs ++
       SetsFuncs.defs ++ SqlQueries.defs ++ Streaming.defs ++
       Extensions.defs ++ NorthStar.defs ++ Ingest.defs ++ Sampling.defs ++
-      Curation5x.defs ++ Analytics.defs ++ Warehouse.defs
+      Curation5x.defs ++ Analytics.defs ++ Warehouse.defs ++ Graphs.defs
 
   /** Flagship query on sf=0.001 (driver smoke-checks rows>0): the
     * multiway-join revenue rollup (Q09 shape). */

@@ -35,6 +35,34 @@ object Ranking {
       .drop("_pid")
   }
 
+  /** Distributed global RUNNING SUM of `valCol` over the total order
+    * `sortCols` — the prefix-sum twin of [[globalRank]] (and the
+    * machinery q59's budget selection inlines): range shuffle on the
+    * sort key, per-partition value totals collected driver-side
+    * (bounded by partition count), partition-LOCAL window sum plus the
+    * preceding partitions' offset. No single-partition window at any
+    * size. The caller's sort columns must form a total order (include
+    * a unique key) so the prefix at every row is partitioning-
+    * independent and oracle-stable. */
+  def globalPrefixSum(df: DataFrame, sumCol: String, valCol: String,
+      sortCols: Column*): DataFrame = {
+    val staged = df.repartitionByRange(sortCols: _*)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint() // offsets agg + main pass must share one partitioning
+    val totals = staged.groupBy("_pid")
+      .agg(sum(col(valCol).cast("long")).as("_t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets: Map[Int, Long] =
+      totals.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) => (pid + 1, acc + t) }
+        .init.zip(totals).map { case ((_, off), (pid, _)) => pid -> off }.toMap
+    val w = Window.partitionBy("_pid").orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    staged.withColumn(sumCol,
+      sum(col(valCol).cast("long")).over(w) +
+        coalesce(element_at(typedLit(offsets), col("_pid")), lit(0L)))
+      .drop("_pid")
+  }
+
   /** Token-balanced shard assignment (LPT-flavored): rank docs by
     * size descending (unique-key tiebreak), deal rank-round-robin
     * into `shards` — the biggest docs spread first, so shard token

@@ -284,5 +284,107 @@ object Analytics {
       .orderBy("user_id", "pos")
   }
 
-  val defs: Seq[QueryDef] = Seq(q57, q58, q61, q68, q72, q75)
+  /** Last-touch attribution (q84): every purchase credited to the
+    * user's most recent PRECEDING non-purchase event — the marketing
+    * query a conversion warehouse answers after the funnel (q57). One
+    * user_id window carrying three `last(_, ignoreNulls)` columns over
+    * ROWS UNBOUNDED PRECEDING..1 PRECEDING: all three project the SAME
+    * row (they are null on exactly the same rows), so touch id / type
+    * / lag are mutually consistent by construction — no self-join of
+    * purchases back against the event stream, which would rescan the
+    * corpus. One exchange; window state is one row per ignore-nulls
+    * column. Purchases with no preceding touch surface as NULLs (the
+    * honest "direct conversion" row), not dropped. */
+  val q84 = QueryDef("q84_attribution_last_touch",
+    """WITH o AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_id END IGNORE NULLS)
+      |      OVER w AS touch_id,
+      |    LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      |      OVER w AS touch_type,
+      |    LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN ts END IGNORE NULLS)
+      |      OVER w AS touch_ts
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT event_id AS purchase_id, user_id, touch_id, touch_type,
+      |  CAST(date_diff('second', touch_ts, ts) AS BIGINT) AS lag_s
+      |FROM o WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    def touch(c: org.apache.spark.sql.Column) =
+      last(when($"event_type" =!= "purchase", c), ignoreNulls = true).over(w)
+    Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("touch_id", touch($"event_id"))
+      .withColumn("touch_type", touch($"event_type"))
+      .withColumn("touch_ts", touch($"ts"))
+      .filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"touch_id",
+        $"touch_type",
+        (unix_timestamp($"ts") - unix_timestamp($"touch_ts")).as("lag_s"))
+      .orderBy("purchase_id")
+  }
+
+  /** Peak concurrent sessions per day (q87): interval algebra by
+    * SWEEP-LINE — each q61 session contributes a +1 marker at its
+    * start and a −1 at its end, the running sum of deltas over the
+    * global time order is the live concurrency, and the per-day max of
+    * that sum is the capacity-planning number an ops team asks for.
+    *
+    * The global running sum does NOT use a single-partition window:
+    * [[graft.ops.Ranking.globalPrefixSum]] (q59's range-partition +
+    * per-partition-offset machinery, factored out) computes it with a
+    * range shuffle over (ts, delta desc, user, session) — markers are
+    * 2×sessions rows, far below event volume, and every stage is
+    * partition-parallel. Tie rule: +1 sorts before −1 at the same
+    * instant (delta DESC), so back-to-back touching sessions count as
+    * concurrent — stated identically in the oracle's window ORDER BY.
+    * Day attribution is by marker timestamp; a session spanning
+    * midnight is counted into the day its markers fall on, carry-over
+    * concurrency reaching the next day's first marker included (the
+    * prefix sum is global, not per-day). */
+  val q87 = QueryDef("q87_session_concurrency",
+    """WITH o AS (
+      |  SELECT user_id, ts, event_id,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, ts, event_id,
+      |    SUM(CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800
+      |        THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |  FROM o),
+      |iv AS (
+      |  SELECT user_id, session_idx, MIN(ts) AS s_ts, MAX(ts) AS e_ts
+      |  FROM s GROUP BY 1, 2),
+      |m AS (
+      |  SELECT user_id, session_idx, s_ts AS ts, CAST(1 AS BIGINT) AS delta FROM iv
+      |  UNION ALL
+      |  SELECT user_id, session_idx, e_ts AS ts, CAST(-1 AS BIGINT) AS delta FROM iv),
+      |c AS (
+      |  SELECT ts, SUM(delta) OVER (ORDER BY ts, delta DESC, user_id, session_idx
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+      |  FROM m)
+      |SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(MAX(conc) AS BIGINT) AS peak_conc
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val iv = graft.ops.Sessions.sessionize(Tables.events(s, dir), 1800)
+      .groupBy("user_id", "session_idx")
+      .agg(min($"ts").as("s_ts"), max($"ts").as("e_ts"))
+    val markers = iv.select($"user_id", $"session_idx",
+        $"s_ts".as("ts"), lit(1L).as("delta"))
+      .union(iv.select($"user_id", $"session_idx",
+        $"e_ts".as("ts"), lit(-1L).as("delta")))
+    graft.ops.Ranking.globalPrefixSum(markers, "conc", "delta",
+        $"ts", $"delta".desc, $"user_id", $"session_idx")
+      .groupBy(date_format($"ts", "yyyy-MM-dd").as("day"))
+      .agg(max($"conc").as("peak_conc"))
+      .orderBy("day")
+  }
+
+  val defs: Seq[QueryDef] = Seq(q57, q58, q61, q68, q72, q75, q84, q87)
 }

@@ -1,0 +1,88 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** q85 — iterative graph analytics over a JOIN-DERIVED edge set: the
+  * capability class (bounded-iteration PageRank) that complements
+  * q41f's pointer-jumping connected components. The reference's wallet
+  * table is exactly this shape in production — wallets linked by
+  * transactions — and "who is central" is the first graph question
+  * asked of it; here the supplier↔customer bipartite graph derived
+  * from lineitem⋈orders stands in.
+  *
+  * Determinism across engines (the hard part of a hash-checked
+  * PageRank): ALL arithmetic is 64-bit integer. Ranks are integer
+  * "points" (1e6 per node initially); each iteration sends
+  * `pts div outdeg` along every edge and re-ranks as
+  * `150000 + (85 · Σ incoming) div 100` — the 0.15/0.85 damping in
+  * fixed-point. Integer sums are associative whatever the partial-agg
+  * order, and integer division is identical in Spark and DuckDB, so
+  * the result is bit-stable with NO floating-point tolerance games.
+  * The graph is made bidirectional, so every node has outdeg ≥ 1 and
+  * receives mass — no dangling-node redistribution term.
+  *
+  * Shape at 100 TB: the edge derivation is one corpus-scale join +
+  * distinct (shuffled on its keys once), CACHED (memory-and-disk —
+  * the standard iterate-over-edges trade GraphX/Pregel makes; spilling
+  * is acceptable, recomputing the corpus join 3× is not). Each
+  * iteration is edges ⋈ ranks ⋈ degrees, then a partial-aggregated
+  * groupBy(dst) — rank/degree relations are O(nodes) and the join
+  * strategy is LEFT TO CATALYST: BHJ while nodes fit the broadcast
+  * threshold, SMJ on src beyond it (forcing broadcast here is the
+  * hint that breaks at web-scale node counts). Iteration count is
+  * FIXED (3), so the lineage stays shallow and the plan is static —
+  * no driver-side convergence loop over collected data.
+  */
+object Graphs {
+
+  val q85 = QueryDef("q85_pagerank_bipartite",
+    """WITH e AS (
+      |  SELECT DISTINCT l_suppkey AS src, o_custkey + 1000000 AS dst
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |ed AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+      |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM ed GROUP BY 1),
+      |p0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pts FROM deg),
+      |i1 AS (SELECT ed.dst AS node,
+      |         150000 + (85 * SUM(p.pts // d.outdeg)) // 100 AS pts
+      |       FROM ed JOIN p0 p ON ed.src = p.node JOIN deg d ON ed.src = d.src
+      |       GROUP BY 1),
+      |i2 AS (SELECT ed.dst AS node,
+      |         150000 + (85 * SUM(p.pts // d.outdeg)) // 100 AS pts
+      |       FROM ed JOIN i1 p ON ed.src = p.node JOIN deg d ON ed.src = d.src
+      |       GROUP BY 1),
+      |i3 AS (SELECT ed.dst AS node,
+      |         150000 + (85 * SUM(p.pts // d.outdeg)) // 100 AS pts
+      |       FROM ed JOIN i2 p ON ed.src = p.node JOIN deg d ON ed.src = d.src
+      |       GROUP BY 1)
+      |SELECT CAST(node AS BIGINT) AS node_id,
+      |  CASE WHEN node >= 1000000 THEN 'customer' ELSE 'supplier' END AS kind,
+      |  CAST(pts AS BIGINT) AS points
+      |FROM i3 ORDER BY node_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_suppkey")
+    val ord = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
+    val e = li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .select($"l_suppkey".as("src"), ($"o_custkey" + 1000000L).as("dst"))
+      .distinct()
+    val ed = e.union(e.select($"dst".as("src"), $"src".as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = ed.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    var pts = deg.select($"src".as("node"), lit(1000000L).as("pts"))
+    for (_ <- 1 to 3) {
+      pts = ed.join(pts, ed("src") === pts("node"))
+        .join(deg, "src")
+        .select($"dst", expr("pts div outdeg").as("contrib"))
+        .groupBy($"dst".as("node"))
+        .agg((lit(150000L) +
+          expr("85 * sum(contrib) div 100")).as("pts"))
+    }
+    pts.select($"node".as("node_id"),
+        when($"node" >= 1000000L, "customer").otherwise("supplier").as("kind"),
+        $"pts".as("points"))
+      .orderBy("node_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(q85)
+}

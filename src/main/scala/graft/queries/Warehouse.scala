@@ -365,5 +365,40 @@ object Warehouse {
       .orderBy("event_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(q60, q60b, q65, q66, q70, q71, q82)
+  /** Schema-evolution union (q86): reconcile two ingest generations of
+    * one table whose schemas DIFFER — the v1 batch predates `source` /
+    * `n_chars` tracking (the columns every long-lived pipeline grows
+    * mid-life), the v2 batch carries them. `unionByName(
+    * allowMissingColumns = true)` aligns by NAME and null-fills the
+    * missing columns — positional `union` would silently misalign the
+    * moment either schema reorders, the classic ingest corruption.
+    * Downstream sees one relation with an explicit `(legacy)` marker
+    * where provenance predates tracking. Map-only: two pruned scans of
+    * the same parquet (disjoint id slices), no shuffle anywhere — the
+    * oracle's UNION ALL with typed NULLs states the identical
+    * alignment. */
+  val q86 = QueryDef("q86_schema_evolution_union",
+    """WITH v1 AS (SELECT doc_id, lang FROM documents WHERE doc_id % 3 = 0),
+      |v2 AS (SELECT doc_id, lang, source, n_chars FROM documents
+      |       WHERE doc_id % 3 <> 0)
+      |SELECT doc_id, lang, source, n_chars,
+      |  COALESCE(source, '(legacy)') AS source_filled
+      |FROM (
+      |  SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS source,
+      |    CAST(NULL AS BIGINT) AS n_chars FROM v1
+      |  UNION ALL
+      |  SELECT doc_id, lang, source, n_chars FROM v2)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val v1 = docs.filter($"doc_id" % 3 === 0).select($"doc_id", $"lang")
+    val v2 = docs.filter($"doc_id" % 3 =!= 0)
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+    v1.unionByName(v2, allowMissingColumns = true)
+      .select($"doc_id", $"lang", $"source", $"n_chars",
+        coalesce($"source", lit("(legacy)")).as("source_filled"))
+      .orderBy("doc_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(q60, q60b, q65, q66, q70, q71, q82, q86)
 }

@@ -1,0 +1,141 @@
+package graft
+
+import graft.ops.Ranking
+import graft.queries.{Analytics, Graphs, Warehouse}
+import org.apache.spark.sql.functions._
+
+/** Round-15 batch-16 operators: last-touch attribution (q84),
+  * integer-exact PageRank (q85), schema-evolution union (q86),
+  * sweep-line session concurrency (q87) and the factored-out
+  * globalPrefixSum it rides on. The oracle pins each query's full
+  * output; these tests pin the invariants the oracle can't see —
+  * hand-computable fixtures, conservation laws, partitioning
+  * independence.
+  */
+class GraphAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("globalPrefixSum equals a single-partition running sum") {
+    val df = (1L to 500L).map(i => (i, (i * 7919) % 13 - 6)).toDF("id", "v")
+    val got = Ranking.globalPrefixSum(df, "ps", "v", $"id")
+      .select("id", "ps").as[(Long, Long)].collect().toMap
+    var acc = 0L
+    (1L to 500L).foreach { i =>
+      acc += (i * 7919) % 13 - 6
+      assert(got(i) == acc, s"prefix at id=$i")
+    }
+  }
+
+  test("q84 attribution: hand fixture — touch row is self-consistent") {
+    val e = Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "view"),
+      (1L, "2024-01-01 00:10:00", 2L, "click"),
+      (1L, "2024-01-01 00:15:00", 3L, "purchase"), // touch = click(2), 300 s
+      (1L, "2024-01-01 00:20:00", 4L, "purchase"), // still click(2): purchases never touch
+      (2L, "2024-01-01 09:00:00", 5L, "purchase")) // no preceding touch → NULLs
+      .toDF("user_id", "tss", "event_id", "event_type")
+      .select($"user_id", to_timestamp($"tss").as("ts"), $"event_id", $"event_type")
+    e.createOrReplaceTempView("_attr_fixture")
+    // run the q84 body over the fixture by re-deriving it inline
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    def touch(c: org.apache.spark.sql.Column) =
+      last(when($"event_type" =!= "purchase", c), ignoreNulls = true).over(w)
+    val r = e.withColumn("touch_id", touch($"event_id"))
+      .withColumn("touch_type", touch($"event_type"))
+      .withColumn("touch_ts", touch($"ts"))
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"touch_id", $"touch_type",
+        (unix_timestamp($"ts") - unix_timestamp($"touch_ts")).as("lag_s"))
+      .collect().map(row => (row.getLong(0),
+        if (row.isNullAt(1)) -1L else row.getLong(1),
+        Option(row.getString(2)).getOrElse("-"),
+        if (row.isNullAt(3)) -1L else row.getLong(3))).toSet
+    assert(r == Set(
+      (3L, 2L, "click", 300L),
+      (4L, 2L, "click", 600L),
+      (5L, -1L, "-", -1L)))
+  }
+
+  test("q85 PageRank: point mass is conserved modulo integer-floor loss") {
+    // each iteration: Σ pts' = 150000·n + (85·Σ contribs) div-ish 100 —
+    // bounded below by the exact damped sum minus n (div floors once
+    // per node) minus per-edge floor loss; bounded above by the exact
+    // sum. The useful invariant: totals stay within [0.97, 1.0] of
+    // n·1e6 after 3 iterations (floor can only LOSE mass).
+    val df = Graphs.q85.fn(spark, sf)
+    val agg = df.agg(sum("points").as("s"), count(lit(1)).as("n")).head()
+    val (s, n) = (agg.getLong(0), agg.getLong(1))
+    assert(s <= n * 1000000L, "floor arithmetic can never create mass")
+    assert(s >= (n * 1000000L * 97) / 100, s"lost >3% of mass: $s of ${n * 1000000L}")
+  }
+
+  test("q85 PageRank: hand graph — a 2-star hub outranks its leaves") {
+    // star: hub 1 ↔ leaves 2,3 (bidirectional). outdeg: hub 2, leaf 1.
+    // p0 = 1e6 each. i1: hub ← 1e6 + 1e6 → 150000 + 85·2e6/100 = 1850000;
+    // leaf ← 5e5 → 150000 + 425000 = 575000. Hub > leaf at every step.
+    val e = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst")
+    val ed = e.union(e.select($"dst".as("src"), $"src".as("dst")))
+    val deg = ed.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    var pts = deg.select($"src".as("node"), lit(1000000L).as("pts"))
+    for (_ <- 1 to 3) {
+      pts = ed.join(pts, ed("src") === pts("node"))
+        .join(deg, "src")
+        .select($"dst", expr("pts div outdeg").as("contrib"))
+        .groupBy($"dst".as("node"))
+        .agg((lit(150000L) + expr("85 * sum(contrib) div 100")).as("pts"))
+    }
+    val m = pts.as[(Long, Long)].collect().toMap
+    assert(m(1L) > m(2L) && m(2L) == m(3L),
+      s"hub must outrank symmetric leaves: $m")
+  }
+
+  test("q86 schema union: every doc survives exactly once, legacy marked") {
+    val df = Warehouse.q86.fn(spark, sf).cache()
+    val docs = Tables.documents(spark, sf)
+    assert(df.count() == docs.count(), "union must be loss- and dup-free")
+    assert(df.filter($"doc_id" % 3 === 0 &&
+      ($"source".isNotNull || $"source_filled" =!= "(legacy)")).isEmpty,
+      "v1 rows must carry null source and the (legacy) marker")
+    assert(df.filter($"doc_id" % 3 =!= 0 && $"source".isNull).isEmpty,
+      "v2 rows must keep their source")
+    df.unpersist()
+  }
+
+  test("q87 concurrency: hand intervals — overlap counts, touch counts") {
+    // sessions: A [0,10], B [5,15] overlap → 2; C [15,20] touches B's
+    // end at 15 → +1 sorts before −1, so conc hits 2 again at 15.
+    val iv = Seq(
+      (1L, 1L, "2024-01-01 00:00:00", "2024-01-01 00:00:10"),
+      (2L, 1L, "2024-01-01 00:00:05", "2024-01-01 00:00:15"),
+      (3L, 1L, "2024-01-01 00:00:15", "2024-01-01 00:00:20"))
+      .toDF("user_id", "session_idx", "s", "e")
+      .select($"user_id", $"session_idx",
+        to_timestamp($"s").as("s_ts"), to_timestamp($"e").as("e_ts"))
+    val markers = iv.select($"user_id", $"session_idx", $"s_ts".as("ts"),
+        lit(1L).as("delta"))
+      .union(iv.select($"user_id", $"session_idx", $"e_ts".as("ts"),
+        lit(-1L).as("delta")))
+    val conc = Ranking.globalPrefixSum(markers, "conc", "delta",
+        $"ts", $"delta".desc, $"user_id", $"session_idx")
+    val atTouch = conc.filter($"ts" === to_timestamp(lit("2024-01-01 00:00:15")))
+      .agg(max("conc")).head().getLong(0)
+    val peak = conc.agg(max("conc")).head().getLong(0)
+    assert(peak == 2L, s"peak should be 2, got $peak")
+    assert(atTouch == 2L, "touching sessions must count as concurrent (+1 before −1)")
+    // sweep invariant: the prefix sum ends at zero (every start closed)
+    val last = conc.orderBy($"ts".desc, $"delta".asc, $"user_id".desc)
+      .select("conc").head().getLong(0)
+    assert(last == 0L, "balanced markers must sweep back to zero")
+  }
+
+  test("q87 on testdata: peaks positive, bounded by distinct users") {
+    val df = Analytics.q87.fn(spark, sf).cache()
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(df.filter($"peak_conc" < 1).isEmpty, "every listed day saw ≥1 session")
+    assert(df.filter($"peak_conc" > users).isEmpty,
+      "concurrency can never exceed the user count")
+    df.unpersist()
+  }
+}
