@@ -49,12 +49,55 @@ object Explains {
     // round-15 batch 13: inverted-index sparse similarity
     "q81_tfidf_more_like_this",
     // round-15 batch 14: SCD2 point-in-time temporal join
-    "q82_scd2_point_in_time")
+    "q82_scd2_point_in_time",
+    // round-15 batch 15: kNN label classification
+    "q83_knn_label_classify",
+    // round-15 batch 16: attribution, PageRank, schema-evolution
+    // union, sweep-line concurrency
+    "q84_attribution_last_touch", "q85_pagerank_bipartite",
+    "q86_schema_evolution_union", "q87_session_concurrency")
 
   /** Prose above a query's plan — the one- paragraph reading guide for
     * the plan properties SCALING.md leans on. Keyed by query name so a
     * full regeneration never loses the annotations. */
   val notes: Map[String, String] = Map(
+    "q83_knn_label_classify" ->
+      """Exact-kNN vote: the neighbor stage is the q42 broadcast-query brute
+        |force (query slice broadcasts, corpus never shuffles), the top-5 cut
+        |is a WindowGroupLimit per qid, and the vote/prediction aggregates
+        |run over query-sized relations. The production path swaps q42e's
+        |IVF probe into the neighbor stage unchanged.""".stripMargin,
+    "q84_attribution_last_touch" ->
+      """Last-touch attribution in ONE user_id window pass: three
+        |last(_, ignoreNulls) columns share a single Window operator (same
+        |spec), each buffering one row of state — no self-join of purchases
+        |back against the event corpus, which would rescan and re-shuffle
+        |it. The purchase filter sits above the window (it must see
+        |non-purchase rows), so the corpus cost is the one exchange.""".stripMargin,
+    "q85_pagerank_bipartite" ->
+      """Bounded-iteration PageRank: the edge derivation joins and
+        |distincts ONCE (cached memory-and-disk — the iterate-over-edges
+        |trade GraphX makes), and each of the three iterations is
+        |edges ⋈ ranks ⋈ degrees with a partial-aggregated groupBy(dst).
+        |Rank/degree relations are O(nodes); join strategy is left to
+        |Catalyst (BHJ here, SMJ on src at web-scale node counts). All
+        |arithmetic is 64-bit integer — the plan contains no float op, so
+        |the result is bit-stable whatever the partial-agg order.""".stripMargin,
+    "q86_schema_evolution_union" ->
+      """Schema-evolution union: two pruned scans of the same parquet
+        |(disjoint id slices), aligned BY NAME with typed null fill —
+        |map-only, no exchange beyond the presentation sort. The v1
+        |branch's ReadSchema carries
+        |only the columns the old generation had; positional union would
+        |misalign the moment either schema reorders.""".stripMargin,
+    "q87_session_concurrency" ->
+      """Sweep-line interval algebra: session intervals become ±1 markers
+        |(2×sessions rows, far below event volume), and the global running
+        |concurrency is Ranking.globalPrefixSum — range exchange on
+        |(ts, delta desc, user, session), per-partition offsets as a
+        |driver-side literal map, partition-LOCAL window sum. No
+        |single-partition window; the per-day peak is a tiny final
+        |aggregate.""".stripMargin,
     "q82_scd2_point_in_time" ->
       """The interval formulation the oracle (and the _sql dual) writes never
         |appears in this plan: the as-of rewrite unions facts with the

@@ -520,7 +520,33 @@ object SqlQueries {
           "timestampadd(DAY, CAST(event_id % 120 AS INT), " +
             "TIMESTAMP '2024-01-01 00:00:00')")
         .replace("strftime(f.lts, '%Y-%m-%d %H:%M:%S')",
-          "date_format(f.lts, 'yyyy-MM-dd HH:mm:ss')")))
+          "date_format(f.lts, 'yyyy-MM-dd HH:mm:ss')")),
+      // batch 16: q84 moves IGNORE NULLS outside the call (Spark's
+      // clause syntax vs DuckDB's in-argument form) and swaps
+      // date_diff('second',…)→unix_timestamp diff (the q61 rule:
+      // timestampdiff(SECOND,…) truncates the INTERVAL, DuckDB counts
+      // second BOUNDARIES — off by one whenever the sub-second parts
+      // straddle, 102 rows at sf0.001); q85 swaps
+      // DuckDB's `//` integer division for Spark's `div` (same floor
+      // semantics on positive BIGINTs — the all-integer discipline is
+      // what makes the dual possible at all); q86 swaps VARCHAR→STRING;
+      // q87 like q84 plus strftime→date_format — its global-window text
+      // is the naive single-partition formulation (q78 precedent: the
+      // DataFrame twin plans globalPrefixSum instead and must
+      // hash-agree).
+      (Analytics.q84, Analytics.q84.oracle.get
+        .replace("END IGNORE NULLS)", "END) IGNORE NULLS")
+        .replace("date_diff('second', touch_ts, ts)",
+          "unix_timestamp(ts) - unix_timestamp(touch_ts)")),
+      (Graphs.q85, Graphs.q85.oracle.get
+        .replace("p.pts // d.outdeg", "p.pts div d.outdeg")
+        .replace(")) // 100", ")) div 100")),
+      (Warehouse.q86, Warehouse.q86.oracle.get
+        .replace("CAST(NULL AS VARCHAR)", "CAST(NULL AS STRING)")),
+      (Analytics.q87, Analytics.q87.oracle.get
+        .replace("date_diff('second', prev_ts, ts)",
+          "unix_timestamp(ts) - unix_timestamp(prev_ts)")
+        .replace("strftime(ts, '%Y-%m-%d')", "date_format(ts, 'yyyy-MM-dd')")))
   }
 
   /** Spark-SQL text of q43b, generated from the SAME stopword profiles
