@@ -1,0 +1,223 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Product quantization (PQ) with asymmetric-distance (ADC) search —
+  * the EMBEDDING-COMPRESSION rung of the ANN ladder (q42 brute →
+  * q42b LSH → q42d/e IVF → here): at 100 TB of `float[64]` vectors
+  * the raw corpus is the storage/IO bottleneck, and PQ is the
+  * standard answer (Jégou et al., "Product Quantization for Nearest
+  * Neighbor Search", TPAMI 2011 — the Faiss IVFPQ layout). The corpus
+  * is kept as M=16 one-byte codes per vector — 16× smaller than the
+  * floats — and queries scan codes, not vectors.
+  *
+  *  - CODEBOOKS (index build): the embedding splits into M=16
+  *    4-dim subvectors; each subspace's K=16 centroids are the
+  *    subvector slices of a deterministic strided sample (the
+  *    [[Similarity.ivfCentroids]] seeding discipline — one shared
+  *    stride so the oracle restates the sample as a WHERE clause).
+  *    Bounded driver collect: K full vectors.
+  *  - ENCODE (one corpus pass, PURE MAP): per subspace, the code is
+  *    the argmin of the exact squared L2 distance to the 16 centroid
+  *    literals — `array_sort` over (d², code) structs, ties to the
+  *    smallest code. No shuffle: the codes relation (vid, c0..c15)
+  *    is the persistable 100 TB artifact.
+  *  - ADC SHORTLIST: each query precomputes a 16-entry distance
+  *    table per subspace against the same centroid literals
+  *    (broadcast); every corpus vector's approximate d² is 16 table
+  *    LOOKUPS — no float multiply touches the corpus at query time.
+  *    Each table entry is cast to DECIMAL(23,14) at the boundary, so
+  *    the 16-term ADC sum is EXACT and association-free (no IEEE
+  *    tree to pin) — the shortlist cut (top `shortlist` by adc, vid)
+  *    is engine- and partitioning-independent.
+  *  - RERANK: exact full-dim L2 over the shortlist only — the
+  *    two-stage deployment every PQ system runs. Work ∝ shortlist,
+  *    not corpus.
+  *
+  * Determinism: subspace d² = `((‖x‖² − (2·⟨x,c⟩)) + ‖c‖²)` with
+  * decimal-exact norm/dot terms ([[graft.functions.DecimalDot]] /
+  * per-term DECIMAL(23,14) casts in [[pqSql]]) combined in one fixed
+  * IEEE tree; the ADC sum is decimal-exact; rerank d² uses the fixed
+  * tree `((‖c‖² + ‖q‖²) − (2·⟨q,c⟩))`; every rank breaks ties by
+  * vid. The whole codebook→encode→ADC→rerank pipeline hash-checks.
+  * Recall vs the exact L2 top-k is asserted in GraphAnalyticsSpec
+  * and measured at 10× in SCALING.md. Composes with q42e: IVF prunes
+  * cells, PQ compresses the vectors inside them.
+  */
+object Pq {
+
+  val M = 16
+  val K = 16
+  val subDim: Int = Similarity.dim / M
+
+  private def arrNormSq(v: Array[Double]): Double = {
+    val ad = new org.apache.spark.sql.catalyst.util.GenericArrayData(v)
+    graft.functions.DecimalDot.compute(ad, ad, false, false).doubleValue()
+  }
+
+  /** (m, code, centroid-subvector, ‖c‖²) literals — K strided sample
+    * vectors sliced into M subspaces. */
+  def codebooks(corpus: DataFrame): Seq[(Int, Int, Array[Double], Double)] = {
+    import org.apache.spark.sql.Row
+    val n = corpus.count()
+    if (n == 0) return Seq.empty
+    val stride = math.max(1L, n / K)
+    val rows = corpus
+      .filter(col("vec_id") % stride === 0 && col("vec_id") < stride * K)
+      .select((col("vec_id") / stride).cast("int").as("code"), col("embedding"))
+      .orderBy("code").collect()
+    for {
+      r <- rows.toSeq
+      m <- 0 until M
+    } yield {
+      val full = r match {
+        case Row(_: Int, emb: scala.collection.Seq[_]) =>
+          emb.map(_.asInstanceOf[Float].toDouble).toArray
+      }
+      val sub = full.slice(m * subDim, (m + 1) * subDim)
+      (m, r.getInt(0), sub, arrNormSq(sub))
+    }
+  }
+
+  /** Exact-decimal squared L2 of `sub` (whose decimal ‖·‖² is
+    * `subNorm`) to a centroid literal — the fixed IEEE tree the
+    * oracle mirrors. */
+  private def d2(sub: Column, subNorm: Column, cent: Array[Double],
+      cn: Double): Column =
+    (subNorm - (lit(2.0) * Similarity.dotDecimal(
+      sub, array(cent.map(lit(_)): _*)))) + lit(cn)
+
+  private def subCol(emb: Column, m: Int): Column =
+    slice(emb, m * subDim + 1, subDim)
+
+  /** Argmin code of subspace `m` under `cb` — array_sort over
+    * (d², code) structs, ties to the smallest code. */
+  private def bestCode(cb: Seq[(Int, Int, Array[Double], Double)], m: Int)(
+      sub: Column, subNorm: Column): Column =
+    element_at(array_sort(array(cb.collect {
+      case (`m`, code, v, vn) =>
+        struct(d2(sub, subNorm, v, vn).as("d"), lit(code).as("c"))
+    }: _*)), 1).getField("c")
+
+  /** One-pass PQ encode: (vid, c0..c15) — 16 bytes of codes per
+    * 256-byte vector, the persistable artifact. Pure map, no
+    * shuffle. */
+  def encode(corpus: DataFrame,
+      cb: Seq[(Int, Int, Array[Double], Double)]): DataFrame = {
+    val base = corpus.select(col("vec_id").as("vid"), col("embedding").as("e"))
+    (0 until M).foldLeft(base) { (df, m) =>
+      val sub = subCol(col("e"), m)
+      df.withColumn(s"c$m",
+        bestCode(cb, m)(sub, Similarity.normSqDecimal(sub)))
+    }.drop("e")
+  }
+
+  /** PQ two-stage top-k: ADC shortlist over the codes relation, exact
+    * full-dim L2 rerank of the shortlist. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      shortlist: Int = 100): DataFrame = {
+    val cb = codebooks(corpus)
+    val codes = encode(corpus, cb)
+    val dec = DecimalType(23, 14)
+    val qBase = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val q = (0 until M).foldLeft(qBase) { (df, m) =>
+      val sub = subCol(col("qe"), m)
+      val nrm = Similarity.normSqDecimal(sub)
+      df.withColumn(s"qd$m", array(cb.collect {
+        case (`m`, _, v, vn) => d2(sub, nrm, v, vn).cast(dec)
+      }: _*))
+    }.drop("qe")
+    // decimal fold: exact, association-free — no IEEE tree to pin
+    val adc = (0 until M)
+      .map(m => element_at(col(s"qd$m"), col(s"c$m") + 1))
+      .reduce(_ + _)
+    val wAdc = Window.partitionBy("qid").orderBy(col("adc").asc, col("vid"))
+    val short = codes.join(broadcast(q), col("qid") =!= col("vid"))
+      .withColumn("adc", adc)
+      .withColumn("srk", row_number().over(wAdc)).filter(col("srk") <= shortlist)
+      .select("qid", "vid")
+    // exact rerank over the shortlist only
+    val c = corpus.select(col("vec_id").as("vid"), col("embedding").as("ce"))
+      .withColumn("cnorm", Similarity.normSqDecimal(col("ce")))
+    val qv = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .withColumn("qnorm", Similarity.normSqDecimal(col("qe")))
+    val exact = ((col("cnorm") + col("qnorm"))
+      - (lit(2.0) * Similarity.dotDecimal(col("qe"), col("ce"))))
+    val wR = Window.partitionBy("qid").orderBy(col("l2").asc, col("vid"))
+    short.join(c, "vid").join(broadcast(qv), "qid")
+      .withColumn("l2", exact)
+      .withColumn("rk", row_number().over(wR)).filter(col("rk") <= k)
+      .select(col("qid"), col("vid"), col("rk"), round(col("l2"), 6).as("l2_d2"))
+  }
+
+  // ---------------------------------------------------------------
+  // DuckDB oracle — restates codebooks, encode, ADC, rerank bit-exactly.
+
+  private def subNormSql(e: String, off: Int): String =
+    s"CAST(list_sum(list_transform(generate_series(1, $subDim), " +
+      s"i -> CAST(CAST($e[$off + i] AS DOUBLE) * CAST($e[$off + i] AS DOUBLE) " +
+      s"AS DECIMAL(23,14)))) AS DOUBLE)"
+
+  private def subDotSql(e: String, c: String, off: Int): String =
+    s"CAST(list_sum(list_transform(generate_series(1, $subDim), " +
+      s"i -> CAST(CAST($e[$off + i] AS DOUBLE) * CAST($c[$off + i] AS DOUBLE) " +
+      s"AS DECIMAL(23,14)))) AS DOUBLE)"
+
+  private def d2Sql(e: String, c: String, off: Int): String =
+    s"((${subNormSql(e, off)} - (2.0 * ${subDotSql(e, c, off)})) + ${subNormSql(c, off)})"
+
+  /** DuckDB twin of the whole encode+ADC+rerank pipeline over `src`. */
+  def pqSql(k: Int, shortlist: Int = 100, src: String = "embeddings",
+      queryPred: String = "vec_id % 100 = 0"): String = {
+    val codeBranches = (0 until M).map { m =>
+      s"""  SELECT e.vec_id AS vid, $m AS m, s.code,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |      ${d2Sql("e.embedding", "s.se", m * subDim)} ASC, s.code ASC) AS rn
+         |  FROM $src e CROSS JOIN cb s""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    val qdBranches = (0 until M).map { m =>
+      s"""  SELECT q.vec_id AS qid, $m AS m, s.code,
+         |    CAST(${d2Sql("q.embedding", "s.se", m * subDim)} AS DECIMAL(23,14)) AS dd
+         |  FROM q CROSS JOIN cb s""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH st AS (SELECT CAST(GREATEST(COUNT(*) // $K, 1) AS BIGINT) AS stride FROM $src),
+       |cb AS (SELECT CAST(vec_id // (SELECT stride FROM st) AS INTEGER) AS code,
+       |              embedding AS se
+       |       FROM $src
+       |       WHERE vec_id % (SELECT stride FROM st) = 0
+       |         AND vec_id < (SELECT stride FROM st) * $K),
+       |codes0 AS (
+       |$codeBranches),
+       |codes AS (SELECT vid, m, code FROM codes0 WHERE rn = 1),
+       |q AS (SELECT vec_id, embedding FROM $src WHERE $queryPred),
+       |qd AS (
+       |$qdBranches),
+       |adc AS (
+       |  SELECT qd.qid, c.vid, SUM(qd.dd) AS adc
+       |  FROM codes c JOIN qd ON qd.m = c.m AND qd.code = c.code
+       |  WHERE c.vid <> qd.qid
+       |  GROUP BY 1, 2),
+       |short AS (SELECT qid, vid FROM (
+       |    SELECT qid, vid,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc ASC, vid ASC) AS srk
+       |    FROM adc) WHERE srk <= $shortlist),
+       |nrm AS (SELECT vec_id, ${Similarity.dotSql("embedding", "embedding")} AS nrm
+       |        FROM $src),
+       |rr AS (
+       |  SELECT s.qid, s.vid,
+       |    ((nc.nrm + nq.nrm) - (2.0 * ${Similarity.dotSql("eq.embedding", "ec.embedding")})) AS l2
+       |  FROM short s
+       |  JOIN $src eq ON eq.vec_id = s.qid
+       |  JOIN $src ec ON ec.vec_id = s.vid
+       |  JOIN nrm nq ON nq.vec_id = s.qid
+       |  JOIN nrm nc ON nc.vec_id = s.vid)
+       |SELECT qid, vid, CAST(rk AS INTEGER) AS rk, ROUND(l2, 6) AS l2_d2 FROM (
+       |  SELECT qid, vid, l2,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY l2 ASC, vid ASC) AS rk
+       |  FROM rr) WHERE rk <= $k
+       |ORDER BY qid, rk""".stripMargin
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Pq, Similarity, TextAnalysis}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -647,6 +647,28 @@ object NorthStar {
       .orderBy("qid")
   }
 
+  /** PQ/ADC approximate nearest neighbors (q88): the EMBEDDING-
+    * COMPRESSION rung of the ANN ladder ([[graft.ops.Pq]] — Jégou et
+    * al. 2011, the Faiss IVFPQ layout). The corpus is encoded ONCE
+    * into M=16 one-byte codes per vector (16× smaller than the
+    * floats — at 100 TB the artifact that turns an IO-bound vector
+    * scan into a cache-resident code scan); queries precompute
+    * 16-entry distance tables per subspace and shortlist every
+    * vector with 16 table LOOKUPS summed in exact decimal (no float
+    * multiply touches the corpus at query time, and no IEEE tree to
+    * pin), then rerank the 100-deep shortlist with the exact
+    * full-dim L2 — the two-stage deployment every PQ system runs.
+    * Deterministic end-to-end, so codebooks→encode→ADC→rerank is
+    * hash-checked whole. GraphAnalyticsSpec asserts recall against
+    * the exact L2 top-k. Composes with q42e: IVF prunes cells, PQ
+    * compresses the vectors inside them. */
+  val q88 = QueryDef("q88_similarity_pq_adc", Pq.pqSql(k = 5)) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    Pq.pqTopK(emb, emb.filter($"vec_id" % 100 === 0), k = 5)
+      .orderBy("qid", "rk")
+  }
+
   /** Sparse TF-IDF "more like this" (q81): top-5 nearest documents
     * per query doc via an inverted-index join — the third similarity
     * shape beside dense LSH (q42b) and IVF (q42d/e), and the one that
@@ -1075,5 +1097,5 @@ object NorthStar {
 
   val defs: Seq[QueryDef] = Seq(q41a, q41h, q41i, q41b, q41c, q41d, q41e, q41f, q41g,
     q41j, q41k, q42, q42b, q42c, q42d, q42e, q74, q43a, q43b, q43c, q43d, q43e, q43f,
-    q43g, q43h, q43i, q43j, q44, q44b, q44c, q44d, q81, q83)
+    q43g, q43h, q43i, q43j, q44, q44b, q44c, q44d, q81, q83, q88)
 }

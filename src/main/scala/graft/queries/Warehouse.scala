@@ -400,5 +400,52 @@ object Warehouse {
       .orderBy("doc_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(q60, q60b, q65, q66, q70, q71, q82, q86)
+  /** Z-order (Morton-curve) layout clustering (q89): the THIRD scan
+    * lever beside hive partitioning (q62/q64) and bucketing (q67) —
+    * the Delta/Iceberg `OPTIMIZE ZORDER BY` primitive. Single-column
+    * layouts prune on one dimension only; interleaving the bits of
+    * (user_id % 256, day-of-month) into one Morton key gives a total
+    * order whose contiguous ranges are COMPACT IN BOTH dimensions, so
+    * files written in z-order carry tight min/max on user AND day and
+    * a scan filtering EITHER column skips most files. The query
+    * computes the z-value per event (pure bit arithmetic — integer
+    * shifts/masks, exact on both engines) and reports per-tile (z
+    * div 64 — an 8×8 block of (x, y) space) extents: every tile's
+    * x-span and y-span ≤ 8 IS the locality proof (GraphAnalyticsSpec
+    * pins it; a single-column sort shows span 31 on the other axis).
+    * Work: one map-only pass + an O(tiles) aggregate. */
+  val q89 = {
+    def zSqlBits =
+      ((0 until 8).map(b => s"(((user_id % 256) >> $b) & 1) << ${2 * b}") ++
+        (0 until 5).map(b => s"(((day(ts) - 1) >> $b) & 1) << ${2 * b + 1}"))
+        .mkString("(", ") + (", ")")
+    QueryDef("q89_zorder_layout",
+      s"""WITH z AS (
+         |  SELECT user_id % 256 AS x, day(ts) - 1 AS y,
+         |    $zSqlBits AS zval
+         |  FROM events)
+         |SELECT CAST(zval // 64 AS BIGINT) AS tile,
+         |  CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  CAST(MIN(x) AS BIGINT) AS min_x, CAST(MAX(x) AS BIGINT) AS max_x,
+         |  CAST(MIN(y) AS BIGINT) AS min_y, CAST(MAX(y) AS BIGINT) AS max_y,
+         |  CAST(MAX(x) - MIN(x) AS BIGINT) AS x_span,
+         |  CAST(MAX(y) - MIN(y) AS BIGINT) AS y_span
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val z = graft.ops.Zorder.zValue($"user_id" % 256, dayofmonth($"ts") - 1,
+        xBits = 8, yBits = 5)
+      Tables.events(s, dir)
+        .select(($"user_id" % 256).as("x"), (dayofmonth($"ts") - 1).as("y"),
+          z.as("zval"))
+        .groupBy(expr("zval div 64").as("tile"))
+        .agg(count(lit(1)).as("n_events"),
+          min($"x").as("min_x"), max($"x").as("max_x"),
+          min($"y").cast("long").as("min_y"), max($"y").cast("long").as("max_y"),
+          (max($"x") - min($"x")).as("x_span"),
+          (max($"y") - min($"y")).cast("long").as("y_span"))
+        .orderBy("tile")
+    }
+  }
+
+  val defs: Seq[QueryDef] = Seq(q60, q60b, q65, q66, q70, q71, q82, q86, q89)
 }

@@ -130,6 +130,59 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(last == 0L, "balanced markers must sweep back to zero")
   }
 
+  test("q89 z-order: bijective on the grid, tiles compact in BOTH dims") {
+    // bijectivity: 256×31 distinct (x, y) points → 256×31 distinct z
+    val grid = spark.range(256 * 31)
+      .select(($"id" % 256).as("x"), ($"id" / 256).cast("int").as("y"))
+    val z = grid.select(graft.ops.Zorder.zValue($"x", $"y", 8, 5).as("z"))
+    assert(z.distinct().count() == 256L * 31, "interleave must be injective")
+    // locality: every 64-wide z tile is an 8×8 block — span ≤ 7 on both
+    // axes (a single-column sort would span the full 0..30 day range)
+    val df = Warehouse.q89.fn(spark, sf).cache()
+    assert(df.filter($"x_span" > 7 || $"y_span" > 7).isEmpty,
+      "z tiles must stay compact in both dimensions")
+    val total = df.agg(sum("n_events")).head().getLong(0)
+    assert(total == Tables.events(spark, sf).count(), "tiling drops no rows")
+    df.unpersist()
+  }
+
+  test("q88 PQ: codes in range, encode total, ADC recall vs exact L2") {
+    import graft.ops.{Pq, Similarity}
+    val emb = Tables.embeddings(spark, sf)
+    val cb = Pq.codebooks(emb)
+    assert(cb.size == Pq.M * Pq.K, "full codebook: M subspaces × K codes")
+    val codes = Pq.encode(emb, cb).cache()
+    assert(codes.count() == emb.count(), "every vector encodes")
+    (0 until Pq.M).foreach { m =>
+      assert(codes.filter(col(s"c$m") < 0 || col(s"c$m") >= Pq.K).isEmpty,
+        s"subspace $m codes must lie in [0, ${Pq.K})")
+    }
+    // recall@5 of the full two-stage pipeline (ADC shortlist → exact
+    // rerank) against the EXACT L2 top-5 (PQ approximates L2, not
+    // cosine). Gaussian data is PQ's worst case (no cluster structure)
+    // — plain ADC@5 holds only ~0.1 here; the 100-deep shortlist +
+    // rerank recovers ~0.9, which is exactly why every PQ deployment
+    // is two-stage. Random ranking would land near 5/500 ≈ 0.01.
+    val q = emb.filter($"vec_id" % 100 === 0)
+    val adc = Pq.pqTopK(emb, q, 5).select($"qid", $"vid")
+    val c = emb.select($"vec_id".as("vid"), $"embedding".as("ce"))
+      .withColumn("cnorm", Similarity.normSqDecimal($"ce"))
+    val qq = q.select($"vec_id".as("qid"), $"embedding".as("qe"))
+      .withColumn("qnorm", Similarity.normSqDecimal($"qe"))
+    val d2 = ($"cnorm" + $"qnorm") - (lit(2.0) * Similarity.dotDecimal($"qe", $"ce"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(d2.asc, $"vid")
+    val exact = c.join(broadcast(qq), $"qid" =!= $"vid")
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+      .select($"qid", $"vid")
+    val hits = adc.intersect(exact).count()
+    val denom = exact.count()
+    val recall = hits.toDouble / denom
+    info(f"PQ ADC recall@5 vs exact L2: $recall%.3f ($hits of $denom)")
+    assert(recall >= 0.6, f"PQ recall collapsed: $recall%.3f")
+    codes.unpersist()
+  }
+
   test("q87 on testdata: peaks positive, bounded by distinct users") {
     val df = Analytics.q87.fn(spark, sf).cache()
     val users = Tables.events(spark, sf).select("user_id").distinct().count()
