@@ -55,12 +55,30 @@ object Explains {
     // round-15 batch 16: attribution, PageRank, schema-evolution
     // union, sweep-line concurrency
     "q84_attribution_last_touch", "q85_pagerank_bipartite",
-    "q86_schema_evolution_union", "q87_session_concurrency")
+    "q86_schema_evolution_union", "q87_session_concurrency",
+    // round-15 batch 17: PQ compression + Z-order layout
+    "q88_similarity_pq_adc", "q89_zorder_layout")
 
   /** Prose above a query's plan — the one- paragraph reading guide for
     * the plan properties SCALING.md leans on. Keyed by query name so a
     * full regeneration never loses the annotations. */
   val notes: Map[String, String] = Map(
+    "q88_similarity_pq_adc" ->
+      """PQ two-stage: encode is a pure map (argmin over centroid literals,
+        |no shuffle — the codes relation is the 16×-compressed artifact);
+        |the ADC stage joins codes against the BROADCAST query distance
+        |tables and cuts a 100-deep shortlist per query (decimal-exact ADC
+        |sum, no IEEE tree); only the shortlist re-attaches real vectors
+        |for the exact rerank. At 100 TB the corpus-proportional work is
+        |the code scan — 16 bytes/vector, lookups only.""".stripMargin,
+    "q89_zorder_layout" ->
+      """Morton-key layout: the z-value is pure integer bit arithmetic in
+        |the scan stage (shifts/masks — exact on both engines), the tile
+        |aggregate is O(tiles). The point is the EXTENTS the output proves:
+        |every 64-wide z tile spans ≤ 8 on BOTH user and day axes, so
+        |files written in z-order carry tight min/max on both columns and
+        |data-skipping prunes on either — the OPTIMIZE ZORDER primitive
+        |beside q62's partitioning and q67's bucketing.""".stripMargin,
     "q83_knn_label_classify" ->
       """Exact-kNN vote: the neighbor stage is the q42 broadcast-query brute
         |force (query slice broadcasts, corpus never shuffles), the top-5 cut

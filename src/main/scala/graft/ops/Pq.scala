@@ -116,9 +116,21 @@ object Pq {
   }
 
   /** PQ two-stage top-k: ADC shortlist over the codes relation, exact
-    * full-dim L2 rerank of the shortlist. */
+    * full-dim L2 rerank of the shortlist.
+    *
+    * `shortlist ≤ 0` (the default) derives the depth from the ACTUAL
+    * corpus size — `max(100, n/50)`, i.e. 2% of the corpus with a
+    * 100 floor — the q42e dial discipline: a FIXED depth quietly
+    * decays recall as the corpus grows (measured 0.72 → 0.45 across
+    * one decade at R=100; the derived rule holds ~0.72 at both ends,
+    * SCALING.md). Rerank cost is then 2% of one brute-force pass; the
+    * production composition puts IVF in front (prune cells, THEN ADC
+    * within them) when even the code scan is too much. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      shortlist: Int = 100): DataFrame = {
+      shortlist: Int = 0): DataFrame = {
+    val n = corpus.count()
+    val depth = if (shortlist > 0) shortlist
+      else math.max(100L, n / 50).toInt
     val cb = codebooks(corpus)
     val codes = encode(corpus, cb)
     val dec = DecimalType(23, 14)
@@ -137,7 +149,7 @@ object Pq {
     val wAdc = Window.partitionBy("qid").orderBy(col("adc").asc, col("vid"))
     val short = codes.join(broadcast(q), col("qid") =!= col("vid"))
       .withColumn("adc", adc)
-      .withColumn("srk", row_number().over(wAdc)).filter(col("srk") <= shortlist)
+      .withColumn("srk", row_number().over(wAdc)).filter(col("srk") <= depth)
       .select("qid", "vid")
     // exact rerank over the shortlist only
     val c = corpus.select(col("vec_id").as("vid"), col("embedding").as("ce"))
@@ -169,8 +181,10 @@ object Pq {
   private def d2Sql(e: String, c: String, off: Int): String =
     s"((${subNormSql(e, off)} - (2.0 * ${subDotSql(e, c, off)})) + ${subNormSql(c, off)})"
 
-  /** DuckDB twin of the whole encode+ADC+rerank pipeline over `src`. */
-  def pqSql(k: Int, shortlist: Int = 100, src: String = "embeddings",
+  /** DuckDB twin of the whole encode+ADC+rerank pipeline over `src` —
+    * including the corpus-derived shortlist depth (a scalar subquery
+    * restating `max(100, n/50)`). */
+  def pqSql(k: Int, src: String = "embeddings",
       queryPred: String = "vec_id % 100 = 0"): String = {
     val codeBranches = (0 until M).map { m =>
       s"""  SELECT e.vec_id AS vid, $m AS m, s.code,
@@ -203,7 +217,7 @@ object Pq {
        |short AS (SELECT qid, vid FROM (
        |    SELECT qid, vid,
        |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc ASC, vid ASC) AS srk
-       |    FROM adc) WHERE srk <= $shortlist),
+       |    FROM adc) WHERE srk <= GREATEST(100, (SELECT COUNT(*) FROM $src) // 50)),
        |nrm AS (SELECT vec_id, ${Similarity.dotSql("embedding", "embedding")} AS nrm
        |        FROM $src),
        |rr AS (

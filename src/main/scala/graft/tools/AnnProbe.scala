@@ -92,6 +92,25 @@ object AnnProbe {
       (dirBytes(assignScan.relation.location.listFiles(static, Nil)),
         dirBytes(assignScan.relation.location.listFiles(Nil, Nil)))
     }.getOrElse((-1L, -1L))
+    // PQ two-stage (q88): recall is against the exact L2 top-5 (PQ
+    // approximates L2, not cosine), so it gets its own truth set
+    val exactL2 = {
+      import org.apache.spark.sql.expressions.Window
+      val c = emb.select(col("vec_id").as("vid"), col("embedding").as("ce"))
+        .withColumn("cnorm", Similarity.normSqDecimal(col("ce")))
+      val qq = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        .withColumn("qnorm", Similarity.normSqDecimal(col("qe")))
+      val d2 = (col("cnorm") + col("qnorm")) -
+        (lit(2.0) * Similarity.dotDecimal(col("qe"), col("ce")))
+      val w = Window.partitionBy("qid").orderBy(d2.asc, col("vid"))
+      c.join(broadcast(qq), col("qid") =!= col("vid"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+        .select("qid", "vid").localCheckpoint()
+    }
+    val (pqHits, pqWall) = timed {
+      graft.ops.Pq.pqTopK(emb, queries, k = 5)
+        .select("qid", "vid").intersect(exactL2).count()
+    }
     val effTables = if (tables > 0) tables else Similarity.tablesForCorpus(n)
     println(f"[annprobe] dir=$dir n=$n queries=$nQ planes=$planes tables=$effTables " +
       f"annRecall=${annHits.toDouble / (nQ * 5)}%.3f annWall=$annWall%.2f " +
@@ -100,7 +119,8 @@ object AnnProbe {
       f"ivfBuildWall=$buildWall%.2f " +
       f"probedBytes=$probedBytes totalBytes=$totalBytes " +
       f"probedFrac=${if (totalBytes > 0) probedBytes.toDouble / totalBytes else -1.0}%.3f " +
-      f"candidates=$cand candWall=$candWall%.2f")
+      f"candidates=$cand candWall=$candWall%.2f " +
+      f"pqRecall=${pqHits.toDouble / (nQ * 5)}%.3f pqWall=$pqWall%.2f")
     spark.stop()
   }
 }
