@@ -57,12 +57,23 @@ object Explains {
     "q84_attribution_last_touch", "q85_pagerank_bipartite",
     "q86_schema_evolution_union", "q87_session_concurrency",
     // round-15 batch 17: PQ compression + Z-order layout
-    "q88_similarity_pq_adc", "q89_zorder_layout")
+    "q88_similarity_pq_adc", "q89_zorder_layout",
+    // round-15 batch 18: IVFPQ composition
+    "q88b_similarity_ivfpq")
 
   /** Prose above a query's plan — the one- paragraph reading guide for
     * the plan properties SCALING.md leans on. Keyed by query name so a
     * full regeneration never loses the annotations. */
   val notes: Map[String, String] = Map(
+    "q88b_similarity_ivfpq" ->
+      """The Faiss composition in one plan: the probe→assign join prunes
+        |candidates to nprobe/cells of the corpus BEFORE any ADC work (the
+        |cand relation is the only corpus-shaped thing downstream), codes
+        |and broadcast query tables score the survivors with lookups, and
+        |the exact rerank touches only the shortlist. Recall is bounded by
+        |the coarse probe stage (PQ reorders within probed cells, never
+        |resurrects a pruned vector — the spec pins the law); tuning
+        |recall means nprobe, tuning bytes means the code width.""".stripMargin,
     "q88_similarity_pq_adc" ->
       """PQ two-stage: encode is a pure map (argmin over centroid literals,
         |no shuffle — the codes relation is the 16×-compressed artifact);

@@ -128,30 +128,74 @@ object Pq {
     * within them) when even the code scan is too much. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       shortlist: Int = 0): DataFrame = {
-    val n = corpus.count()
-    val depth = if (shortlist > 0) shortlist
-      else math.max(100L, n / 50).toInt
     val cb = codebooks(corpus)
     val codes = encode(corpus, cb)
+    val pairs = codes.join(broadcast(withQdTables(queries, cb)),
+      col("qid") =!= col("vid"))
+    rerank(adcShortlist(pairs, depth(corpus, shortlist)), corpus, queries, k)
+  }
+
+  /** IVFPQ (the Faiss composition, stated in one declared pipeline):
+    * the IVF coarse quantizer prunes the candidate set to the query's
+    * `nprobe` best cells (corpus touched ∝ nprobe/cells — q42e's
+    * property), and ADC scores only the SURVIVING vectors' codes
+    * before the exact rerank. Same deterministic pieces as [[pqTopK]]
+    * and [[Similarity.ivfTopK]] — this variant quantizes raw vectors
+    * per cell (classic IVF+PQ-on-raw; residual encoding is the Faiss
+    * refinement, noted not implemented). At 100 TB: the only
+    * corpus-proportional terms are the two index builds (each one
+    * pass) — a query batch touches nprobe/cells of the CODES, i.e.
+    * 1/4 of 1/16th of the raw bytes here. */
+  def ivfpqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      cells: Int = 16, nprobe: Int = 4, shortlist: Int = 0): DataFrame = {
+    val cents = Similarity.ivfCentroids(corpus, cells)
+    val assigned = Similarity.ivfAssign(corpus, cents)
+    val probe = Similarity.probeCells(cents, queries, nprobe)
+      .select("qid", "cell")
+    val cb = codebooks(corpus)
+    val codes = encode(corpus, cb)
+    val cand = probe.join(assigned, "cell")
+      .filter(col("qid") =!= col("vid")).select("qid", "vid")
+    val pairs = cand.join(codes, "vid")
+      .join(broadcast(withQdTables(queries, cb)), "qid")
+    rerank(adcShortlist(pairs, depth(corpus, shortlist)), corpus, queries, k)
+  }
+
+  private def depth(corpus: DataFrame, shortlist: Int): Int =
+    if (shortlist > 0) shortlist
+    else math.max(100L, corpus.count() / 50).toInt
+
+  /** Query rows extended with per-subspace 16-entry ADC tables —
+    * each entry cast to DECIMAL(23,14) at the boundary so the ADC sum
+    * is exact and association-free. */
+  private def withQdTables(queries: DataFrame,
+      cb: Seq[(Int, Int, Array[Double], Double)]): DataFrame = {
     val dec = DecimalType(23, 14)
     val qBase = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    val q = (0 until M).foldLeft(qBase) { (df, m) =>
+    (0 until M).foldLeft(qBase) { (df, m) =>
       val sub = subCol(col("qe"), m)
       val nrm = Similarity.normSqDecimal(sub)
       df.withColumn(s"qd$m", array(cb.collect {
         case (`m`, _, v, vn) => d2(sub, nrm, v, vn).cast(dec)
       }: _*))
     }.drop("qe")
-    // decimal fold: exact, association-free — no IEEE tree to pin
+  }
+
+  /** Decimal ADC fold over (codes ⋈ qd-tables) pair rows → per-query
+    * `depth`-deep shortlist (adc asc, vid tie-break). */
+  private def adcShortlist(pairs: DataFrame, depth: Int): DataFrame = {
     val adc = (0 until M)
       .map(m => element_at(col(s"qd$m"), col(s"c$m") + 1))
       .reduce(_ + _)
-    val wAdc = Window.partitionBy("qid").orderBy(col("adc").asc, col("vid"))
-    val short = codes.join(broadcast(q), col("qid") =!= col("vid"))
-      .withColumn("adc", adc)
-      .withColumn("srk", row_number().over(wAdc)).filter(col("srk") <= depth)
+    val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("vid"))
+    pairs.withColumn("adc", adc)
+      .withColumn("srk", row_number().over(w)).filter(col("srk") <= depth)
       .select("qid", "vid")
-    // exact rerank over the shortlist only
+  }
+
+  /** Exact full-dim L2 rerank of a (qid, vid) shortlist. */
+  private def rerank(short: DataFrame, corpus: DataFrame,
+      queries: DataFrame, k: Int): DataFrame = {
     val c = corpus.select(col("vec_id").as("vid"), col("embedding").as("ce"))
       .withColumn("cnorm", Similarity.normSqDecimal(col("ce")))
     val qv = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
@@ -228,6 +272,66 @@ object Pq {
        |  JOIN $src ec ON ec.vec_id = s.vid
        |  JOIN nrm nq ON nq.vec_id = s.qid
        |  JOIN nrm nc ON nc.vec_id = s.vid)
+       |SELECT qid, vid, CAST(rk AS INTEGER) AS rk, ROUND(l2, 6) AS l2_d2 FROM (
+       |  SELECT qid, vid, l2,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY l2 ASC, vid ASC) AS rk
+       |  FROM rr) WHERE rk <= $k
+       |ORDER BY qid, rk""".stripMargin
+  }
+
+  /** DuckDB twin of [[ivfpqTopK]]: the SHARED IVF quantizer +
+    * assign/probe CTEs ([[Similarity.ivfQuantizerCte]] /
+    * [[Similarity.ivfAssignProbeCte]] — bit-identical to q42d/e's
+    * oracle prefix), then the PQ codebook/encode/ADC CTEs restricted
+    * to probed candidates, shortlist, exact rerank. The PQ stride CTE
+    * is named `pst` (the quantizer prefix already owns `st`). */
+  def ivfpqSql(k: Int, cells: Int = 16, nprobe: Int = 4,
+      src: String = "embeddings",
+      queryPred: String = "vec_id % 100 = 0"): String = {
+    val codeBranches = (0 until M).map { m =>
+      s"""  SELECT e.vec_id AS vid, $m AS m, s.code,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |      ${d2Sql("e.embedding", "s.se", m * subDim)} ASC, s.code ASC) AS rn
+         |  FROM $src e CROSS JOIN cb s""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    val qdBranches = (0 until M).map { m =>
+      s"""  SELECT q.vec_id AS qid, $m AS m, s.code,
+         |    CAST(${d2Sql("q.embedding", "s.se", m * subDim)} AS DECIMAL(23,14)) AS dd
+         |  FROM q CROSS JOIN cb s""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    Similarity.ivfQuantizerCte(cells, src) +
+      Similarity.ivfAssignProbeCte(nprobe, src, queryPred) + s""",
+       |pst AS (SELECT CAST(GREATEST(COUNT(*) // $K, 1) AS BIGINT) AS stride FROM $src),
+       |cb AS (SELECT CAST(vec_id // (SELECT stride FROM pst) AS INTEGER) AS code,
+       |              embedding AS se
+       |       FROM $src
+       |       WHERE vec_id % (SELECT stride FROM pst) = 0
+       |         AND vec_id < (SELECT stride FROM pst) * $K),
+       |codes0 AS (
+       |$codeBranches),
+       |codes AS (SELECT vid, m, code FROM codes0 WHERE rn = 1),
+       |qd AS (
+       |$qdBranches),
+       |cand AS (
+       |  SELECT p.qid, a.vid FROM probe p JOIN assign a ON a.cell = p.cell
+       |  WHERE a.vid <> p.qid),
+       |adc AS (
+       |  SELECT cd.qid, cd.vid, SUM(qd.dd) AS adc
+       |  FROM cand cd JOIN codes c ON c.vid = cd.vid
+       |  JOIN qd ON qd.qid = cd.qid AND qd.m = c.m AND qd.code = c.code
+       |  GROUP BY 1, 2),
+       |short AS (SELECT qid, vid FROM (
+       |    SELECT qid, vid,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc ASC, vid ASC) AS srk
+       |    FROM adc) WHERE srk <= GREATEST(100, (SELECT COUNT(*) FROM $src) // 50)),
+       |rr AS (
+       |  SELECT s.qid, s.vid,
+       |    ((nc.nrm + nq.nrm) - (2.0 * ${Similarity.dotSql("eq.embedding", "ec.embedding")})) AS l2
+       |  FROM short s
+       |  JOIN $src eq ON eq.vec_id = s.qid
+       |  JOIN $src ec ON ec.vec_id = s.vid
+       |  JOIN norms nq ON nq.vec_id = s.qid
+       |  JOIN norms nc ON nc.vec_id = s.vid)
        |SELECT qid, vid, CAST(rk AS INTEGER) AS rk, ROUND(l2, 6) AS l2_d2 FROM (
        |  SELECT qid, vid, l2,
        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY l2 ASC, vid ASC) AS rk

@@ -374,7 +374,7 @@ object Similarity {
 
   /** (qid, qe, qnorm, cell) — each query row exploded to its `nprobe`
     * best cells under the literal centroids. */
-  private def probeCells(cents: Seq[(Int, Array[Double], Double)],
+  private[graft] def probeCells(cents: Seq[(Int, Array[Double], Double)],
       queries: DataFrame, nprobe: Int): DataFrame =
     queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
       .withColumn("qnorm", normSqDecimal(col("qe")))
@@ -521,7 +521,7 @@ object Similarity {
     * [[clusterSelectSql]]: strided seeds, one exact-decimal Lloyd
     * step, refined centroids + norms (CTEs `st` … `cnorms`). Extracted
     * verbatim so both oracles recompute the IDENTICAL quantizer. */
-  private def ivfQuantizerCte(cells: Int, src: String): String =
+  private[graft] def ivfQuantizerCte(cells: Int, src: String): String =
     s"""WITH st AS (SELECT CAST(GREATEST(COUNT(*) // $cells, 1) AS BIGINT) AS stride FROM $src),
        |seeds0 AS (SELECT CAST(vec_id // (SELECT stride FROM st) AS INTEGER) AS cell,
        |                  embedding AS se
@@ -571,10 +571,14 @@ object Similarity {
        |  CAST(CASE WHEN rk <= $m THEN 1 ELSE 0 END AS BIGINT) AS kept
        |FROM r ORDER BY cell, rk""".stripMargin
 
-  def ivfSql(cells: Int, nprobe: Int, k: Int,
-      src: String = "embeddings",
-      queryPred: String = "vec_id % 100 = 0"): String = {
-    ivfQuantizerCte(cells, src) + s""",
+  /** The assign + query-slice + probe CTEs shared by [[ivfSql]] and
+    * [[Pq.ivfpqSql]] (extracted verbatim so both oracles recompute the
+    * IDENTICAL assignment and probe sets). Appends to a
+    * [[ivfQuantizerCte]] prefix — references its `cents`, `norms`,
+    * `cnorms`. */
+  private[graft] def ivfAssignProbeCte(nprobe: Int, src: String,
+      queryPred: String): String =
+    s""",
        |assign AS (
        |  SELECT vid, cell FROM (
        |    SELECT e.vec_id AS vid, c.cell,
@@ -593,7 +597,13 @@ object Similarity {
        |    FROM q CROSS JOIN cents c
        |    JOIN norms nq ON nq.vec_id = q.vec_id
        |    JOIN cnorms cn ON cn.cell = c.cell)
-       |  WHERE rn <= $nprobe),
+       |  WHERE rn <= $nprobe)""".stripMargin
+
+  def ivfSql(cells: Int, nprobe: Int, k: Int,
+      src: String = "embeddings",
+      queryPred: String = "vec_id % 100 = 0"): String = {
+    ivfQuantizerCte(cells, src) +
+      ivfAssignProbeCte(nprobe, src, queryPred) + s""",
        |scored AS (
        |  SELECT p.qid, a.vid,
        |    ${cosSql("eq.embedding", "ec.embedding", "nq.nrm", "nc.nrm")} AS cosine

@@ -669,6 +669,22 @@ object NorthStar {
       .orderBy("qid", "rk")
   }
 
+  /** IVFPQ (q88b): the Faiss composition stated as ONE declared
+    * hash-checked pipeline — the IVF coarse quantizer (q42d/e's exact
+    * machinery, bit-identical oracle prefix) prunes candidates to the
+    * query's nprobe/cells slice, ADC scores only the survivors' CODES,
+    * the exact rerank finishes. At 100 TB a query batch touches
+    * nprobe/cells of 1/16th of the raw bytes; the two index builds are
+    * each one corpus pass. [[graft.ops.Pq.ivfpqTopK]] documents the
+    * raw-vector-PQ variant choice (residual encoding is the Faiss
+    * refinement, not implemented). */
+  val q88b = QueryDef("q88b_similarity_ivfpq", Pq.ivfpqSql(k = 5)) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    Pq.ivfpqTopK(emb, emb.filter($"vec_id" % 100 === 0), k = 5)
+      .orderBy("qid", "rk")
+  }
+
   /** Sparse TF-IDF "more like this" (q81): top-5 nearest documents
     * per query doc via an inverted-index join — the third similarity
     * shape beside dense LSH (q42b) and IVF (q42d/e), and the one that
@@ -1097,5 +1113,5 @@ object NorthStar {
 
   val defs: Seq[QueryDef] = Seq(q41a, q41h, q41i, q41b, q41c, q41d, q41e, q41f, q41g,
     q41j, q41k, q42, q42b, q42c, q42d, q42e, q74, q43a, q43b, q43c, q43d, q43e, q43f,
-    q43g, q43h, q43i, q43j, q44, q44b, q44c, q44d, q81, q83, q88)
+    q43g, q43h, q43i, q43j, q44, q44b, q44c, q44d, q81, q83, q88, q88b)
 }

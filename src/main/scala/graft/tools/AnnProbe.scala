@@ -111,6 +111,10 @@ object AnnProbe {
       graft.ops.Pq.pqTopK(emb, queries, k = 5)
         .select("qid", "vid").intersect(exactL2).count()
     }
+    val (ivfpqHits, ivfpqWall) = timed {
+      graft.ops.Pq.ivfpqTopK(emb, queries, k = 5)
+        .select("qid", "vid").intersect(exactL2).count()
+    }
     val effTables = if (tables > 0) tables else Similarity.tablesForCorpus(n)
     println(f"[annprobe] dir=$dir n=$n queries=$nQ planes=$planes tables=$effTables " +
       f"annRecall=${annHits.toDouble / (nQ * 5)}%.3f annWall=$annWall%.2f " +
@@ -120,7 +124,8 @@ object AnnProbe {
       f"probedBytes=$probedBytes totalBytes=$totalBytes " +
       f"probedFrac=${if (totalBytes > 0) probedBytes.toDouble / totalBytes else -1.0}%.3f " +
       f"candidates=$cand candWall=$candWall%.2f " +
-      f"pqRecall=${pqHits.toDouble / (nQ * 5)}%.3f pqWall=$pqWall%.2f")
+      f"pqRecall=${pqHits.toDouble / (nQ * 5)}%.3f pqWall=$pqWall%.2f " +
+      f"ivfpqRecall=${ivfpqHits.toDouble / (nQ * 5)}%.3f ivfpqWall=$ivfpqWall%.2f")
     spark.stop()
   }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import graft.ops.Ranking
-import graft.queries.{Analytics, Graphs, Warehouse}
+import graft.queries.{Analytics, Graphs, NorthStar, Warehouse}
 import org.apache.spark.sql.functions._
 
 /** Round-15 batch-16 operators: last-touch attribution (q84),
@@ -181,6 +181,27 @@ class GraphAnalyticsSpec extends SparkSpec {
     info(f"PQ ADC recall@5 vs exact L2: $recall%.3f ($hits of $denom)")
     assert(recall >= 0.6, f"PQ recall collapsed: $recall%.3f")
     codes.unpersist()
+  }
+
+  test("q88b IVFPQ: every result honors the probe pruning; ranks dense") {
+    import graft.ops.{Pq, Similarity}
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter($"vec_id" % 100 === 0)
+    val res = NorthStar.q88b.fn(spark, sf).cache()
+    // pruning law: a (qid, vid) result can only exist when vid's cell
+    // is among qid's probed cells — PQ reorders WITHIN the probe set,
+    // never resurrects a pruned vector
+    val cents = Similarity.ivfCentroids(emb, 16)
+    val assigned = Similarity.ivfAssign(emb, cents)
+    val probe = Similarity.probeCells(cents, q, 4).select("qid", "cell")
+    val legal = probe.join(assigned, "cell").select("qid", "vid")
+    assert(res.select("qid", "vid").exceptAll(legal).isEmpty,
+      "IVFPQ returned a vector outside the probed cells")
+    // ranks dense 1..n per query, n ≤ 5
+    val byQ = res.groupBy("qid").agg(count(lit(1)).as("n"),
+      min("rk").as("lo"), max("rk").as("hi"))
+    assert(byQ.filter($"lo" =!= 1 || $"hi" =!= $"n" || $"n" > 5).isEmpty)
+    res.unpersist()
   }
 
   test("q87 on testdata: peaks positive, bounded by distinct users") {
