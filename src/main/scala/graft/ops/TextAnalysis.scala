@@ -81,6 +81,38 @@ object TextAnalysis {
       lit(7L),
       (acc, x) => (acc * 31L + x) % 1000000007L)
 
+  /** Content-defined chunking (CDC — the rsync/LBFS boundary rule,
+    * token-granular): split each document's token stream AFTER every
+    * token whose rolling-hash fingerprint falls in the 0 residue
+    * class mod `divisor` — expected chunk length ≈ `divisor` tokens.
+    * Fixed-size chunking shifts EVERY downstream boundary when one
+    * token is inserted (so chunk-level dedup/caching misses the whole
+    * tail); content-defined boundaries depend only on local content,
+    * so an edit disturbs boundaries only at the edited token — the
+    * chunk-dedup-friendly split a RAG/pretraining chunker wants
+    * (GraphAnalyticsSpec pins the edit-locality law). Per-token hash
+    * is the engine-portable modular Horner fold ([[fingerprint]]);
+    * plan: one explode pass + one per-doc window (running boundary
+    * count) + the (doc, chunk) aggregate riding the same doc
+    * partitioning. */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+      divisor: Int = 16): DataFrame = {
+    val toks = docs.select(col(idCol),
+        posexplode(split(lower(trim(col(textCol))), "\\s+"))
+          .as(Seq("pos0", "token")))
+      .filter(col("token") =!= "")
+      .select(col(idCol), (col("pos0") + 1).cast("long").as("pos"), col("token"))
+    val w = Window.partitionBy(idCol).orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("bnd",
+        when(fingerprint(col("token")) % divisor === 0, 1L).otherwise(0L))
+      .withColumn("chunk", lit(1L) + coalesce(sum(col("bnd")).over(w), lit(0L)))
+      .groupBy(col(idCol), col("chunk"))
+      .agg(count(lit(1)).as("n_tokens"),
+        min("pos").as("start_pos"), max("pos").as("end_pos"))
+  }
+
   /** Winnowing-style document sketch: min rolling-hash over each
     * k-token window, distinct — robust to small edits. */
   def winnowSketch(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {

@@ -601,7 +601,10 @@ object NorthStar {
     * leave-one-out accuracy audit. Plan: the kNN join is q42's
     * broadcast-query shape; votes and prediction are two tiny
     * per-query aggregates. */
-  val q83 = QueryDef("q83_knn_label_classify",
+  /** The kNN-vote CTE prefix shared by q83's and q91's oracles —
+    * extracted verbatim so both recompute the IDENTICAL neighbor set,
+    * votes, and predictions. */
+  private val knnVoteCte: String =
     """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
       |norms AS (
       |  SELECT vec_id, CAST(list_sum(list_transform(embedding,
@@ -625,11 +628,11 @@ object NorthStar {
       |pred AS (SELECT qid, label AS pred_label, votes FROM (
       |    SELECT qid, label, votes, ROW_NUMBER() OVER (
       |      PARTITION BY qid ORDER BY votes DESC, label) AS rn
-      |    FROM votes) WHERE rn = 1)
-      |SELECT p.qid, CAST(e.label AS INTEGER) AS true_label,
-      |  CAST(p.pred_label AS INTEGER) AS pred_label, p.votes
-      |FROM pred p JOIN embeddings e ON e.vec_id = p.qid
-      |ORDER BY p.qid""".stripMargin) { (s, dir) =>
+      |    FROM votes) WHERE rn = 1)""".stripMargin
+
+  /** Shared Spark prefix of q83/q91: (qid, true_label, pred_label,
+    * votes) under the deterministic kNN vote. */
+  private def knnPred(s: org.apache.spark.sql.SparkSession, dir: String) = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(s, dir)
@@ -643,8 +646,71 @@ object NorthStar {
       .filter($"rn" === 1)
       .select($"qid", $"label".as("pred_label"), $"votes")
     pred.join(labels.select($"vec_id".as("qid"), $"label".as("true_label")), "qid")
+  }
+
+  val q83 = QueryDef("q83_knn_label_classify",
+    knnVoteCte + """
+      |SELECT p.qid, CAST(e.label AS INTEGER) AS true_label,
+      |  CAST(p.pred_label AS INTEGER) AS pred_label, p.votes
+      |FROM pred p JOIN embeddings e ON e.vec_id = p.qid
+      |ORDER BY p.qid""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    knnPred(s, dir)
       .select($"qid", $"true_label", $"pred_label", $"votes")
       .orderBy("qid")
+  }
+
+  /** Classifier evaluation metrics (q91): the per-class confusion
+    * counts + precision/recall/F1 table every model-eval pipeline
+    * publishes, computed over q83's kNN predictions (shared CTE
+    * prefix — bit-identical neighbor set, votes, predictions). The
+    * determinism trick: each metric is ONE division whose operands
+    * are integers — precision = tp/(tp+fp), recall = tp/(tp+fn),
+    * F1 = 2·tp/(2·tp+fp+fn), the harmonic-mean identity that avoids
+    * composing p and r in floating point — so no IEEE tree ever has
+    * more than one rounding. Zero denominators → NULL (the honest
+    * "no predictions for this class" row). The labels × queries
+    * cross join is O(classes · queries) — both tiny at any corpus
+    * size; the corpus-shaped work is q83's kNN stage. */
+  val q91 = QueryDef("q91_eval_metrics",
+    knnVoteCte + """,
+      |pp AS (SELECT CAST(e.label AS INTEGER) AS t, CAST(p.pred_label AS INTEGER) AS pr
+      |       FROM pred p JOIN embeddings e ON e.vec_id = p.qid),
+      |labels AS (SELECT DISTINCT CAST(label AS INTEGER) AS label FROM embeddings),
+      |m AS (
+      |  SELECT l.label,
+      |    CAST(SUM(CASE WHEN t = l.label THEN 1 ELSE 0 END) AS BIGINT) AS support,
+      |    CAST(SUM(CASE WHEN t = l.label AND pr = l.label THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+      |    CAST(SUM(CASE WHEN pr = l.label AND t <> l.label THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+      |    CAST(SUM(CASE WHEN t = l.label AND pr <> l.label THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      |  FROM labels l CROSS JOIN pp GROUP BY 1)
+      |SELECT label, support, tp, fp, fn,
+      |  CASE WHEN tp + fp > 0
+      |       THEN ROUND(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision,
+      |  CASE WHEN tp + fn > 0
+      |       THEN ROUND(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall,
+      |  CASE WHEN 2 * tp + fp + fn > 0
+      |       THEN ROUND(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn), 6) END AS f1
+      |FROM m ORDER BY label""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val pp = knnPred(s, dir)
+      .select($"true_label".cast("int").as("t"), $"pred_label".cast("int").as("pr"))
+    val labels = Tables.embeddings(s, dir)
+      .select($"label".cast("int").as("label")).distinct()
+    val m = labels.crossJoin(pp)
+      .groupBy("label")
+      .agg(sum(when($"t" === $"label", 1L).otherwise(0L)).as("support"),
+        sum(when($"t" === $"label" && $"pr" === $"label", 1L).otherwise(0L)).as("tp"),
+        sum(when($"pr" === $"label" && $"t" =!= $"label", 1L).otherwise(0L)).as("fp"),
+        sum(when($"t" === $"label" && $"pr" =!= $"label", 1L).otherwise(0L)).as("fn"))
+    m.select($"label", $"support", $"tp", $"fp", $"fn",
+        when($"tp" + $"fp" > 0,
+          round($"tp".cast("double") / ($"tp" + $"fp"), 6)).as("precision"),
+        when($"tp" + $"fn" > 0,
+          round($"tp".cast("double") / ($"tp" + $"fn"), 6)).as("recall"),
+        when(lit(2) * $"tp" + $"fp" + $"fn" > 0,
+          round((lit(2) * $"tp").cast("double") / (lit(2) * $"tp" + $"fp" + $"fn"), 6)).as("f1"))
+      .orderBy("label")
   }
 
   /** PQ/ADC approximate nearest neighbors (q88): the EMBEDDING-
@@ -683,6 +749,42 @@ object NorthStar {
     val emb = Tables.embeddings(s, dir)
     Pq.ivfpqTopK(emb, emb.filter($"vec_id" % 100 === 0), k = 5)
       .orderBy("qid", "rk")
+  }
+
+  /** Content-defined chunking (q92): the rsync/LBFS boundary rule at
+    * token granularity — [[graft.ops.TextAnalysis.cdcChunks]]
+    * documents why fixed-size chunking breaks chunk-level dedup on
+    * edit (every downstream boundary shifts) and CDC does not (the
+    * spec pins edit locality). Divisor 16 → expected ~16-token
+    * chunks; the per-token hash is the engine-portable modular
+    * Horner fold, so every boundary — and thus every chunk extent —
+    * hash-checks. */
+  val q92 = QueryDef("q92_cdc_chunking",
+    """WITH toks0 AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      |  FROM documents),
+      |t0 AS (SELECT doc_id, CAST(generate_subscripts(toks, 1) AS BIGINT) AS pos,
+      |         unnest(toks) AS token
+      |       FROM toks0),
+      |t AS (SELECT doc_id, pos, token FROM t0 WHERE token <> ''),
+      |b AS (SELECT doc_id, pos,
+      |        CASE WHEN list_reduce([CAST(7 AS BIGINT)] ||
+      |          list_transform(list_filter(string_split(token, ''), c -> c <> ''),
+      |            c -> CAST(ascii(c) AS BIGINT)),
+      |          (a, x) -> (a * 31 + x) % 1000000007) % 16 = 0
+      |        THEN 1 ELSE 0 END AS bnd
+      |      FROM t),
+      |c AS (SELECT doc_id, pos,
+      |        1 + COALESCE(SUM(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+      |      FROM b)
+      |SELECT doc_id, CAST(chunk AS BIGINT) AS chunk,
+      |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(MIN(pos) AS BIGINT) AS start_pos,
+      |  CAST(MAX(pos) AS BIGINT) AS end_pos
+      |FROM c GROUP BY 1, 2 ORDER BY doc_id, chunk""".stripMargin) { (s, dir) =>
+    TextAnalysis.cdcChunks(Tables.documents(s, dir), "doc_id", "text", 16)
+      .orderBy("doc_id", "chunk")
   }
 
   /** Sparse TF-IDF "more like this" (q81): top-5 nearest documents
@@ -1113,5 +1215,6 @@ object NorthStar {
 
   val defs: Seq[QueryDef] = Seq(q41a, q41h, q41i, q41b, q41c, q41d, q41e, q41f, q41g,
     q41j, q41k, q42, q42b, q42c, q42d, q42e, q74, q43a, q43b, q43c, q43d, q43e, q43f,
-    q43g, q43h, q43i, q43j, q44, q44b, q44c, q44d, q81, q83, q88, q88b)
+    q43g, q43h, q43i, q43j, q44, q44b, q44c, q44d, q81, q83, q88, q88b,
+    q91, q92)
 }

@@ -157,5 +157,33 @@ object Sampling {
       .orderBy("lang", "source", "rk")
   }
 
-  val defs: Seq[QueryDef] = Seq(q51, q51b, q51c, q51d, q51e, q56, q77)
+  /** GROUP-aware train/val/test split (q90): the split key is the
+    * USER, not the row — every event of a user lands in the same
+    * split. q51c's row-level split is correct for i.i.d. documents
+    * but LEAKS for behavioral data: a user's history straddling
+    * train and test lets the model memorize the user, inflating eval
+    * (the group-leakage failure every ML-ops checklist warns about).
+    * Same deterministic bucket machinery as q51c
+    * ([[graft.ops.Sampler.assignSplit]]), keyed on user_id — map-only,
+    * no shuffle for the assignment itself. The output publishes the
+    * audit evidence: per split, the EVENT count and the DISTINCT USER
+    * count — the user counts sum to the corpus's distinct-user total
+    * precisely because no user straddles (disjointness by
+    * construction, and the oracle re-derives it). */
+  val q90 = QueryDef("q90_group_split",
+    s"""SELECT CASE WHEN b < 8000 THEN 'train'
+       |            WHEN b < 9000 THEN 'val' ELSE 'test' END AS split,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+       |FROM (SELECT user_id, ${Sampler.bucketSql("user_id")} AS b FROM events)
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    Sampler.assignSplit(Tables.events(s, dir), col("user_id"),
+      trainBp = 8000, valBp = 1000)
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("split")
+  }
+
+  val defs: Seq[QueryDef] = Seq(q51, q51b, q51c, q51d, q51e, q56, q77, q90)
 }

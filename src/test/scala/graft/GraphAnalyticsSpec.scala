@@ -204,6 +204,64 @@ class GraphAnalyticsSpec extends SparkSpec {
     res.unpersist()
   }
 
+  test("q90 group split: users never straddle; user counts partition") {
+    import graft.queries.Sampling
+    val ev = Tables.events(spark, sf)
+    val assigned = graft.ops.Sampler.assignSplit(ev, $"user_id", 8000, 1000)
+    // no user in two splits
+    val straddlers = assigned.select("user_id", "split").distinct()
+      .groupBy("user_id").agg(countDistinct("split").as("k"))
+      .filter($"k" > 1)
+    assert(straddlers.isEmpty, "a user's events must share one split")
+    // the published audit: per-split user counts sum to the corpus total
+    val df = Sampling.q90.fn(spark, sf)
+    val total = df.agg(sum("n_users")).head().getLong(0)
+    assert(total == ev.select("user_id").distinct().count())
+  }
+
+  test("q91 metrics: counts tie out against the q83 prediction table") {
+    val preds = NorthStar.q83.fn(spark, sf).cache()
+    val m = NorthStar.q91.fn(spark, sf).cache()
+    val n = preds.count()
+    // Σ tp = correct predictions; Σ support = n; micro-avg sanity
+    val tp = m.agg(sum("tp")).head().getLong(0)
+    val correct = preds.filter($"true_label" === $"pred_label").count()
+    assert(tp == correct, "Σtp must equal the correct-prediction count")
+    assert(m.agg(sum("support")).head().getLong(0) == n)
+    assert(m.agg(sum("fp")).head().getLong(0) == n - correct, "Σfp = wrong predictions")
+    assert(m.agg(sum("fn")).head().getLong(0) == n - correct, "Σfn = wrong predictions")
+    preds.unpersist(); m.unpersist()
+  }
+
+  test("q92 CDC chunking: edit locality — one token edit moves no other boundary") {
+    import graft.ops.TextAnalysis
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega " +
+      "one two three four five six seven eight nine ten eleven twelve"
+    val toksN = base.split(" ").length
+    val edited = { val a = base.split(" "); a(15) = "EDITED"; a.mkString(" ") }
+    def bounds(text: String): Set[Long] = {
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      // boundary positions = chunk end positions except the final token
+      TextAnalysis.cdcChunks(df, "doc_id", "text", 4)
+        .select("end_pos").as[Long].collect().toSet - toksN.toLong
+    }
+    val (b1, b2) = (bounds(base), bounds(edited))
+    val moved = (b1 diff b2) ++ (b2 diff b1)
+    assert(moved.subsetOf(Set(16L)),
+      s"only the edited token's boundary may change, got $moved")
+    // chunks tile the doc: contiguous, gap-free, token-count-preserving
+    val chunks = TextAnalysis.cdcChunks(
+      Seq((1L, base)).toDF("doc_id", "text"), "doc_id", "text", 4)
+      .orderBy("chunk").collect()
+    assert(chunks.map(_.getLong(2)).sum == toksN, "chunks cover every token")
+    chunks.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getLong(3) == a.getLong(4) + 1, "chunks must be contiguous")
+      case _ =>
+    }
+  }
+
   test("q87 on testdata: peaks positive, bounded by distinct users") {
     val df = Analytics.q87.fn(spark, sf).cache()
     val users = Tables.events(spark, sf).select("user_id").distinct().count()
