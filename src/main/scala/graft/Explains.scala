@@ -59,12 +59,35 @@ object Explains {
     // round-15 batch 17: PQ compression + Z-order layout
     "q88_similarity_pq_adc", "q89_zorder_layout",
     // round-15 batch 18: IVFPQ composition
-    "q88b_similarity_ivfpq")
+    "q88b_similarity_ivfpq",
+    // round-15 batch 19: group split, eval metrics, CDC chunking
+    "q90_group_split", "q91_eval_metrics", "q92_cdc_chunking")
 
   /** Prose above a query's plan — the one- paragraph reading guide for
     * the plan properties SCALING.md leans on. Keyed by query name so a
     * full regeneration never loses the annotations. */
   val notes: Map[String, String] = Map(
+    "q90_group_split" ->
+      """Group-aware split: the bucket assignment is a map-only expression
+        |on user_id (same multiplicative-hash machinery as q51c, different
+        |KEY — the whole point), so the only exchange is the per-split
+        |audit aggregate. Disjointness is by construction: a user's bucket
+        |is a pure function of user_id, so their events cannot straddle
+        |splits whatever the partitioning.""".stripMargin,
+    "q91_eval_metrics" ->
+      """The corpus-shaped work is q83's kNN stage (broadcast-query brute
+        |force); everything above it — the labels × predictions cross join
+        |and the per-class counts — is O(classes · queries). Each metric is
+        |ONE division from integer counts (F1 via 2tp/(2tp+fp+fn)), so the
+        |plan's float surface is three scalar divisions per class
+        |row.""".stripMargin,
+    "q92_cdc_chunking" ->
+      """One explode pass tags every token with its boundary bit (the
+        |Horner-fold hash is a codegen'd expression in the scan stage);
+        |one per-doc window turns boundary bits into chunk ids; the
+        |(doc, chunk) aggregate rides the window's doc_id partitioning —
+        |one exchange total. Per-doc window state is one running count,
+        |whatever the document length.""".stripMargin,
     "q88b_similarity_ivfpq" ->
       """The Faiss composition in one plan: the probe→assign join prunes
         |candidates to nprobe/cells of the corpus BEFORE any ADC work (the
