@@ -386,5 +386,80 @@ object Analytics {
       .orderBy("day")
   }
 
-  val defs: Seq[QueryDef] = Seq(q57, q58, q61, q68, q72, q75, q84, q87)
+  /** Market-basket association rules (q93): pairwise support /
+    * confidence / lift over orders-as-baskets (basket = the distinct
+    * brands on one order) — the Apriori level-2 pass every
+    * recommendations/affinity stack runs. The plan follows the
+    * textbook algorithm BECAUSE it is the scale mitigation:
+    *
+    *  1. frequent-item prefilter (support ≥ 50 baskets) BEFORE any
+    *     pairing — the Apriori downward-closure step. Pair generation
+    *     cost is Σ per-basket k², so dropping infrequent items first
+    *     bounds k by the frequent-item count, not the raw vocabulary;
+    *     a long-tail item can never explode the self-join.
+    *  2. pair generation is a SELF-JOIN ON THE BASKET KEY (a.okey =
+    *     b.okey AND a.item < b.item): both sides shuffle once on the
+    *     same key (co-partitioned), and the (item_a, item_b) count
+    *     partial-aggregates map-side — the only corpus-proportional
+    *     shuffles in the query.
+    *  3. the item-count and basket-total relations are O(items) and
+    *     O(1) rows — Catalyst broadcasts them onto the pair counts.
+    *
+    * Determinism across engines: support counts are exact BIGINTs;
+    * confidence = pair/cnt_a and lift = pair·n/(cnt_a·cnt_b) are each
+    * ONE IEEE division over exact int64 operands (the products stay
+    * within int64 up to ~3e9 baskets — past that, rescale counts
+    * before the ratio). Output is ≤ C(frequent items, 2) rows
+    * whatever the corpus size. */
+  val q93 = QueryDef("q93_market_basket",
+    """WITH baskets AS (
+      |  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS item
+      |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+      |n AS (SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n_baskets FROM baskets),
+      |item_cnt AS (
+      |  SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt FROM baskets GROUP BY 1),
+      |freq AS (SELECT item, cnt FROM item_cnt WHERE cnt >= 50),
+      |fb AS (SELECT b.okey, b.item FROM baskets b JOIN freq f ON f.item = b.item),
+      |pairs AS (
+      |  SELECT a.item AS item_a, b.item AS item_b,
+      |    CAST(COUNT(*) AS BIGINT) AS pair_cnt
+      |  FROM fb a JOIN fb b ON a.okey = b.okey AND a.item < b.item
+      |  GROUP BY 1, 2)
+      |SELECT item_a, item_b, pair_cnt, fa.cnt AS cnt_a, fb2.cnt AS cnt_b,
+      |  ROUND(CAST(pair_cnt AS DOUBLE) / fa.cnt, 6) AS confidence,
+      |  ROUND(CAST(pair_cnt * n.n_baskets AS DOUBLE) / (fa.cnt * fb2.cnt), 6) AS lift
+      |FROM pairs
+      |JOIN freq fa ON fa.item = pairs.item_a
+      |JOIN freq fb2 ON fb2.item = pairs.item_b
+      |CROSS JOIN n
+      |WHERE pair_cnt >= 20
+      |ORDER BY item_a, item_b""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val baskets = Tables.lineitem(s, dir)
+      .select($"l_orderkey".as("okey"), $"l_partkey")
+      .join(Tables.part(s, dir)
+        .select($"p_partkey", $"p_brand".as("item")),
+        $"l_partkey" === $"p_partkey")
+      .select("okey", "item").distinct()
+    val n = baskets.agg(countDistinct($"okey").as("n_baskets"))
+    val freq = baskets.groupBy("item").agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" >= 50)
+    val fb = baskets.join(freq.select("item"), "item").select("okey", "item")
+    val pairs = fb.as("a").join(fb.as("b"),
+        $"a.okey" === $"b.okey" && $"a.item" < $"b.item")
+      .groupBy($"a.item".as("item_a"), $"b.item".as("item_b"))
+      .agg(count(lit(1)).as("pair_cnt"))
+      .filter($"pair_cnt" >= 20)
+    pairs
+      .join(freq.select($"item".as("item_a"), $"cnt".as("cnt_a")), "item_a")
+      .join(freq.select($"item".as("item_b"), $"cnt".as("cnt_b")), "item_b")
+      .crossJoin(n)
+      .select($"item_a", $"item_b", $"pair_cnt", $"cnt_a", $"cnt_b",
+        round($"pair_cnt".cast("double") / $"cnt_a", 6).as("confidence"),
+        round(($"pair_cnt" * $"n_baskets").cast("double")
+          / ($"cnt_a" * $"cnt_b"), 6).as("lift"))
+      .orderBy("item_a", "item_b")
+  }
+
+  val defs: Seq[QueryDef] = Seq(q57, q58, q61, q68, q72, q75, q84, q87, q93)
 }

@@ -467,6 +467,41 @@ object Ingest {
       .orderBy("status")
   }
 
+  /** Small-file compaction (q94): the `OPTIMIZE` table-maintenance
+    * primitive ([[graft.ops.Compaction]]) composed with the atomic
+    * stage-and-swap refresh. The load deliberately lands FRAGMENTED —
+    * 64 round-robin files, the layout a micro-batched incremental
+    * ingest leaves behind — then one `compact` rewrites the live
+    * generation into target-size files behind the same atomic pointer
+    * swap every refresh uses (zero reader downtime, GC spares the
+    * fragmented predecessor for in-flight scans). The declared result
+    * is the per-type rollup read back THROUGH the pointer after
+    * compaction: hash-equality with the oracle's direct aggregate over
+    * the source table proves the rewrite moved every row and invented
+    * none — the only correctness contract compaction has. The file-
+    * count collapse (64 → byte-sized handful) and idempotence
+    * (re-compact = same file count) are pinned in CompactionSpec;
+    * at 100 TB the rewrite is one read + one round-robin exchange +
+    * one write of the live generation, and the payoff is scans that
+    * open ceil(bytes/target) files instead of one per micro-batch. */
+  val q94 = QueryDef("q94_compaction",
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+      |  ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6) AS val_sum
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val root = loadScratch.computeIfAbsent(dir + "#cmp",
+      _ => java.nio.file.Files.createTempDirectory("graft_cmp").toString + "/events_tbl")
+    root.synchronized {
+      graft.ops.StagedRefresh.refresh(
+        Tables.events(s, dir).repartition(64), root) // fragmented ingest layout
+      graft.ops.Compaction.compact(s, root, targetBytes = 8L * 1024 * 1024)
+      graft.ops.StagedRefresh.readCurrent(s, root).localCheckpoint()
+    }
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), Canon.dsum($"value").as("val_sum"))
+      .orderBy("event_type")
+  }
+
   val defs: Seq[QueryDef] = Seq(q45, q45b, q46, q46b, q46c, q50, q62, q64, q67,
-    q80)
+    q80, q94)
 }

@@ -546,7 +546,11 @@ object SqlQueries {
       (Analytics.q87, Analytics.q87.oracle.get
         .replace("date_diff('second', prev_ts, ts)",
           "unix_timestamp(ts) - unix_timestamp(prev_ts)")
-        .replace("strftime(ts, '%Y-%m-%d')", "date_format(ts, 'yyyy-MM-dd')")))
+        .replace("strftime(ts, '%Y-%m-%d')", "date_format(ts, 'yyyy-MM-dd')")),
+      // batch 20: q93's support/confidence/lift text is ANSI enough to
+      // run verbatim (exact BIGINT counts, one division per ratio —
+      // the all-integer discipline again)
+      verbatim(Analytics.q93))
   }
 
   /** Spark-SQL text of q43b, generated from the SAME stopword profiles

@@ -287,6 +287,28 @@ class WarehouseAnalyticsSpec extends SparkSpec {
       "rows must rank by descending count")
   }
 
+  test("q93 market basket: counting laws tie support to the basket relation") {
+    val out = graft.queries.Analytics.q93.fn(spark, sf).cache()
+    assert(out.count() > 0, "sf0.001 still has frequent brand pairs")
+    // pair support can never exceed either item's support
+    assert(out.filter($"pair_cnt" > $"cnt_a" || $"pair_cnt" > $"cnt_b").isEmpty)
+    // thresholds held, confidence in (0,1], canonical pair order
+    assert(out.filter($"cnt_a" < 50 || $"cnt_b" < 50 || $"pair_cnt" < 20).isEmpty)
+    assert(out.filter($"confidence" <= 0 || $"confidence" > 1).isEmpty)
+    assert(out.filter($"item_a" >= $"item_b").isEmpty)
+    // spot-check one pair's support against a direct recount
+    val r = out.orderBy("item_a", "item_b").head()
+    val (a, b) = (r.getString(0), r.getString(1))
+    val baskets = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf),
+        $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey", $"p_brand").distinct()
+    val direct = baskets.filter($"p_brand" === a).select("l_orderkey")
+      .intersect(baskets.filter($"p_brand" === b).select("l_orderkey")).count()
+    assert(r.getLong(2) == direct, s"pair ($a,$b) support mismatch")
+    out.unpersist()
+  }
+
   test("semantic dedup: verdict laws — one keeper per cluster, sizes partition the corpus") {
     val out = NorthStar.q41j.fn(spark, sf).cache()
     val n = Tables.embeddings(spark, sf).count()
