@@ -61,7 +61,9 @@ object Explains {
     // round-15 batch 18: IVFPQ composition
     "q88b_similarity_ivfpq",
     // round-15 batch 19: group split, eval metrics, CDC chunking
-    "q90_group_split", "q91_eval_metrics", "q92_cdc_chunking")
+    "q90_group_split", "q91_eval_metrics", "q92_cdc_chunking",
+    // round-15 batch 20: market-basket mining + small-file compaction
+    "q93_market_basket", "q94_compaction")
 
   /** Prose above a query's plan — the one- paragraph reading guide for
     * the plan properties SCALING.md leans on. Keyed by query name so a
@@ -81,6 +83,25 @@ object Explains {
         |ONE division from integer counts (F1 via 2tp/(2tp+fp+fn)), so the
         |plan's float surface is three scalar divisions per class
         |row.""".stripMargin,
+    "q93_market_basket" ->
+      """Apriori level-2 in one plan: the basket relation shuffles once on
+        |(okey, item) for the distinct, the frequent-item prefilter joins a
+        |broadcast 25-row relation, and the pair self-join shuffles both
+        |sides on okey (co-partitioned) with the (item_a, item_b) count
+        |partial-aggregating map-side. Item counts and the basket total are
+        |O(items)/O(1) relations broadcast onto the ≤ C(items,2)-row result.
+        |The prefilter IS the scale guard: pair cost is Σ per-basket k² with
+        |k bounded by the frequent-item count, so a long-tail vocabulary
+        |can never explode the join.""".stripMargin,
+    "q94_compaction" ->
+      """The readback plan is the point: after compaction the scan opens
+        |ceil(bytes/target) files instead of the 64 the fragmented ingest
+        |left — at 100 TB the per-file open/footer cost and the driver's
+        |listing are what compaction buys back. The rewrite itself is one
+        |read + one round-robin repartition + one staged write behind the
+        |same atomic pointer swap as any refresh (round-robin, not
+        |coalesce: adjacent-partition merging would inherit the fragment
+        |skew; uniform output files are the point of the operation).""".stripMargin,
     "q92_cdc_chunking" ->
       """One explode pass tags every token with its boundary bit (the
         |Horner-fold hash is a codegen'd expression in the scan stage);
