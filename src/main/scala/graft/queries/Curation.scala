@@ -274,6 +274,58 @@ object Curation5x {
       .orderBy("doc_id")
   }
 
+  /** Curriculum difficulty binning (q95): every document dealt into
+    * one of 10 equal-population difficulty deciles by length (the
+    * short→long curriculum-learning schedule; swap in any quality
+    * signal for the sort key unchanged) — NTILE(10) semantics,
+    * computed WITHOUT a single-partition window. The DataFrame entry
+    * ranks via [[graft.ops.Ranking.globalRank]] (range shuffle +
+    * per-partition offsets, q59's machinery) and derives the bucket
+    * from (rank, n, k) with NTILE's exact closed form in integer
+    * arithmetic: the first n mod k buckets take ceil(n/k) rows, the
+    * rest floor(n/k) —
+    *   bucket(r) = r ≤ nbig·big ? ceil(r/big) : nbig + ceil((r −
+    *   nbig·big)/small)   (big = ⌊n/k⌋+1, small = ⌊n/k⌋, nbig = n%k).
+    * The oracle states the textbook NTILE(10) global window; hash
+    * equality of the per-bin extents IS the proof that the
+    * distributed rank + closed form ≡ NTILE, tie-broken total by
+    * (n_chars, doc_id). Output is k rows whatever the corpus size;
+    * the bin population spread is ≤ 1 by construction. */
+  val q95 = QueryDef("q95_curriculum_bins",
+    """WITH r AS (
+      |  SELECT doc_id, n_chars,
+      |    NTILE(10) OVER (ORDER BY n_chars, doc_id) AS bin
+      |  FROM documents)
+      |SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+      |  CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+      |  CAST(MIN(doc_id) AS BIGINT) AS first_doc
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val k = 10
+    // exact integer division on non-negative longs (values ≪ 2^53, so
+    // the double floor is exact)
+    def idiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      floor(a / b).cast("long")
+    val d = Tables.documents(s, dir).select($"doc_id", $"n_chars")
+    val n = d.agg(count(lit(1)).as("n"))
+    graft.ops.Ranking.globalRank(d, "rk", $"n_chars".asc, $"doc_id".asc)
+      .crossJoin(broadcast(n))
+      .withColumn("small", idiv($"n", lit(k)))
+      .withColumn("big", $"small" + 1L)
+      .withColumn("nbig", $"n" % k)
+      .withColumn("bin",
+        when($"rk" <= $"nbig" * $"big", idiv($"rk" + $"big" - 1L, $"big"))
+          .otherwise($"nbig" +
+            idiv($"rk" - $"nbig" * $"big" + $"small" - 1L, $"small")))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"n_chars").cast("long").as("min_chars"),
+        max($"n_chars").cast("long").as("max_chars"),
+        min($"doc_id").cast("long").as("first_doc"))
+      .orderBy("bin")
+  }
+
   val defs: Seq[QueryDef] = Seq(q52, q52b, q53, q54, q54b, q55, q59, q69, q76,
-    q78)
+    q78, q95)
 }

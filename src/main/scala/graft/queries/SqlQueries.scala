@@ -550,7 +550,12 @@ object SqlQueries {
       // batch 20: q93's support/confidence/lift text is ANSI enough to
       // run verbatim (exact BIGINT counts, one division per ratio —
       // the all-integer discipline again)
-      verbatim(Analytics.q93))
+      verbatim(Analytics.q93),
+      // batch 21: q95's NTILE text is ANSI-verbatim; like q78/q87 the
+      // SQL dual deliberately plans the naive single-partition window
+      // while the DataFrame twin plans globalRank + the closed form,
+      // and both must hash-agree
+      verbatim(Curation5x.q95))
   }
 
   /** Spark-SQL text of q43b, generated from the SAME stopword profiles

@@ -240,4 +240,18 @@ class CurationSpec extends SparkSpec {
     assert(flagged / n <= 0.12, s"flag rate ${flagged / n} exceeds the p05/p95 band")
     out.unpersist()
   }
+
+  test("curriculum bins (q95): NTILE laws — k bins, ≤1 spread, corpus partitioned, ordered extents") {
+    val out = graft.queries.Curation5x.q95.fn(spark, sf).collect()
+    assert(out.map(_.getLong(0)).toSeq == (1L to 10L), "exactly bins 1..10")
+    val pops = out.map(_.getLong(1))
+    assert(pops.max - pops.min <= 1, s"NTILE spread must be ≤ 1: ${pops.toSeq}")
+    val total = graft.Tables.documents(spark, sf).count()
+    assert(pops.sum == total, "bins must partition the corpus")
+    // curriculum order: bin i's max length ≤ bin i+1's min length
+    val exts = out.map(r => (r.getLong(2), r.getLong(3)))
+    exts.zip(exts.tail).foreach { case ((_, hi), (lo2, _)) =>
+      assert(hi <= lo2, "length extents must be non-overlapping in bin order")
+    }
+  }
 }
