@@ -63,7 +63,9 @@ object Explains {
     // round-15 batch 19: group split, eval metrics, CDC chunking
     "q90_group_split", "q91_eval_metrics", "q92_cdc_chunking",
     // round-15 batch 20: market-basket mining + small-file compaction
-    "q93_market_basket", "q94_compaction")
+    "q93_market_basket", "q94_compaction",
+    // round-15 batch 21: curriculum decile binning
+    "q95_curriculum_bins")
 
   /** Prose above a query's plan — the one- paragraph reading guide for
     * the plan properties SCALING.md leans on. Keyed by query name so a
@@ -83,6 +85,16 @@ object Explains {
         |ONE division from integer counts (F1 via 2tp/(2tp+fp+fn)), so the
         |plan's float surface is three scalar divisions per class
         |row.""".stripMargin,
+    "q95_curriculum_bins" ->
+      """NTILE without the single-partition window: the plan's global
+        |order is a RANGE exchange (globalRank — per-partition row_number
+        |plus collected per-partition offsets), the bucket is NTILE's
+        |integer closed form as a map expression over (rank, n, k), and
+        |the 10-row per-bin aggregate partial-aggregates map-side. The SQL
+        |dual's plan IS the naive global window (one partition carries the
+        |corpus) — the pair exists to prove, by hash equality, that the
+        |distributed formulation is the same function; at 100 TB only the
+        |range-shuffle plan survives.""".stripMargin,
     "q93_market_basket" ->
       """Apriori level-2 in one plan: the basket relation shuffles once on
         |(okey, item) for the distinct, the frequent-item prefilter joins a
