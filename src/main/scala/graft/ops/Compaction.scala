@@ -20,9 +20,12 @@ import org.apache.spark.sql.SparkSession
   * exactly the design argument for pointer-addressed generations.
   *
   * Output file count is sized from the OBSERVED byte total:
-  * ceil(bytes / targetBytes), floor 1 — so the operation is
-  * idempotent (re-compacting a compacted table is a no-op rewrite at
-  * the same file count) and needs no table-specific tuning. The
+  * ceil(bytes / targetBytes), floor 1 — so the operation needs no
+  * table-specific tuning and CONVERGES within one file of the target
+  * sizing (not strictly idempotent: nOut derives from the compressed
+  * byte total, and re-encoding many fragments into few files changes
+  * compression, so a table sitting near a ceil boundary can shift by
+  * one file across successive compactions — the honest claim). The
   * rewrite is `repartition(n)` — a round-robin exchange, the only
   * corpus-proportional term, chosen over `coalesce(n)` deliberately:
   * coalesce merges ADJACENT partitions and so inherits whatever skew
@@ -55,6 +58,11 @@ object Compaction {
     val ctx = FileContext.getFileContext(rootPath.toUri,
       spark.sparkContext.hadoopConfiguration)
     val before = dataFiles(ctx, genPath)
+    // a part-file-less generation (e.g. a prior refresh of an empty
+    // DataFrame) would otherwise fail below with an obscure
+    // schema-inference AnalysisException — name the root instead
+    if (before.isEmpty) throw new IllegalStateException(
+      s"nothing to compact under $root: live generation $gen has no data files")
     val bytes = before.map(_.getLen).sum
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val compacted = spark.read.parquet(genPath.toString).repartition(nOut)

@@ -135,22 +135,39 @@ object Pq {
     rerank(adcShortlist(pairs, depth(corpus, shortlist)), corpus, queries, k)
   }
 
+  /** Default IVFPQ operating point: `max(4, cells/2)` probed cells —
+    * the `depth()` discipline applied to the RECALL dial (round-16
+    * verdict item 1: the old hard-coded nprobe=4 sat at 0.550/0.496
+    * recall across the 1×/10× decade, below the engine's own ≥0.6
+    * band). Derivation is the measured IvfpqProbe sweep (SCALING.md
+    * round 16): recall tracks the coarse-probe ceiling, and cells/2
+    * is the smallest sweep point whose recall clears 0.6 at BOTH ends
+    * of the decade (0.670 @ 1×, 0.631 @ 10× vs ceilings 0.850/0.805)
+    * — at ≤1× the nprobe=4 wall (the ADC scan stays nprobe/cells-
+    * proportional and the rerank is shortlist-bounded). Callers with
+    * a measured recall target pass `nprobe` explicitly, exactly like
+    * `shortlist`. */
+  def nprobeFor(cells: Int): Int = math.max(4, cells / 2)
+
   /** IVFPQ (the Faiss composition, stated in one declared pipeline):
     * the IVF coarse quantizer prunes the candidate set to the query's
     * `nprobe` best cells (corpus touched ∝ nprobe/cells — q42e's
     * property), and ADC scores only the SURVIVING vectors' codes
     * before the exact rerank. Same deterministic pieces as [[pqTopK]]
     * and [[Similarity.ivfTopK]] — this variant quantizes raw vectors
-    * per cell (classic IVF+PQ-on-raw; residual encoding is the Faiss
-    * refinement, noted not implemented). At 100 TB: the only
+    * per cell (classic IVF+PQ-on-raw; [[ivfpqResidualTopK]] is the
+    * Faiss residual refinement). At 100 TB: the only
     * corpus-proportional terms are the two index builds (each one
     * pass) — a query batch touches nprobe/cells of the CODES, i.e.
-    * 1/4 of 1/16th of the raw bytes here. */
+    * half of 1/16th of the raw bytes at the derived default.
+    * `nprobe ≤ 0` (the default) derives the probe width from the cell
+    * geometry ([[nprobeFor]]). */
   def ivfpqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      cells: Int = 16, nprobe: Int = 4, shortlist: Int = 0): DataFrame = {
+      cells: Int = 16, nprobe: Int = 0, shortlist: Int = 0): DataFrame = {
+    val np = if (nprobe > 0) nprobe else nprobeFor(cells)
     val cents = Similarity.ivfCentroids(corpus, cells)
     val assigned = Similarity.ivfAssign(corpus, cents)
-    val probe = Similarity.probeCells(cents, queries, nprobe)
+    val probe = Similarity.probeCells(cents, queries, np)
       .select("qid", "cell")
     val cb = codebooks(corpus)
     val codes = encode(corpus, cb)
@@ -284,8 +301,9 @@ object Pq {
     * [[Similarity.ivfAssignProbeCte]] — bit-identical to q42d/e's
     * oracle prefix), then the PQ codebook/encode/ADC CTEs restricted
     * to probed candidates, shortlist, exact rerank. The PQ stride CTE
-    * is named `pst` (the quantizer prefix already owns `st`). */
-  def ivfpqSql(k: Int, cells: Int = 16, nprobe: Int = 4,
+    * is named `pst` (the quantizer prefix already owns `st`).
+    * `nprobe ≤ 0` derives via [[nprobeFor]], matching [[ivfpqTopK]]. */
+  def ivfpqSql(k: Int, cells: Int = 16, nprobe: Int = 0,
       src: String = "embeddings",
       queryPred: String = "vec_id % 100 = 0"): String = {
     val codeBranches = (0 until M).map { m =>
@@ -300,7 +318,8 @@ object Pq {
          |  FROM q CROSS JOIN cb s""".stripMargin
     }.mkString("\n  UNION ALL\n")
     Similarity.ivfQuantizerCte(cells, src) +
-      Similarity.ivfAssignProbeCte(nprobe, src, queryPred) + s""",
+      Similarity.ivfAssignProbeCte(
+        if (nprobe > 0) nprobe else nprobeFor(cells), src, queryPred) + s""",
        |pst AS (SELECT CAST(GREATEST(COUNT(*) // $K, 1) AS BIGINT) AS stride FROM $src),
        |cb AS (SELECT CAST(vec_id // (SELECT stride FROM pst) AS INTEGER) AS code,
        |              embedding AS se

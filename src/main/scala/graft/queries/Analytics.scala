@@ -406,11 +406,13 @@ object Analytics {
     *     O(1) rows — Catalyst broadcasts them onto the pair counts.
     *
     * Determinism across engines: support counts are exact BIGINTs;
-    * confidence = pair/cnt_a and lift = pair·n/(cnt_a·cnt_b) are each
-    * ONE IEEE division over exact int64 operands (the products stay
-    * within int64 up to ~3e9 baskets — past that, rescale counts
-    * before the ratio). Output is ≤ C(frequent items, 2) rows
-    * whatever the corpus size. */
+    * confidence = pair/cnt_a and lift = (pair·n)/(cnt_a·cnt_b) with
+    * each FACTOR cast to double BEFORE multiplying — every count is
+    * < 2^53 so the conversions are exact, the double products and the
+    * one division are identical IEEE on both engines, and the int64
+    * overflow past ~3e9 baskets (where Spark non-ANSI silently wraps
+    * while DuckDB raises) can never occur. Output is ≤ C(frequent
+    * items, 2) rows whatever the corpus size. */
   val q93 = QueryDef("q93_market_basket",
     """WITH baskets AS (
       |  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS item
@@ -427,7 +429,8 @@ object Analytics {
       |  GROUP BY 1, 2)
       |SELECT item_a, item_b, pair_cnt, fa.cnt AS cnt_a, fb2.cnt AS cnt_b,
       |  ROUND(CAST(pair_cnt AS DOUBLE) / fa.cnt, 6) AS confidence,
-      |  ROUND(CAST(pair_cnt * n.n_baskets AS DOUBLE) / (fa.cnt * fb2.cnt), 6) AS lift
+      |  ROUND((CAST(pair_cnt AS DOUBLE) * CAST(n.n_baskets AS DOUBLE))
+      |    / (CAST(fa.cnt AS DOUBLE) * CAST(fb2.cnt AS DOUBLE)), 6) AS lift
       |FROM pairs
       |JOIN freq fa ON fa.item = pairs.item_a
       |JOIN freq fb2 ON fb2.item = pairs.item_b
@@ -456,8 +459,8 @@ object Analytics {
       .crossJoin(n)
       .select($"item_a", $"item_b", $"pair_cnt", $"cnt_a", $"cnt_b",
         round($"pair_cnt".cast("double") / $"cnt_a", 6).as("confidence"),
-        round(($"pair_cnt" * $"n_baskets").cast("double")
-          / ($"cnt_a" * $"cnt_b"), 6).as("lift"))
+        round(($"pair_cnt".cast("double") * $"n_baskets".cast("double"))
+          / ($"cnt_a".cast("double") * $"cnt_b".cast("double")), 6).as("lift"))
       .orderBy("item_a", "item_b")
   }
 

@@ -315,9 +315,15 @@ object Curation5x {
       .withColumn("big", $"small" + 1L)
       .withColumn("nbig", $"n" % k)
       .withColumn("bin",
+        // the when-branch covers ALL rows when n < k (small = 0, nbig =
+        // n, big = 1, so rk ≤ nbig·big always) — but guard the
+        // else-branch divisor anyway: greatest(small, 1) is unreachable
+        // when taken and keeps the expression ANSI-safe (no
+        // divide-by-zero under spark.sql.ansi.enabled on a tiny input)
         when($"rk" <= $"nbig" * $"big", idiv($"rk" + $"big" - 1L, $"big"))
           .otherwise($"nbig" +
-            idiv($"rk" - $"nbig" * $"big" + $"small" - 1L, $"small")))
+            idiv($"rk" - $"nbig" * $"big" + greatest($"small", lit(1L)) - 1L,
+              greatest($"small", lit(1L)))))
       .groupBy("bin")
       .agg(count(lit(1)).as("n_docs"),
         min($"n_chars").cast("long").as("min_chars"),

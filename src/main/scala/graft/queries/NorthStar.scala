@@ -669,9 +669,12 @@ object NorthStar {
     * F1 = 2·tp/(2·tp+fp+fn), the harmonic-mean identity that avoids
     * composing p and r in floating point — so no IEEE tree ever has
     * more than one rounding. Zero denominators → NULL (the honest
-    * "no predictions for this class" row). The labels × queries
-    * cross join is O(classes · queries) — both tiny at any corpus
-    * size; the corpus-shaped work is q83's kNN stage. */
+    * "no predictions for this class" row). Plan shape: ONE
+    * `groupBy(t, pr)` pass collapses the predictions to the
+    * O(classes²) confusion matrix first; the labels cross join then
+    * replicates only that tiny relation, never the prediction rows
+    * (round-15 verdict item 6 — the corpus-shaped work stays in
+    * q83's kNN stage). */
   val q91 = QueryDef("q91_eval_metrics",
     knnVoteCte + """,
       |pp AS (SELECT CAST(e.label AS INTEGER) AS t, CAST(p.pred_label AS INTEGER) AS pr
@@ -697,12 +700,15 @@ object NorthStar {
       .select($"true_label".cast("int").as("t"), $"pred_label".cast("int").as("pr"))
     val labels = Tables.embeddings(s, dir)
       .select($"label".cast("int").as("label")).distinct()
-    val m = labels.crossJoin(pp)
+    // collapse predictions to the O(classes²) confusion matrix in one
+    // corpus pass; only this tiny relation is replicated per label
+    val cm = pp.groupBy("t", "pr").agg(count(lit(1)).as("cnt"))
+    val m = labels.crossJoin(broadcast(cm))
       .groupBy("label")
-      .agg(sum(when($"t" === $"label", 1L).otherwise(0L)).as("support"),
-        sum(when($"t" === $"label" && $"pr" === $"label", 1L).otherwise(0L)).as("tp"),
-        sum(when($"pr" === $"label" && $"t" =!= $"label", 1L).otherwise(0L)).as("fp"),
-        sum(when($"t" === $"label" && $"pr" =!= $"label", 1L).otherwise(0L)).as("fn"))
+      .agg(sum(when($"t" === $"label", $"cnt").otherwise(0L)).as("support"),
+        sum(when($"t" === $"label" && $"pr" === $"label", $"cnt").otherwise(0L)).as("tp"),
+        sum(when($"pr" === $"label" && $"t" =!= $"label", $"cnt").otherwise(0L)).as("fp"),
+        sum(when($"t" === $"label" && $"pr" =!= $"label", $"cnt").otherwise(0L)).as("fn"))
     m.select($"label", $"support", $"tp", $"fp", $"fn",
         when($"tp" + $"fp" > 0,
           round($"tp".cast("double") / ($"tp" + $"fp"), 6)).as("precision"),
@@ -741,9 +747,11 @@ object NorthStar {
     * query's nprobe/cells slice, ADC scores only the survivors' CODES,
     * the exact rerank finishes. At 100 TB a query batch touches
     * nprobe/cells of 1/16th of the raw bytes; the two index builds are
-    * each one corpus pass. [[graft.ops.Pq.ivfpqTopK]] documents the
-    * raw-vector-PQ variant choice (residual encoding is the Faiss
-    * refinement, not implemented). */
+    * each one corpus pass. The probe width is DERIVED
+    * ([[graft.ops.Pq.nprobeFor]]: cells/2 — the measured smallest
+    * operating point holding recall ≥ 0.6 across the 1×/10× decade,
+    * SCALING.md round 16); [[graft.ops.Pq.ivfpqTopK]] documents the
+    * raw-vector-PQ variant choice (q88c is the residual refinement). */
   val q88b = QueryDef("q88b_similarity_ivfpq", Pq.ivfpqSql(k = 5)) { (s, dir) =>
     import s.implicits._
     val emb = Tables.embeddings(s, dir)

@@ -193,7 +193,8 @@ class GraphAnalyticsSpec extends SparkSpec {
     // never resurrects a pruned vector
     val cents = Similarity.ivfCentroids(emb, 16)
     val assigned = Similarity.ivfAssign(emb, cents)
-    val probe = Similarity.probeCells(cents, q, 4).select("qid", "cell")
+    val probe = Similarity.probeCells(cents, q, Pq.nprobeFor(16))
+      .select("qid", "cell")
     val legal = probe.join(assigned, "cell").select("qid", "vid")
     assert(res.select("qid", "vid").exceptAll(legal).isEmpty,
       "IVFPQ returned a vector outside the probed cells")
