@@ -58,6 +58,102 @@ object TextHashes {
     if (any) sigs else null
   }
 
+  // ── engine-portable (DuckDB-replicable) hash family ──────────────
+  // Round-16 verdict item 3: the xxhash64 family has no DuckDB twin,
+  // which kept q41b/q41c rows-only. This family is built from the SAME
+  // modular Horner fold the q92 CDC oracle already hash-checks
+  // (TextAnalysis.fingerprint: acc←7; acc←(acc·31+char)%1e9+7), with
+  // per-lane affine transforms h_i(s) = ((2i+1)·base(s) + i·PHI) mod p
+  // — an invertible (p prime, 2i+1 coprime) universal-family member
+  // per lane, so lanes are pairwise-independent permutations of the
+  // base hash and DuckDB restates every value bit-exactly.
+
+  /** Modulus of the portable family (prime, ~2^30 — all products in
+    * the affine step stay far inside int64 on both engines). */
+  val P: Long = 1000000007L
+
+  /** Per-lane affine offset multiplier (prime; any constant < P). */
+  val PHI: Long = 999983L
+
+  /** Portable base hash: base-31 modular Horner fold over UTF-16 char
+    * codes — EXACTLY `TextAnalysis.fingerprint`'s arithmetic (Spark
+    * `ascii()` = charAt(0) code unit; the oracle's `ascii(c)` per
+    * split character agrees on every BMP char). */
+  def portableBase(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 7L
+    var i = 0
+    while (i < str.length) {
+      acc = (acc * 31L + str.charAt(i).toLong) % P
+      i += 1
+    }
+    acc
+  }
+
+  /** Lane `i`'s portable hash of a base value. */
+  @inline def lane(base: Long, i: Int): Long =
+    ((2L * i + 1L) * base + i * PHI) % P
+
+  /** Portable MinHash signature: same shingling/skip rules as
+    * [[minHashCompute]], base hash = [[portableBase]], lane mins over
+    * the affine family. */
+  def minHashComputePortable(tokens: ArrayData, k: Int,
+      numHashes: Int): Array[Long] = {
+    val n = tokens.numElements()
+    if (n < k) return null
+    val sigs = Array.fill(numHashes)(Long.MaxValue)
+    var any = false
+    val sep = UTF8String.fromString(" ")
+    val parts = new Array[UTF8String](k)
+    var i = 0
+    while (i <= n - k) {
+      var j = 0
+      while (j < k) { parts(j) = tokens.getUTF8String(i + j); j += 1 }
+      val sh = UTF8String.concatWs(sep, parts: _*)
+      if (sh != null && sh.numBytes() > 0) {
+        any = true
+        val base = portableBase(sh) // string folded ONCE
+        var s = 0
+        while (s < numHashes) {
+          val h = lane(base, s)
+          if (h < sigs(s)) sigs(s) = h
+          s += 1
+        }
+      }
+      i += 1
+    }
+    if (any) sigs else null
+  }
+
+  /** Portable 64-bit SimHash: bit b's ±1 vote per token is the PARITY
+    * of lane' hash ((2b+3)·base + b·PHI) mod p — balanced up to 1/p.
+    * Same null/skip semantics as [[simHashCompute]]. */
+  def simHashComputePortable(tokens: ArrayData): java.lang.Long = {
+    val votes = new Array[Int](64)
+    var any = false
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val t = tokens.getUTF8String(i)
+      if (t != null && t.numBytes() > 0) {
+        any = true
+        val base = portableBase(t)
+        var b = 0
+        while (b < 64) {
+          val h = ((2L * b + 3L) * base + b * PHI) % P
+          votes(b) += (if ((h & 1L) == 1L) 1 else -1)
+          b += 1
+        }
+      }
+      i += 1
+    }
+    if (!any) return null
+    var r = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) r |= 1L << b; b += 1 }
+    java.lang.Long.valueOf(r)
+  }
+
   /** 64-bit SimHash of a token array: per-bit ±1 votes of
     * xxhash64(token) over non-empty tokens; bit set iff votes > 0.
     * Null when no token contributes (mirrors SimHashAgg semantics). */
@@ -118,6 +214,70 @@ case class MinHashSigs(child: Expression, k: Int, numHashes: Int)
 object MinHashSigs {
   def apply(tokens: Column, k: Int, numHashes: Int): Column =
     GraftBridge.column(MinHashSigs(GraftBridge.expression(tokens), k, numHashes))
+}
+
+/** Portable-family twin of [[MinHashSigs]] (Horner-fold base + affine
+  * lanes — every signature value DuckDB-replicable). */
+case class MinHashSigsPortable(child: Expression, k: Int, numHashes: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any): Any = {
+    val r = TextHashes.minHashComputePortable(a.asInstanceOf[ArrayData], k, numHashes)
+    if (r == null) null else new GenericArrayData(r)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val r = ctx.freshName("sigs")
+      s"""
+         |long[] $r = graft.functions.TextHashes.minHashComputePortable($x, $k, $numHashes);
+         |if ($r == null) { ${ev.isNull} = true; } else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($r);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigsPortable =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_sigs_portable"
+}
+
+object MinHashSigsPortable {
+  def apply(tokens: Column, k: Int, numHashes: Int): Column =
+    GraftBridge.column(
+      MinHashSigsPortable(GraftBridge.expression(tokens), k, numHashes))
+}
+
+/** Portable-family twin of [[SimHash64]] (per-bit votes from lane
+  * parities of the Horner-fold base — DuckDB-replicable). */
+case class SimHash64Portable(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any): Any =
+    TextHashes.simHashComputePortable(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val r = ctx.freshName("sh")
+      s"""
+         |java.lang.Long $r = graft.functions.TextHashes.simHashComputePortable($x);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Portable =
+    copy(child = newChild)
+  override def prettyName: String = "simhash64_portable"
+}
+
+object SimHash64Portable {
+  def apply(tokens: Column): Column =
+    GraftBridge.column(SimHash64Portable(GraftBridge.expression(tokens)))
 }
 
 /** `array<string>` tokens → packed 64-bit SimHash. */

@@ -281,6 +281,163 @@ object Dedup {
       .select("doc_a", "doc_b", "est_jaccard")
   }
 
+  // ── portable (DuckDB-oracled) MinHash / SimHash family ───────────
+  // Round-16 verdict item 3: swap the xxhash64 hash family (no DuckDB
+  // twin → q41b/q41c rows-only since round 1) for the engine-portable
+  // Horner-fold base + affine lanes in graft.functions.TextHashes —
+  // the SAME modular fold the q92 CDC oracle already hash-checks.
+  // Identical pipeline shape (map-only fused signature kernel; band /
+  // chunk blocking; exact verify); only the hash family changes, and
+  // with it every signature, band key and verdict becomes
+  // bit-replayable in DuckDB.
+
+  /** Map-only PORTABLE MinHash signatures — the oracle-checkable twin
+    * of [[minHashSignaturesFast]] (same shingling/skip semantics, one
+    * fused kernel pass, zero row inflation). */
+  def minHashSignaturesPortable(df: DataFrame, idCol: String, textCol: String,
+      k: Int, numHashes: Int): DataFrame =
+    spreadToCores(df).select(col(idCol).as("doc"),
+        graft.functions.MinHashSigsPortable(
+          split(lower(col(textCol)), "\\s+"), k, numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
+
+  /** Map-only PORTABLE SimHash (oracle-checkable twin of
+    * [[simHashFast]]). */
+  def simHashPortable(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    spreadToCores(df).select(col(idCol).as("doc"),
+        graft.functions.SimHash64Portable(
+          split(lower(col(textCol)), "\\s+")).as("simhash"))
+      .filter(col("simhash").isNotNull)
+
+  /** [[minHashNearDups]] with a PORTABLE band key: the band's
+    * `rowsPer` signature values rendered as a comma-joined decimal
+    * string (both engines render non-negative BIGINTs identically)
+    * instead of an xxhash64 band compression. Join cardinality is the
+    * same — candidates are pairs agreeing on EVERY value of some
+    * band — and the key stays oracle-replayable. */
+  def minHashNearDupsPortable(sigs: DataFrame, bands: Int, rowsPer: Int,
+      threshold: Double): DataFrame = {
+    val matSigs = sigs.localCheckpoint() // same 2×-recompute guard as minHashNearDups
+    val banded = matSigs.select(col("doc"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => concat_ws(",", slice(col("sig"), b * rowsPer + 1, lit(rowsPer)))))
+        .as(Seq("band", "bkey")))
+    val a = banded.as("a"); val b = banded.as("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+        col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+    cand
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / size(col("sig_a")))
+      .filter(col("est_jaccard") >= threshold)
+      .select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  // ── DuckDB oracle emission for the portable family ───────────────
+
+  /** DuckDB twin of [[graft.functions.TextHashes.portableBase]] over a
+    * string expression — the q92 fold verbatim. */
+  def baseHashSql(e: String): String =
+    s"list_reduce([CAST(7 AS BIGINT)] || " +
+      s"list_transform(list_filter(string_split($e, ''), c -> c <> ''), " +
+      s"c -> CAST(ascii(c) AS BIGINT)), (a, x) -> (a * 31 + x) % 1000000007)"
+
+  /** DuckDB twin of [[graft.functions.TextHashes.lane]]. */
+  private def laneSql(b: String, i: Int): String =
+    s"((${2 * i + 1} * $b + ${i.toLong * graft.functions.TextHashes.PHI}) % 1000000007)"
+
+  /** Full DuckDB restatement of
+    * `minHashNearDupsPortable(minHashSignaturesPortable(src))` —
+    * shingle → base fold → 32 lane mins → band-string blocking →
+    * estimated-Jaccard verify, bit-exact. `src` must yield
+    * (doc_id, text). */
+  def minHashPortableSql(src: String, k: Int, numHashes: Int,
+      bands: Int, rowsPer: Int, threshold: Double): String = {
+    require(k == 2, "oracle emission fixed at k=2 shingles")
+    val mins = (0 until numHashes)
+      .map(i => s"MIN(${laneSql("b", i)}) AS m$i").mkString(",\n      ")
+    val bandKeys = (0 until bands).map { bd =>
+      val key = (0 until rowsPer)
+        .map(r => s"CAST(m${bd * rowsPer + r} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"  SELECT doc, $bd AS band, $key AS bkey FROM sig"
+    }.mkString("\n  UNION ALL\n")
+    val eqTerms = (0 until numHashes)
+      .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH dup AS (SELECT doc_id, text FROM $src),
+       |toks AS (SELECT doc_id AS doc, string_split_regex(lower(text), '\\s+') AS l
+       |         FROM dup),
+       |sh AS (
+       |  SELECT doc, shingle FROM (
+       |    SELECT doc, UNNEST(list_transform(generate_series(1, len(l) - 1),
+       |      i -> l[i] || ' ' || l[i + 1])) AS shingle
+       |    FROM toks)
+       |  WHERE shingle <> ''),
+       |bh AS (SELECT doc, ${baseHashSql("shingle")} AS b FROM sh),
+       |sig AS (SELECT doc,
+       |      $mins
+       |    FROM bh GROUP BY doc),
+       |bandkeys AS (
+       |$bandKeys),
+       |cand AS (
+       |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+       |  FROM bandkeys a JOIN bandkeys b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc < b.doc),
+       |est AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST($eqTerms AS DOUBLE) / $numHashes AS est_jaccard
+       |  FROM cand c
+       |  JOIN sig sa ON sa.doc = c.doc_a
+       |  JOIN sig sb ON sb.doc = c.doc_b)
+       |SELECT doc_a, doc_b, est_jaccard FROM est
+       |WHERE est_jaccard >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Full DuckDB restatement of
+    * `simHashNearDups(simHashPortable(src), maxHamming)` — per-token
+    * base fold → 64 lane-parity votes → packed simhash (bit 63 added
+    * as the SIGNED int64 min to avoid any 2^63 literal) → 16-bit-chunk
+    * blocking (`>>` is arithmetic in both engines, masked to 16 bits)
+    * → exact Hamming verify via xor + bit_count (two's-complement
+    * popcount in both engines). */
+  def simHashPortableSql(src: String, maxHamming: Int): String = {
+    val P = 1000000007L
+    val PHI = graft.functions.TextHashes.PHI
+    val votes = (0 until 64)
+      .map(b => s"SUM(CASE WHEN ((${2 * b + 3} * b + ${b.toLong * PHI}) % $P) % 2 = 1 " +
+        s"THEN 1 ELSE -1 END) AS v$b")
+      .mkString(",\n      ")
+    val pack = ((0 until 63)
+      .map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)") :+
+      "(CASE WHEN v63 > 0 THEN CAST(-9223372036854775807 - 1 AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH dup AS (SELECT doc_id, text FROM $src),
+       |toks AS (SELECT doc_id AS doc, UNNEST(string_split_regex(lower(text), '\\s+')) AS t
+       |         FROM dup),
+       |th AS (SELECT doc, ${baseHashSql("t")} AS b FROM toks WHERE t <> ''),
+       |votes AS (SELECT doc,
+       |      $votes
+       |    FROM th GROUP BY doc),
+       |shash AS (SELECT doc, CAST($pack AS BIGINT) AS simhash FROM votes),
+       |chunks AS (
+       |  SELECT doc, simhash, c.chunk, (simhash >> (c.chunk * 16)) & 65535 AS ckey
+       |  FROM shash, (SELECT UNNEST([0, 1, 2, 3]) AS chunk) c),
+       |cand AS (
+       |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+       |    a.simhash AS sh_a, b.simhash AS sh_b
+       |  FROM chunks a JOIN chunks b
+       |    ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc < b.doc)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS dist
+       |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= $maxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** Exact n-gram (word k-gram) Jaccard near-dup pairs with
     * rare-shingle blocking — the q41d core, parameterized so specs can
     * drive it on adversarial fixtures. Returns (da, db, jaccard) with

@@ -128,10 +128,34 @@ object Curation5x {
       .orderBy("doc_id", "chunk")
   }
 
-  /** Greedy no-straddle packing (same shard/budget). Running-reset
-    * scan → not SQL-expressible → rows-only; CurationSpec pins the
-    * capacity / coverage / determinism invariants. */
-  val q54b = QueryDef.rowsOnly("q54b_pack_greedy") { (s, dir) =>
+  /** Greedy no-straddle packing (same shard/budget). The running-reset
+    * scan is imperative on the Spark side (sorted mapPartitions within
+    * shard groups — [[graft.ops.Curation.packGreedy]] documents why),
+    * but since round 16 it IS oracle-expressible: a DuckDB RECURSIVE
+    * CTE steps one doc per group per iteration, carrying (pack, used)
+    * — the q41f/q41j recursive-oracle precedent applied to a scan
+    * instead of a fixpoint. Iteration count = max docs per shard
+    * group (64), independent of corpus size. CurationSpec still pins
+    * the capacity / coverage / determinism invariants. */
+  val q54b = QueryDef("q54b_pack_greedy",
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, doc_id // 64 AS grp,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id // 64 ORDER BY doc_id) AS rn
+      |  FROM documents),
+      |rec AS (
+      |  SELECT grp, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS pack,
+      |    n_tokens AS used
+      |  FROM t WHERE rn = 1
+      |  UNION ALL
+      |  SELECT t.grp, t.rn, t.doc_id, t.n_tokens,
+      |    CASE WHEN rec.used > 0 AND rec.used + t.n_tokens > 128
+      |         THEN rec.pack + 1 ELSE rec.pack END,
+      |    CASE WHEN rec.used > 0 AND rec.used + t.n_tokens > 128
+      |         THEN t.n_tokens ELSE rec.used + t.n_tokens END
+      |  FROM rec JOIN t ON t.grp = rec.grp AND t.rn = rec.rn + 1)
+      |SELECT doc_id, grp, n_tokens, pack FROM rec
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     Curation.packGreedy(Tables.documents(s, dir), "doc_id", "text",
         shard = 64, budget = 128)
       .orderBy("doc_id")

@@ -6,10 +6,12 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Q41–Q44 + training-data pipeline ops: dedup family, similarity
-  * search, text analysis, multimodal plumbing. Oracle-checked where
-  * the semantics are portably SQL-expressible; hash-based variants
-  * (minhash/simhash/LSH — xxhash64 has no DuckDB twin) are rows-only
-  * here and asserted in specs instead.
+  * search, text analysis, multimodal plumbing. Oracle-checked
+  * throughout — since round 16 the minhash/simhash family runs on the
+  * engine-portable Horner-fold + affine-lane hashes (TextHashes
+  * portable kernels), so q41b/q41c are duck-checked like the rest;
+  * the xxhash64 variants remain as the non-oracle perf surface,
+  * spec-pinned in DedupSpec.
   */
 object NorthStar {
 
@@ -92,32 +94,43 @@ object NorthStar {
   }
 
   /** MinHash+LSH near-dup pairs over the duplicated corpus: shingle →
-    * minhash → band → bucket-join → verify. xxhash64-based → rows-only
-    * (exactness asserted in DedupSpec against true duplicates). */
-  val q41b = QueryDef.rowsOnly("q41b_dedup_minhash") { (s, dir) =>
+    * minhash → band → bucket-join → verify. DUCK-ORACLED since round
+    * 16: the portable Horner-fold + affine-lane family
+    * ([[graft.ops.Dedup.minHashSignaturesPortable]]) replaces
+    * xxhash64, so every signature value, band key and verdict is
+    * restated bit-exactly by [[graft.ops.Dedup.minHashPortableSql]].
+    * Same fused map-only kernel shape; DedupSpec keeps the xxhash64
+    * twins pinned for the non-oracle surface. */
+  val q41b = QueryDef("q41b_dedup_minhash",
+    Dedup.minHashPortableSql(dupDocsSql, k = 2, numHashes = 32,
+      bands = 8, rowsPer = 4, threshold = 0.8)) { (s, dir) =>
     import s.implicits._
     val d = Tables.documents(s, dir).select("doc_id", "text")
     val dup = d.unionByName(
       d.filter($"doc_id" % 10 === 0).withColumn("doc_id", $"doc_id" + 1000000))
-    val sigs = Dedup.minHashSignaturesFast(dup, "doc_id", "text",
+    val sigs = Dedup.minHashSignaturesPortable(dup, "doc_id", "text",
       k = 2, numHashes = 32)
     // query-level janitor registration: this DataFrame is consumed
     // exactly once per invocation (Verify write / Bench count), so the
     // signature checkpoint inside its plan dies with that action
     // instead of a later GC (the q41-family bench-jitter fix)
     graft.CheckpointJanitor.evictAfterConsumption(
-      Dedup.minHashNearDups(sigs, bands = 8, rowsPer = 4, threshold = 0.8)
+      Dedup.minHashNearDupsPortable(sigs, bands = 8, rowsPer = 4, threshold = 0.8)
         .orderBy("doc_a", "doc_b"))
   }
 
-  /** SimHash near-dup pairs (≤3 bits apart, 16-bit chunk blocking). */
-  val q41c = QueryDef.rowsOnly("q41c_dedup_simhash") { (s, dir) =>
+  /** SimHash near-dup pairs (≤3 bits apart, 16-bit chunk blocking) —
+    * duck-oracled since round 16 via the same portable hash family
+    * ([[graft.ops.Dedup.simHashPortableSql]] restates votes, packing,
+    * chunk keys and Hamming verify bit-exactly). */
+  val q41c = QueryDef("q41c_dedup_simhash",
+    Dedup.simHashPortableSql(dupDocsSql, maxHamming = 3)) { (s, dir) =>
     import s.implicits._
     val d = Tables.documents(s, dir).select("doc_id", "text")
     val dup = d.unionByName(
       d.filter($"doc_id" % 10 === 0).withColumn("doc_id", $"doc_id" + 1000000))
     graft.CheckpointJanitor.evictAfterConsumption(
-      Dedup.simHashNearDups(Dedup.simHashFast(dup, "doc_id", "text"), maxHamming = 3)
+      Dedup.simHashNearDups(Dedup.simHashPortable(dup, "doc_id", "text"), maxHamming = 3)
         .orderBy("doc_a", "doc_b"))
   }
 

@@ -108,6 +108,48 @@ class DedupSpec extends SparkSpec {
       "SimHash64 diverges from simhash_agg over exploded tokens")
   }
 
+  test("portable minhash/simhash: kernels match composed column forms; every true dup found") {
+    // composed portable minhash: wordShingles → fingerprint base →
+    // per-lane affine mins — the column-function restatement of
+    // MinHashSigsPortable (mirrors the xxhash64 fused-vs-composed pin)
+    val P = 1000000007L
+    val PHI = graft.functions.TextHashes.PHI
+    val sh = Dedup.wordShingles(dupCorpus, "doc_id", "text", 2)
+      .withColumn("b", graft.ops.TextAnalysis.fingerprint($"shingle"))
+    val laneMins = (0 until 32).map(i =>
+      min((lit(2L * i + 1) * $"b" + lit(i * PHI)) % P).as(s"m$i"))
+    val composed = sh.groupBy("doc").agg(laneMins.head, laneMins.tail: _*)
+      .select($"doc", array((0 until 32).map(i => col(s"m$i")): _*).as("sig"))
+    val fused = Dedup.minHashSignaturesPortable(dupCorpus, "doc_id", "text", 2, 32)
+    assert(fused.exceptAll(composed).isEmpty && composed.exceptAll(fused).isEmpty,
+      "MinHashSigsPortable diverges from the composed portable formulation")
+    // composed portable simhash: per-token base, 64 parity votes, pack
+    val tok = dupCorpus.select($"doc_id".as("doc"),
+        explode(split(lower($"text"), "\\s+")).as("t"))
+      .filter($"t" =!= "")
+      .withColumn("b", graft.ops.TextAnalysis.fingerprint($"t"))
+    val voteCols = (0 until 64).map(bb =>
+      sum(when(((lit(2L * bb + 3) * $"b" + lit(bb * PHI)) % P) % 2 === 1, 1)
+        .otherwise(-1)).as(s"v$bb"))
+    val packed = tok.groupBy("doc").agg(voteCols.head, voteCols.tail: _*)
+      .select($"doc", (0 until 64).map(bb =>
+        when(col(s"v$bb") > 0, lit(1L << bb)).otherwise(0L))
+        .reduce(_.bitwiseOR(_)).as("simhash"))
+    val fusedSim = Dedup.simHashPortable(dupCorpus, "doc_id", "text")
+    assert(fusedSim.exceptAll(packed).isEmpty && packed.exceptAll(fusedSim).isEmpty,
+      "SimHash64Portable diverges from the composed portable formulation")
+    // identical texts → identical signatures → every true pair surfaces
+    val pairs = Dedup.minHashNearDupsPortable(fused, bands = 8, rowsPer = 4,
+        threshold = 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val expected = Tables.documents(spark, sf).filter($"doc_id" % 10 === 0)
+      .select($"doc_id").as[Long].collect().map(id => (id, id + 1000000)).toSet
+    assert(expected.subsetOf(pairs), s"missing: ${expected -- pairs}")
+    val simPairs = Dedup.simHashNearDups(fusedSim, maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(expected.subsetOf(simPairs), s"simhash missing: ${expected -- simPairs}")
+  }
+
   test("ngram jaccard: stopword-heavy fixture — correct pairs, pair-bounded enumeration") {
     // 40 docs ALL sharing a 8-token stopword prefix (7 hot bigrams,
     // df = 40 > maxDf — blocked from candidate generation). Docs 2i and
