@@ -262,6 +262,63 @@ object Similarity {
     }
   }
 
+  /** One exact-decimal Lloyd step: assign every corpus vector to its
+    * best centroid literal (pure-map cosine argmax), then refine each
+    * cell's centroid to the per-dimension EXACT DECIMAL SUM of its
+    * members' components (unnormalized — cosine is scale-invariant,
+    * see [[ivfCentroids]]). Cells that lose all members are dropped,
+    * exactly as the oracle's per-round `sums` CTE drops them. */
+  private def lloydStep(corpus: DataFrame,
+      cents: Seq[(Int, Array[Double], Double)]): Seq[(Int, Array[Double], Double)] = {
+    import org.apache.spark.sql.types.DecimalType
+    val assigned = corpus.select(col("embedding").as("ce"))
+      .withColumn("cnorm", normSqDecimal(col("ce")))
+      .withColumn("cell",
+        -element_at(bestCells(cents)(col("ce"), col("cnorm"), 1), 1).getField("nc"))
+    val sumRows = assigned
+      .select(col("cell"), posexplode(col("ce")).as(Seq("j", "x")))
+      .groupBy("cell", "j")
+      .agg(sum(col("x").cast("double").cast(DecimalType(23, 14))).as("s"))
+      .collect()
+    val dims = sumRows.map(_.getInt(1)).max + 1
+    val byCell = sumRows.groupBy(_.getInt(0))
+    cents.map(_._1).filter(byCell.contains).map { cell =>
+      val arr = new Array[Double](dims)
+      byCell(cell).foreach(r => arr(r.getInt(1)) = r.getDecimal(2).doubleValue())
+      (cell, arr, arrNormSq(arr))
+    }
+  }
+
+  /** Deterministic k-means IVF quantizer (round-16 verdict item 2):
+    * the strided seeds of [[ivfCentroids]] refined by `iters`
+    * FIXED-iteration Lloyd steps in exact decimal arithmetic — no
+    * convergence test, no randomness, so the whole training loop is
+    * oracle-replayable ([[ivfQuantizerCteIter]] unrolls the identical
+    * rounds as CTEs). Each iteration costs one corpus pass + a
+    * (cell, dim, partial-sum) shuffle with map-side combine —
+    * `iters`× the build cost of the one-step quantizer, zero change
+    * to probe cost — and buys tighter cells: measured recall at
+    * equal nprobe in SCALING.md round 16. `iters = 1` is bit-identical
+    * to [[ivfCentroids]] (same seeds, same single step). */
+  def ivfCentroidsIter(corpus: DataFrame, cells: Int,
+      iters: Int): Seq[(Int, Array[Double], Double)] = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    import org.apache.spark.sql.Row
+    val n = corpus.count()
+    if (n == 0) return Seq.empty
+    val stride = math.max(1L, n / cells)
+    val seedRows = corpus
+      .filter(col("vec_id") % stride === 0 && col("vec_id") < stride * cells)
+      .select((col("vec_id") / stride).cast("int").as("cell"), col("embedding"))
+      .orderBy("cell").collect()
+    val seeds: Seq[(Int, Array[Double], Double)] = seedRows.map {
+      case Row(cell: Int, emb: scala.collection.Seq[_]) =>
+        val v = emb.map(_.asInstanceOf[Float].toDouble).toArray
+        (cell, v, arrNormSq(v))
+    }.toSeq
+    (1 to iters).foldLeft(seeds)((c, _) => lloydStep(corpus, c))
+  }
+
   /** (vid, cell) assignment of `corpus` under literal centroids — the
     * map-side argmax, exposed so specs can measure cell occupancy. */
   def ivfAssign(corpus: DataFrame,
@@ -547,6 +604,79 @@ object Similarity {
        |  GROUP BY a.cell, t.j),
        |cents AS (SELECT cell, list(s ORDER BY j) AS ce FROM sums GROUP BY cell),
        |cnorms AS (SELECT cell, ${dotSql("ce", "ce")} AS cn FROM cents)""".stripMargin
+
+  /** DuckDB twin of the [[ivfCentroidsIter]] TRAINING LOOP: the
+    * seeds/norms prefix of [[ivfQuantizerCte]], then `iters` UNROLLED
+    * Lloyd rounds (assign_r → sums_r → cents_r → cnorms_r — fixed
+    * iteration count, so no recursion is needed and every round's
+    * assignment and decimal sums are restated bit-exactly). The final
+    * round is aliased to `cents`/`cnorms`, so the same
+    * [[ivfAssignProbeCte]] / verify tail as [[ivfSql]] composes
+    * unchanged. */
+  private[graft] def ivfQuantizerCteIter(cells: Int, src: String,
+      iters: Int): String = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val head =
+      s"""WITH st AS (SELECT CAST(GREATEST(COUNT(*) // $cells, 1) AS BIGINT) AS stride FROM $src),
+         |seeds0 AS (SELECT CAST(vec_id // (SELECT stride FROM st) AS INTEGER) AS cell,
+         |                  embedding AS se
+         |           FROM $src
+         |           WHERE vec_id % (SELECT stride FROM st) = 0
+         |             AND vec_id < (SELECT stride FROM st) * $cells),
+         |norms AS (SELECT vec_id, ${dotSql("embedding", "embedding")} AS nrm FROM $src),
+         |snorms AS (SELECT cell, ${dotSql("se", "se")} AS sn FROM seeds0)""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      val (srcCents, srcVec, srcNorms, srcNorm) =
+        if (r == 1) ("seeds0", "se", "snorms", "sn")
+        else (s"cents_${r - 1}", "ce", s"cnorms_${r - 1}", "cn")
+      s""",
+         |assign_$r AS (
+         |  SELECT vid, cell FROM (
+         |    SELECT e.vec_id AS vid, s.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${cosSql("e.embedding", s"s.$srcVec", "ne.nrm", s"ns.$srcNorm")} DESC, s.cell ASC) AS rn
+         |    FROM $src e CROSS JOIN $srcCents s
+         |    JOIN norms ne ON ne.vec_id = e.vec_id
+         |    JOIN $srcNorms ns ON ns.cell = s.cell)
+         |  WHERE rn = 1),
+         |sums_$r AS (
+         |  SELECT a.cell, t.j,
+         |    CAST(SUM(CAST(CAST(e.embedding[t.j] AS DOUBLE) AS DECIMAL(23,14))) AS DOUBLE) AS s
+         |  FROM assign_$r a JOIN $src e ON e.vec_id = a.vid,
+         |       generate_series(1, $dim) AS t(j)
+         |  GROUP BY a.cell, t.j),
+         |cents_$r AS (SELECT cell, list(s ORDER BY j) AS ce FROM sums_$r GROUP BY cell),
+         |cnorms_$r AS (SELECT cell, ${dotSql("ce", "ce")} AS cn FROM cents_$r)""".stripMargin
+    }.mkString
+    head + rounds +
+      s""",
+         |cents AS (SELECT cell, ce FROM cents_$iters),
+         |cnorms AS (SELECT cell, cn FROM cnorms_$iters)""".stripMargin
+  }
+
+  /** DuckDB twin of the ENTIRE k-means-quantized IVF pipeline
+    * (q42f): [[ivfQuantizerCteIter]] + the SAME assign/probe/verify
+    * tail as [[ivfSql]]. */
+  def ivfIterSql(cells: Int, nprobe: Int, k: Int, iters: Int,
+      src: String = "embeddings",
+      queryPred: String = "vec_id % 100 = 0"): String = {
+    ivfQuantizerCteIter(cells, src, iters) +
+      ivfAssignProbeCte(nprobe, src, queryPred) + s""",
+       |scored AS (
+       |  SELECT p.qid, a.vid,
+       |    ${cosSql("eq.embedding", "ec.embedding", "nq.nrm", "nc.nrm")} AS cosine
+       |  FROM probe p JOIN assign a ON a.cell = p.cell
+       |  JOIN $src eq ON eq.vec_id = p.qid
+       |  JOIN $src ec ON ec.vec_id = a.vid
+       |  JOIN norms nq ON nq.vec_id = p.qid
+       |  JOIN norms nc ON nc.vec_id = a.vid
+       |  WHERE a.vid <> p.qid)
+       |SELECT qid, vid, CAST(rk AS INTEGER) AS rk, ROUND(cosine, 6) AS cosine FROM (
+       |  SELECT qid, vid, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vid) AS rk
+       |  FROM scored) WHERE rk <= $k
+       |ORDER BY qid, rk""".stripMargin
+  }
 
   /** DuckDB twin of [[clusterBalancedSelect]]: the shared quantizer
     * CTEs, then per-vector best (cell, representativeness-cosine) and

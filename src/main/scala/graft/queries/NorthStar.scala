@@ -382,6 +382,26 @@ object NorthStar {
       .orderBy("qid", "rk")
   }
 
+  /** q42f: IVF with a DETERMINISTIC K-MEANS quantizer (round-16
+    * verdict item 2) — the strided seeds refined by THREE fixed
+    * exact-decimal Lloyd iterations instead of one
+    * ([[graft.ops.Similarity.ivfCentroidsIter]]): no randomness, no
+    * convergence test, so the whole training loop unrolls into
+    * oracle CTEs and the full pipeline hash-checks like q42d. Build
+    * cost is iters× one corpus pass + a (cell, dim) map-side-combined
+    * shuffle — a BUILD-time dial (probe cost unchanged) that buys
+    * tighter cells: measured recall at equal nprobe=4 in SCALING.md
+    * round 16. */
+  val q42f = QueryDef("q42f_similarity_ivf_kmeans",
+    Similarity.ivfIterSql(cells = 16, nprobe = 4, k = 5, iters = 3)) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    Similarity.ivfTopKWith(
+      Similarity.ivfCentroidsIter(emb, cells = 16, iters = 3),
+      emb, emb.filter($"vec_id" % 100 === 0), k = 5, nprobe = 4)
+      .orderBy("qid", "rk")
+  }
+
   /** Embedding-cosine near-duplicate pairs (multi-table LSH blocked,
     * exact-decimal verify) — same literal planes as q42b → fully
     * oracle-checked, and non-empty at every driver SF (the 0.35
@@ -1235,7 +1255,7 @@ object NorthStar {
   }
 
   val defs: Seq[QueryDef] = Seq(q41a, q41h, q41i, q41b, q41c, q41d, q41e, q41f, q41g,
-    q41j, q41k, q42, q42b, q42c, q42d, q42e, q74, q43a, q43b, q43c, q43d, q43e, q43f,
+    q41j, q41k, q42, q42b, q42c, q42d, q42e, q42f, q74, q43a, q43b, q43c, q43d, q43e, q43f,
     q43g, q43h, q43i, q43j, q44, q44b, q44c, q44d, q81, q83, q88, q88b,
     q91, q92)
 }

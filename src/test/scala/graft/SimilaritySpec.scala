@@ -96,6 +96,22 @@ class SimilaritySpec extends SparkSpec {
   test("IVF centroids on an empty corpus: no cells, no crash") {
     val empty = Tables.embeddings(spark, sf).filter(lit(false))
     assert(Similarity.ivfCentroids(empty, 4).isEmpty)
+    assert(Similarity.ivfCentroidsIter(empty, 4, 3).isEmpty)
+  }
+
+  test("k-means quantizer: iters=1 is bit-identical to ivfCentroids; deeper iters stay deterministic") {
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val one = Similarity.ivfCentroids(emb, 16)
+    val iter1 = Similarity.ivfCentroidsIter(emb, 16, iters = 1)
+    assert(iter1.map(c => (c._1, c._2.toSeq, c._3)) ==
+      one.map(c => (c._1, c._2.toSeq, c._3)),
+      "one Lloyd iteration must reproduce ivfCentroids exactly")
+    // fixed-iteration determinism: same input → same centroids, twice
+    val a = Similarity.ivfCentroidsIter(emb, 16, iters = 3)
+    val b = Similarity.ivfCentroidsIter(emb, 16, iters = 3)
+    assert(a.map(c => (c._1, c._2.toSeq, c._3)) ==
+      b.map(c => (c._1, c._2.toSeq, c._3)),
+      "fixed-iteration k-means must be run-to-run deterministic")
   }
 
   test("IVF tolerates duplicate seed vectors (empty cell dropped, no crash)") {
