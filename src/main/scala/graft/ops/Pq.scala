@@ -182,6 +182,199 @@ object Pq {
     if (shortlist > 0) shortlist
     else math.max(100L, corpus.count() / 50).toInt
 
+  // ── residual encoding (q88c — the Faiss IVFPQ refinement) ────────
+  // Raw-vector PQ wastes its 16 codes per subspace describing the
+  // coarse structure the IVF cell id ALREADY encodes; quantizing the
+  // RESIDUAL x − μ(cell(x)) spends them on the within-cell detail
+  // instead, so the ADC ranking inside probed cells tracks the true
+  // distance much more tightly (measured: the ADC→ceiling gap closes
+  // in SCALING.md round 16). Determinism discipline: μ is the
+  // per-cell per-dim EXACT DECIMAL SUM cast to double divided by the
+  // exact member count (ONE IEEE division per dim, identical both
+  // engines); residual components are one IEEE subtraction each; all
+  // d² terms then flow through the same DECIMAL(23,14) casts as the
+  // raw variant, so the whole pipeline stays hash-checkable.
+
+  /** Per-cell mean vectors under the FINAL centroids' assignment —
+    * (cell, μ) literals. Bounded driver collect: cells×dim rows. */
+  def cellMeans(corpus: DataFrame,
+      cents: Seq[(Int, Array[Double], Double)]): Seq[(Int, Array[Double])] = {
+    val assigned = Similarity.assignedCorpus(corpus, cents)
+    val rows = assigned
+      .select(col("cell"), posexplode(col("ce")).as(Seq("j", "x")))
+      .groupBy("cell", "j")
+      .agg(sum(col("x").cast("double").cast(DecimalType(23, 14))).as("s"),
+        count(lit(1)).as("cnt"))
+      .collect()
+    val dims = rows.map(_.getInt(1)).max + 1
+    rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (cell, rs) =>
+      val arr = new Array[Double](dims)
+      rs.foreach(r => arr(r.getInt(1)) = r.getDecimal(2).doubleValue() / r.getLong(3))
+      (cell, arr)
+    }
+  }
+
+  /** `array<double>` residual of an embedding column against its
+    * row's cell mean (μ looked up in a cell-keyed map literal). */
+  private def residualCol(emb: Column, cellCol: Column,
+      means: Seq[(Int, Array[Double])]): Column = {
+    val muMap = map(means.flatMap { case (cell, mu) =>
+      Seq(lit(cell), array(mu.map(lit(_)): _*))
+    }: _*)
+    zip_with(transform(emb, x => x.cast("double")),
+      element_at(muMap, cellCol), (a, b) => a - b)
+  }
+
+  /** Residual codebooks: the K strided sample vectors' residuals
+    * (w.r.t. their OWN cells' means), sliced into M subspaces — the
+    * deterministic analog of Faiss's residual training set. */
+  def residualCodebooks(resCorpus: DataFrame,
+      n: Long): Seq[(Int, Int, Array[Double], Double)] = {
+    import org.apache.spark.sql.Row
+    if (n == 0) return Seq.empty
+    val stride = math.max(1L, n / K)
+    val rows = resCorpus
+      .filter(col("vid") % stride === 0 && col("vid") < stride * K)
+      .select((col("vid") / stride).cast("int").as("code"), col("re"))
+      .orderBy("code").collect()
+    for {
+      r <- rows.toSeq
+      m <- 0 until M
+    } yield {
+      val full = r match {
+        case Row(_: Int, re: scala.collection.Seq[_]) =>
+          re.map(_.asInstanceOf[Double]).toArray
+      }
+      val sub = full.slice(m * subDim, (m + 1) * subDim)
+      (m, r.getInt(0), sub, arrNormSq(sub))
+    }
+  }
+
+  /** IVFPQ with RESIDUAL encoding — the Faiss refinement of
+    * [[ivfpqTopK]]: same coarse quantizer, same probe, same exact
+    * rerank; the PQ stage encodes/scores x − μ(cell) instead of raw
+    * x, and each query's ADC tables are built PER PROBED CELL from
+    * the query's own residual q − μ(cell) (nprobe × M small tables —
+    * still broadcast-sized). (q − μ_c) − (x − μ_c) = q − x, so ADC
+    * values stay comparable ACROSS cells and one global shortlist per
+    * query is sound. Cost shape identical to [[ivfpqTopK]] plus one
+    * cells×dim mean collect. */
+  def ivfpqResidualTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      cells: Int = 16, nprobe: Int = 0, shortlist: Int = 0): DataFrame = {
+    val np = if (nprobe > 0) nprobe else nprobeFor(cells)
+    val cents = Similarity.ivfCentroids(corpus, cells)
+    val means = cellMeans(corpus, cents)
+    val assigned = Similarity.assignedCorpus(corpus, cents)
+    val resCorpus = assigned
+      .withColumn("re", residualCol(col("ce"), col("cell"), means))
+      .select("vid", "cell", "re")
+    val cb = residualCodebooks(resCorpus, corpus.count())
+    // encode: argmin over residual-codebook literals, pure map
+    val codes = (0 until M).foldLeft(resCorpus) { (df, m) =>
+      val sub = slice(col("re"), m * subDim + 1, subDim)
+      df.withColumn(s"c$m",
+        bestCode(cb, m)(sub, Similarity.normSqDecimal(sub)))
+    }.drop("re")
+    // per-(query, probed-cell) residual ADC tables
+    val dec = DecimalType(23, 14)
+    val probe = Similarity.probeCells(cents, queries, np)
+      .select(col("qid"), col("cell"), col("qe"))
+      .withColumn("qr", residualCol(col("qe"), col("cell"), means))
+    val qTables = (0 until M).foldLeft(probe) { (df, m) =>
+      val sub = slice(col("qr"), m * subDim + 1, subDim)
+      val nrm = Similarity.normSqDecimal(sub)
+      df.withColumn(s"qd$m", array(cb.collect {
+        case (`m`, _, v, vn) => d2(sub, nrm, v, vn).cast(dec)
+      }: _*))
+    }.drop("qe", "qr")
+    val pairs = codes.join(broadcast(qTables), "cell")
+      .filter(col("qid") =!= col("vid"))
+    rerank(adcShortlist(pairs, depth(corpus, shortlist)), corpus, queries, k)
+  }
+
+  /** DuckDB twin of [[ivfpqResidualTopK]]: the shared IVF quantizer +
+    * assign/probe prefix, then per-cell means (decimal sums / exact
+    * counts, one IEEE division per dim), residual lists (one IEEE
+    * subtraction per component), residual codebooks from the strided
+    * sample, per-(query, cell) residual ADC tables, candidate-scoped
+    * ADC fold, shortlist, exact rerank — every stage restated with the
+    * identical arithmetic trees. */
+  def ivfpqResidualSql(k: Int, cells: Int = 16, nprobe: Int = 0,
+      src: String = "embeddings",
+      queryPred: String = "vec_id % 100 = 0"): String = {
+    val dim = Similarity.dim
+    val np = if (nprobe > 0) nprobe else nprobeFor(cells)
+    val codeBranches = (0 until M).map { m =>
+      s"""  SELECT r.vid, r.cell, $m AS m, s.code,
+         |    ROW_NUMBER() OVER (PARTITION BY r.vid ORDER BY
+         |      ${d2Sql("r.re", "s.re", m * subDim)} ASC, s.code ASC) AS rn
+         |  FROM res r CROSS JOIN scb s""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    val qdBranches = (0 until M).map { m =>
+      s"""  SELECT qr.qid, qr.cell, $m AS m, s.code,
+         |    CAST(${d2Sql("qr.qr", "s.re", m * subDim)} AS DECIMAL(23,14)) AS dd
+         |  FROM qres qr CROSS JOIN scb s""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    Similarity.ivfQuantizerCte(cells, src) +
+      Similarity.ivfAssignProbeCte(np, src, queryPred) + s""",
+       |msums AS (
+       |  SELECT a.cell, t.j,
+       |    CAST(SUM(CAST(CAST(e.embedding[t.j] AS DOUBLE) AS DECIMAL(23,14))) AS DOUBLE) AS s,
+       |    COUNT(*) AS cnt
+       |  FROM assign a JOIN $src e ON e.vec_id = a.vid,
+       |       generate_series(1, $dim) AS t(j)
+       |  GROUP BY a.cell, t.j),
+       |mu AS (SELECT cell, list(s / cnt ORDER BY j) AS mu FROM msums GROUP BY cell),
+       |res AS (
+       |  SELECT a.vid, a.cell,
+       |    list_transform(generate_series(1, $dim),
+       |      j -> CAST(e.embedding[j] AS DOUBLE) - m.mu[j]) AS re
+       |  FROM assign a JOIN $src e ON e.vec_id = a.vid
+       |  JOIN mu m ON m.cell = a.cell),
+       |pst AS (SELECT CAST(GREATEST(COUNT(*) // $K, 1) AS BIGINT) AS stride FROM $src),
+       |scb AS (SELECT CAST(vid // (SELECT stride FROM pst) AS INTEGER) AS code, re
+       |        FROM res
+       |        WHERE vid % (SELECT stride FROM pst) = 0
+       |          AND vid < (SELECT stride FROM pst) * $K),
+       |codes0 AS (
+       |$codeBranches),
+       |codes AS (SELECT vid, cell, m, code FROM codes0 WHERE rn = 1),
+       |qres AS (
+       |  SELECT p.qid, p.cell,
+       |    list_transform(generate_series(1, $dim),
+       |      j -> CAST(q.embedding[j] AS DOUBLE) - m.mu[j]) AS qr
+       |  FROM probe p JOIN q ON q.vec_id = p.qid
+       |  JOIN mu m ON m.cell = p.cell),
+       |qd AS (
+       |$qdBranches),
+       |cand AS (
+       |  SELECT p.qid, a.vid, a.cell FROM probe p JOIN assign a ON a.cell = p.cell
+       |  WHERE a.vid <> p.qid),
+       |adc AS (
+       |  SELECT cd.qid, cd.vid, SUM(qd.dd) AS adc
+       |  FROM cand cd JOIN codes c ON c.vid = cd.vid
+       |  JOIN qd ON qd.qid = cd.qid AND qd.cell = cd.cell
+       |         AND qd.m = c.m AND qd.code = c.code
+       |  GROUP BY 1, 2),
+       |short AS (SELECT qid, vid FROM (
+       |    SELECT qid, vid,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc ASC, vid ASC) AS srk
+       |    FROM adc) WHERE srk <= GREATEST(100, (SELECT COUNT(*) FROM $src) // 50)),
+       |rr AS (
+       |  SELECT s.qid, s.vid,
+       |    ((nc.nrm + nq.nrm) - (2.0 * ${Similarity.dotSql("eq.embedding", "ec.embedding")})) AS l2
+       |  FROM short s
+       |  JOIN $src eq ON eq.vec_id = s.qid
+       |  JOIN $src ec ON ec.vec_id = s.vid
+       |  JOIN norms nq ON nq.vec_id = s.qid
+       |  JOIN norms nc ON nc.vec_id = s.vid)
+       |SELECT qid, vid, CAST(rk AS INTEGER) AS rk, ROUND(l2, 6) AS l2_d2 FROM (
+       |  SELECT qid, vid, l2,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY l2 ASC, vid ASC) AS rk
+       |  FROM rr) WHERE rk <= $k
+       |ORDER BY qid, rk""".stripMargin
+  }
+
   /** Query rows extended with per-subspace 16-entry ADC tables —
     * each entry cast to DECIMAL(23,14) at the boundary so the ADC sum
     * is exact and association-free. */

@@ -792,6 +792,26 @@ object NorthStar {
       .orderBy("qid", "rk")
   }
 
+  /** IVFPQ with RESIDUAL encoding (q88c) — the Faiss refinement the
+    * raw-vector q88b deliberately skipped (round-16 verdict "missing"
+    * item 2): PQ codes describe x − μ(cell) instead of x, so the 16
+    * codes per subspace spend their precision on within-cell detail
+    * rather than re-describing the coarse structure the cell id
+    * already encodes; the query's ADC tables are rebuilt per probed
+    * cell from q − μ(cell). (q−μ)−(x−μ) = q−x keeps ADC comparable
+    * across cells. μ is decimal-sums/exact-count (one IEEE division
+    * per dim) and every residual component is one IEEE subtraction, so
+    * the WHOLE refinement stays hash-checked
+    * ([[graft.ops.Pq.ivfpqResidualSql]]). Measured ADC-fidelity gain
+    * vs q88b in SCALING.md round 16. */
+  val q88c = QueryDef("q88c_similarity_ivfpq_residual",
+    Pq.ivfpqResidualSql(k = 5)) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    Pq.ivfpqResidualTopK(emb, emb.filter($"vec_id" % 100 === 0), k = 5)
+      .orderBy("qid", "rk")
+  }
+
   /** Content-defined chunking (q92): the rsync/LBFS boundary rule at
     * token granularity — [[graft.ops.TextAnalysis.cdcChunks]]
     * documents why fixed-size chunking breaks chunk-level dedup on
@@ -1256,6 +1276,6 @@ object NorthStar {
 
   val defs: Seq[QueryDef] = Seq(q41a, q41h, q41i, q41b, q41c, q41d, q41e, q41f, q41g,
     q41j, q41k, q42, q42b, q42c, q42d, q42e, q42f, q74, q43a, q43b, q43c, q43d, q43e, q43f,
-    q43g, q43h, q43i, q43j, q44, q44b, q44c, q44d, q81, q83, q88, q88b,
+    q43g, q43h, q43i, q43j, q44, q44b, q44c, q44d, q81, q83, q88, q88b, q88c,
     q91, q92)
 }

@@ -58,6 +58,10 @@ object IvfpqProbe {
         Pq.ivfpqTopK(emb, queries, k = 5, cells = 16, nprobe = np)
           .select("qid", "vid").intersect(exactL2).count()
       }
+      val (resHits, resWall) = timed {
+        Pq.ivfpqResidualTopK(emb, queries, k = 5, cells = 16, nprobe = np)
+          .select("qid", "vid").intersect(exactL2).count()
+      }
       // coarse ceiling: IVF cells at same nprobe, exact L2 rerank of
       // ALL candidates in probed cells (what a perfect ADC would get)
       val (ceilHits, ceilWall) = timed {
@@ -78,7 +82,8 @@ object IvfpqProbe {
           .select("qid", "vid").intersect(exactL2).count()
       }
       println(f"[ivfpqprobe] nprobe=$np%-2d ivfpqRecall=${ivfpqHits.toDouble / (nQ * 5)}%.3f " +
-        f"ivfpqWall=$ivfpqWall%.2f ceilRecall=${ceilHits.toDouble / (nQ * 5)}%.3f " +
+        f"ivfpqWall=$ivfpqWall%.2f residualRecall=${resHits.toDouble / (nQ * 5)}%.3f " +
+        f"residualWall=$resWall%.2f ceilRecall=${ceilHits.toDouble / (nQ * 5)}%.3f " +
         f"ceilWall=$ceilWall%.2f")
     }
     spark.stop()

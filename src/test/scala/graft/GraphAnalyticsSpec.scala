@@ -205,6 +205,49 @@ class GraphAnalyticsSpec extends SparkSpec {
     res.unpersist()
   }
 
+  test("q88c residual IVFPQ: honors probe pruning; residual ADC beats raw ADC at fixed shortlist") {
+    import graft.ops.{Pq, Similarity}
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter($"vec_id" % 100 === 0)
+    val res = NorthStar.q88c.fn(spark, sf).cache()
+    // same pruning law as q88b: residual PQ reorders WITHIN the probe
+    // set, never resurrects a pruned vector
+    val cents = Similarity.ivfCentroids(emb, 16)
+    val assigned = Similarity.ivfAssign(emb, cents)
+    val probe = Similarity.probeCells(cents, q, Pq.nprobeFor(16))
+      .select("qid", "cell")
+    val legal = probe.join(assigned, "cell").select("qid", "vid")
+    assert(res.select("qid", "vid").exceptAll(legal).isEmpty,
+      "residual IVFPQ returned a vector outside the probed cells")
+    val byQ = res.groupBy("qid").agg(count(lit(1)).as("n"),
+      min("rk").as("lo"), max("rk").as("hi"))
+    assert(byQ.filter($"lo" =!= 1 || $"hi" =!= $"n" || $"n" > 5).isEmpty)
+    res.unpersist()
+    // ADC-fidelity law at a TIGHT shortlist (where table quality shows;
+    // the declared depth is forgiving enough to mask it on tiny SFs):
+    // residual tables must recover at least as many exact-L2 hits as
+    // raw tables — the point of the refinement
+    val exact = {
+      val c = emb.select($"vec_id".as("vid"), $"embedding".as("ce"))
+        .withColumn("cnorm", Similarity.normSqDecimal($"ce"))
+      val qq = q.select($"vec_id".as("qid"), $"embedding".as("qe"))
+        .withColumn("qnorm", Similarity.normSqDecimal($"qe"))
+      val d2 = ($"cnorm" + $"qnorm") - (lit(2.0) * Similarity.dotDecimal($"qe", $"ce"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(d2.asc, $"vid")
+      c.join(broadcast(qq), $"qid" =!= $"vid")
+        .withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+        .select($"qid", $"vid").localCheckpoint()
+    }
+    val rawHits = Pq.ivfpqTopK(emb, q, 5, shortlist = 20)
+      .select("qid", "vid").intersect(exact).count()
+    val resHits = Pq.ivfpqResidualTopK(emb, q, 5, shortlist = 20)
+      .select("qid", "vid").intersect(exact).count()
+    info(s"tight-shortlist hits: raw=$rawHits residual=$resHits")
+    assert(resHits >= rawHits,
+      s"residual ADC ($resHits) lost to raw ADC ($rawHits) at tight shortlist")
+  }
+
   test("q90 group split: users never straddle; user counts partition") {
     import graft.queries.Sampling
     val ev = Tables.events(spark, sf)
