@@ -158,6 +158,30 @@ class WarehouseAnalyticsSpec extends SparkSpec {
       "partial-aggregate merge must be bit-identical to the direct aggregate")
   }
 
+  test("q96 HLL merge law holds under a finer 4-generation split; estimates track exact") {
+    // the q70 merge law applied to the non-algebraic aggregate: union
+    // of per-generation HLL sketches must estimate within the HIP-vs-
+    // composite envelope of the whole-corpus sketch, however the
+    // corpus is cut into generations (here: 4 cuts by order year)
+    val ord = Tables.orders(spark, sf).select(
+      $"o_orderstatus".as("status"), $"o_custkey".as("cust"),
+      year($"o_orderdate").as("gen"))
+    val merged4 = ord.groupBy("status", "gen")
+      .agg(hll_sketch_agg($"cust").as("sk"))
+      .groupBy("status")
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est_m"))
+    val whole = ord.groupBy("status")
+      .agg(hll_sketch_estimate(hll_sketch_agg($"cust")).as("est_w"))
+    val exact = ord.groupBy("status").agg(countDistinct($"cust").as("x"))
+    val bad = exact.join(merged4, "status").join(whole, "status")
+      .filter(abs($"est_m" - $"est_w") > greatest($"x" * 0.033, lit(2.0)) ||
+        abs($"est_m" - $"x") > $"x" * 0.05)
+    assert(bad.isEmpty, s"merge law violated: ${bad.collect().mkString(", ")}")
+    // and the declared entry publishes all-true verdicts
+    val q = Warehouse.q96.fn(spark, sf)
+    assert(q.filter(!$"approx_ok" || !$"merge_law_ok").isEmpty)
+  }
+
   test("q71 profile: metric key set is complete and n_rows/histogram are consistent") {
     val prof = Warehouse.q71.fn(spark, sf).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
