@@ -214,7 +214,7 @@ object Curation {
       .withColumn("_pid", spark_partition_id())
     // localCheckpoint: the offsets agg and the main pass must see the
     // SAME partitioning (range sampling re-runs otherwise)
-    val staged = ranged.localCheckpoint()
+    val staged = ranged.transform(graft.Staging.stage)
     val ptok = staged.groupBy("_pid")
       .agg(sum(col(tokensCol).cast("long")).as("_t"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)

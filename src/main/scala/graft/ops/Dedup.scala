@@ -133,18 +133,18 @@ object Dedup {
     // Spark-only — ranking by it would silently desync the oracle)
     val shB = wordShingles(spreadToCores(batch), idCol, textCol, k)
       .select(col("doc"), col("shingle"), xxhash64(col("shingle")).as("sh"))
-      .localCheckpoint()
+      .transform(graft.Staging.stage)
     val shE = wordShingles(spreadToCores(existing), idCol, textCol, k)
       .select(col("doc"), xxhash64(col("shingle")).as("sh"))
-      .localCheckpoint()
+      .transform(graft.Staging.stage)
     val dfreq = shB.select("doc", "sh").unionByName(shE).groupBy("sh")
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .transform(graft.Staging.stage)
     val rareSh = dfreq.filter(col("c") <= maxDf).select("sh")
     val cand1 = shB.join(rareSh, "sh").select(col("doc").as("da"), col("sh"))
       .join(shE.join(rareSh, "sh").select(col("doc").as("db"), col("sh")), "sh")
       .select("da", "db")
-      .localCheckpoint() // consumed twice: the union below + generator 2's unpaired set
+      .transform(graft.Staging.stage) // consumed twice: the union below + generator 2's unpaired set
     // Generator 2 — batch docs generator 1 left UNPAIRED: either
     // all-hot (every shingle above maxDf — boilerplate, invisible to
     // rare blocking by construction), or their only rare shingles are
@@ -169,11 +169,11 @@ object Dedup {
     val cand2 = fbKeys
       .join(shE.select(col("doc").as("db"), col("sh")), "sh")
       .select("da", "db")
-    val cand = cand1.unionByName(cand2).distinct().localCheckpoint()
+    val cand = cand1.unionByName(cand2).distinct().transform(graft.Staging.stage)
     val shBc = shB.join(cand.select(col("da").as("doc")), Seq("doc"), "left_semi")
-      .localCheckpoint()
+      .transform(graft.Staging.stage)
     val shEc = shE.join(cand.select(col("db").as("doc")), Seq("doc"), "left_semi")
-      .localCheckpoint()
+      .transform(graft.Staging.stage)
     graft.CheckpointJanitor.dropNow(shE)
     val sizesB = shBc.groupBy("doc").agg(count(lit(1)).as("n"))
     val sizesE = shEc.groupBy("doc").agg(count(lit(1)).as("n"))
@@ -256,12 +256,14 @@ object Dedup {
     // Materialize the signatures ONCE: the shingle→explode→H-way min
     // pipeline behind `sigs` is the expensive stage, and the LSH
     // self-join below would otherwise re-execute it on BOTH sides
-    // (2× compute, worse under AQE re-planning). Eager localCheckpoint
-    // (not cache) so the blocks are owned by the RDD and reclaimed by
-    // the ContextCleaner when the plan is dropped — a long-lived
-    // session never accumulates pinned cache entries. The materialized
-    // relation is (doc, sig) — H longs per doc, tiny vs the text.
-    val matSigs = sigs.localCheckpoint()
+    // (2× compute, worse under AQE re-planning). Eager stage barrier
+    // (Staging.stage — local blocks by default, reliable checkpoint
+    // under spark.graft.reliableCheckpoint; not cache) so the blocks
+    // are owned by the RDD and reclaimed when the plan is dropped — a
+    // long-lived session never accumulates pinned cache entries. The
+    // materialized relation is (doc, sig) — H longs per doc, tiny vs
+    // the text.
+    val matSigs = sigs.transform(graft.Staging.stage)
     val banded = matSigs.select(col("doc"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPer + 1, lit(rowsPer))), b)))
@@ -317,7 +319,7 @@ object Dedup {
     * band — and the key stays oracle-replayable. */
   def minHashNearDupsPortable(sigs: DataFrame, bands: Int, rowsPer: Int,
       threshold: Double): DataFrame = {
-    val matSigs = sigs.localCheckpoint() // same 2×-recompute guard as minHashNearDups
+    val matSigs = sigs.transform(graft.Staging.stage) // same 2×-recompute guard as minHashNearDups
     val banded = matSigs.select(col("doc"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => concat_ws(",", slice(col("sig"), b * rowsPer + 1, lit(rowsPer)))))
@@ -476,7 +478,7 @@ object Dedup {
     // instead of pinning the session cache across a long-lived session.
     val sh = wordShingles(spread, idCol, textCol, k)
       .select(col("doc"), xxhash64(col("shingle")).as("sh"))
-      .localCheckpoint()
+      .transform(graft.Staging.stage)
     val docFreq = sh.groupBy("sh").agg(count(lit(1)).as("c"))
     val rare = sh.join(docFreq.filter(col("c") <= maxDf), "sh")
     // cand is the small DISTINCT (da, db) pair relation; deduplicated
@@ -487,7 +489,7 @@ object Dedup {
         col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("da"), col("b.doc").as("db"))
       .distinct()
-      .localCheckpoint()
+      .transform(graft.Staging.stage)
     // rare is returned LAZY (a plan over the checkpointed sh, no extra
     // cost to callers that ignore it) — q41g derives its all-hot doc
     // set from it before dropping sh.
@@ -510,7 +512,7 @@ object Dedup {
     val candDocs = cand.select(col("da").as("doc"))
       .unionByName(cand.select(col("db").as("doc")))
     val shc = sh.join(candDocs, Seq("doc"), "left_semi")
-      .localCheckpoint()
+      .transform(graft.Staging.stage)
     // the full-corpus shingle relation has no consumer past the shc
     // build (cand was materialized inside shingleCandidates) — drop
     // its blocks now instead of carrying them to query end
@@ -677,7 +679,7 @@ object Dedup {
     // One extra agg over the checkpointed 8-byte (doc, sh) relation;
     // eagerly materialized (it is sh's LAST consumer — sh's blocks
     // drop right after, instead of living to query end).
-    val rareDocs = rare.select("doc").distinct().localCheckpoint()
+    val rareDocs = rare.select("doc").distinct().transform(graft.Staging.stage)
     graft.CheckpointJanitor.dropNow(sh)
     val meta = docs.select(col(idCol).as("doc"),
       substring(col(textCol), 1, prefixLen).as("pfx"), col(langCol).as("lang"),
@@ -762,14 +764,14 @@ object Dedup {
       bCol: String = "db", maxIters: Int = 20): (DataFrame, Int) = {
     val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
       .unionByName(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
-      .localCheckpoint()
+      .transform(graft.Staging.stage)
     // round 0 fused into the init: label = min(self, direct neighbors)
     // — diameter-1 components (the common near-dup case) then converge
     // in the first loop check without paying a propagation round
     var labels = edges.groupBy(col("a"))
       .agg(min(col("b")).as("nmin"))
       .select(col("a").as("doc"), least(col("a"), col("nmin")).as("comp"))
-      .localCheckpoint()
+      .transform(graft.Staging.stage)
     def round(cur: DataFrame): (DataFrame, Long) = {
       val viaNeighbors = edges
         .join(cur.select(col("doc").as("b"), col("comp")), "b")
@@ -784,7 +786,7 @@ object Dedup {
           Seq("comp"), "left")
         .select(col("doc"),
           least(col("comp"), coalesce(col("jump"), col("comp"))).as("comp"))
-        .localCheckpoint()
+        .transform(graft.Staging.stage)
       val c = next
         .join(cur.select(col("doc"), col("comp").as("prev")), "doc")
         .filter(col("comp") =!= col("prev")).count()
@@ -851,7 +853,7 @@ object Dedup {
     // bytes/doc — eagerly localCheckpoint it so the token-hash vote
     // aggregation runs once, not once per self-join side, without
     // pinning session cache (blocks freed with the RDD).
-    val mat = hashes.localCheckpoint()
+    val mat = hashes.transform(graft.Staging.stage)
     val chunked = mat.select(col("doc"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*))

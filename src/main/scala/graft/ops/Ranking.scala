@@ -13,6 +13,12 @@ import org.apache.spark.sql.functions._
   * plus the partition's offset. Ties must be broken by the caller's
   * sort columns (include a unique key) — with a total order, the rank
   * is partitioning-independent and therefore oracle-stable.
+  *
+  * The stage barrier goes through [[graft.Staging.stage]]: local
+  * blocks by default, a RELIABLE checkpoint under
+  * `spark.graft.reliableCheckpoint=true` so a preemptible fleet's
+  * lost executor costs a re-read instead of the job (round-16
+  * verdict item 8; results bit-identical either way, spec-pinned).
   */
 object Ranking {
 
@@ -22,7 +28,7 @@ object Ranking {
       .withColumn("_pid", spark_partition_id())
       // the counts agg and the rank pass must see the SAME partitioning
       // (range sampling re-runs otherwise)
-      .localCheckpoint()
+      .transform(graft.Staging.stage)
     val counts = staged.groupBy("_pid").agg(count(lit(1)).as("_n"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val offsets: Map[Int, Long] =
@@ -48,7 +54,7 @@ object Ranking {
       sortCols: Column*): DataFrame = {
     val staged = df.repartitionByRange(sortCols: _*)
       .withColumn("_pid", spark_partition_id())
-      .localCheckpoint() // offsets agg + main pass must share one partitioning
+      .transform(graft.Staging.stage) // offsets agg + main pass must share one partitioning
     val totals = staged.groupBy("_pid")
       .agg(sum(col(valCol).cast("long")).as("_t"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)

@@ -145,7 +145,7 @@ object Sampler {
         col("w").as("tw")))
       .groupBy(col("a.s"), col("a.w"), col("a.n"))
       .agg(min(expr(s"($Buckets * tn * w) div (tw * n)")).as("rate_bp"))
-      .localCheckpoint()
+      .transform(graft.Staging.stage)
     val mixed = df.join(broadcast(rates.select(col("s"), col("rate_bp"))),
         stratum === col("s"))
       .filter(bucket(key) < col("rate_bp"))

@@ -424,7 +424,7 @@ object Similarity {
     // materialize the probe relation ONCE: the cell-id collect and the
     // verify join share it, so the queries×cells decimal-dot argmax
     // doesn't run twice per probe call
-    val q = probeCells(cents, queries, nprobe).localCheckpoint()
+    val q = probeCells(cents, queries, nprobe).transform(graft.Staging.stage)
     val probed = q.select("cell").distinct().collect().map(_.getInt(0)).sorted
     ivfVerify(assigned.filter(col("cell").isin(probed.map(Int.box): _*)), q, k)
   }

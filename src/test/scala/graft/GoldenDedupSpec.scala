@@ -2,14 +2,14 @@ package graft
 
 import graft.queries.NorthStar
 
-/** Engine-external pins for the two rows-only queries (q41b minhash,
-  * q41c simhash — xxhash64-based, so no DuckDB twin exists). DedupSpec
-  * proves internal consistency (fused ≡ composed, property tests);
-  * these golden files catch the remaining failure mode: a change that
-  * consistently alters the emitted pairs (banding arithmetic, salt
-  * scheme, hash seeding) while preserving row counts and internal
-  * invariants. The pins were produced by the round-9 engine at
-  * sf0.001 and committed; any drift in the pair lists fails here.
+/** Engine-external pins for q41b minhash / q41c simhash. Since round
+  * 16 both run on the PORTABLE hash family and are duck-oracled, so
+  * the primary cross-engine check is the driver's; these goldens stay
+  * as a fast in-suite drift pin (banding arithmetic, lane constants,
+  * hash seeding) that fails without needing DuckDB. Regenerated in
+  * round 16 from the portable-family outputs AFTER they hash-matched
+  * the DuckDB oracle at sf0.001/sf0.01/sf0.1 — the pins inherit the
+  * oracle's authority.
   */
 class GoldenDedupSpec extends SparkSpec {
 
