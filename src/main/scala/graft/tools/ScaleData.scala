@@ -19,7 +19,10 @@ import org.apache.spark.sql.functions._
   *     mask — Gaussian components are sign-symmetric, so each copy has
   *     the original distribution but is near-orthogonal to the rest.
   *
-  * Usage: runMain graft.tools.ScaleData <baseDir> <outDir> <factor>
+  * Usage: runMain graft.tools.ScaleData <baseDir> <outDir> <factor> [tables CSV]
+  * (the optional table list limits the derivation — e.g. `documents`
+  * for the 100× text rungs, where deriving 60 M lineitem rows would
+  * be pure waste)
   */
 object ScaleData {
 
@@ -29,7 +32,10 @@ object ScaleData {
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(baseDir, outDir, factorS) = args
+    val (baseDir, outDir, factorS, onlyTables) = args match {
+      case Array(b, o, f)    => (b, o, f, None)
+      case Array(b, o, f, t) => (b, o, f, Some(t.split(",").map(_.trim).toSet))
+    }
     val factor = factorS.toInt
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
@@ -64,7 +70,7 @@ object ScaleData {
       "documents" -> Seq("doc_id" -> D),
       "embeddings" -> Seq("vec_id" -> V))
 
-    for ((t, cols) <- shifts) {
+    for ((t, cols) <- shifts if onlyTables.forall(_.contains(t))) {
       val base = read(t)
       val out =
         if (cols.isEmpty || factor == 1) base
