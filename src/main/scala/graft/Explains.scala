@@ -65,7 +65,11 @@ object Explains {
     // round-15 batch 20: market-basket mining + small-file compaction
     "q93_market_basket", "q94_compaction",
     // round-15 batch 21: curriculum decile binning
-    "q95_curriculum_bins")
+    "q95_curriculum_bins",
+    // round 16: k-means quantizer, residual IVFPQ, HLL sketch merge,
+    // and the newly duck-oracled portable minhash
+    "q42f_similarity_ivf_kmeans", "q88c_similarity_ivfpq_residual",
+    "q96_hll_incremental_distinct", "q41b_dedup_minhash")
 
   /** Prose above a query's plan — the one- paragraph reading guide for
     * the plan properties SCALING.md leans on. Keyed by query name so a
@@ -80,11 +84,44 @@ object Explains {
         |splits whatever the partitioning.""".stripMargin,
     "q91_eval_metrics" ->
       """The corpus-shaped work is q83's kNN stage (broadcast-query brute
-        |force); everything above it — the labels × predictions cross join
-        |and the per-class counts — is O(classes · queries). Each metric is
-        |ONE division from integer counts (F1 via 2tp/(2tp+fp+fn)), so the
+        |force); ONE groupBy(t, pr) pass collapses predictions to the
+        |O(classes²) confusion matrix (round-15 verdict item 6 — the old
+        |plan replicated prediction rows per class), and only that tiny
+        |broadcast relation is cross-joined per label. Each metric is ONE
+        |division from integer counts (F1 via 2tp/(2tp+fp+fn)), so the
         |plan's float surface is three scalar divisions per class
         |row.""".stripMargin,
+    "q42f_similarity_ivf_kmeans" ->
+      """Identical probe-time plan to q42d — the k-means refinement is
+        |entirely BUILD-time (iters × one corpus pass + a cells×dim
+        |map-side-combined decimal-sum shuffle, each a bounded driver
+        |collect), after which the centroids are the same literal arrays
+        |and assignment stays a pure map. The dial trades build passes for
+        |tighter cells without touching query cost.""".stripMargin,
+    "q88c_similarity_ivfpq_residual" ->
+      """Same pruning shape as q88b (probe→assign join bounds everything
+        |downstream); the residual refinement adds one cells×dim mean
+        |collect at build and makes the query ADC tables per-(query,
+        |probed-cell) — still broadcast-sized (nprobe × M × 16 decimals
+        |per query). Measured: residual tables recover half the
+        |ADC-vs-ceiling recall gap at the derived nprobe.""".stripMargin,
+    "q96_hll_incremental_distinct" ->
+      """The incremental-distinct shape: per-(generation, group) HLL
+        |sketch partials aggregate with map-side combine (each partial is
+        |a KB-scale binary), the refresh unions O(groups) sketches, and
+        |the exact COUNT(DISTINCT) twin beside it is the oracle surface.
+        |At 100 TB the refresh reads the delta plus stored sketches —
+        |never the history.""".stripMargin,
+    "q41b_dedup_minhash" ->
+      """Portable-family minhash (round 16): the signature stage is ONE
+        |fused map expression (shingling, Horner-fold base, 32 affine
+        |lane mins — no explode, no aggregation shuffle), staged once so
+        |the LSH self-join reads it from blocks instead of recomputing
+        |both sides; band keys are comma-joined decimal strings (oracle-
+        |replayable), candidates dedupe before the estimated-Jaccard
+        |verify. Plan shape identical to the xxhash64 variant — only the
+        |hash family changed, which is what flipped the query from
+        |rows-only to duck-checked.""".stripMargin,
     "q95_curriculum_bins" ->
       """NTILE without the single-partition window: the plan's global
         |order is a RANGE exchange (globalRank — per-partition row_number

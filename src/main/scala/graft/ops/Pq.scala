@@ -103,9 +103,31 @@ object Pq {
     }: _*)), 1).getField("c")
 
   /** One-pass PQ encode: (vid, c0..c15) — 16 bytes of codes per
-    * 256-byte vector, the persistable artifact. Pure map, no
-    * shuffle. */
+    * 256-byte vector, the persistable artifact. Pure map, no shuffle,
+    * ONE fused kernel call per row ([[graft.functions.PqCodes]] —
+    * round 16: the composed M×K expression tree exceeded janino's
+    * 64 KB method limit and silently dropped the whole corpus pass out
+    * of whole-stage codegen; the kernel is bit-identical, spec-pinned
+    * against the composed form). */
   def encode(corpus: DataFrame,
+      cb: Seq[(Int, Int, Array[Double], Double)]): DataFrame =
+    withCodeCols(corpus.select(col("vec_id").as("vid"),
+      col("embedding").as("e")), "e", cb).drop("e")
+
+  /** Attach c0..c15 via the fused kernel to any relation carrying an
+    * embedding/residual array column. */
+  private[graft] def withCodeCols(df: DataFrame, embCol: String,
+      cb: Seq[(Int, Int, Array[Double], Double)]): DataFrame = {
+    val withCodes = df.withColumn("_codes",
+      graft.functions.PqCodes(col(embCol), cb, M, subDim))
+    (0 until M).foldLeft(withCodes) { (d, m) =>
+      d.withColumn(s"c$m", element_at(col("_codes"), m + 1))
+    }.drop("_codes")
+  }
+
+  /** The composed (expression-tree) encoder — kept as the semantic
+    * reference the kernel is spec-pinned against. */
+  private[graft] def encodeComposed(corpus: DataFrame,
       cb: Seq[(Int, Int, Array[Double], Double)]): DataFrame = {
     val base = corpus.select(col("vec_id").as("vid"), col("embedding").as("e"))
     (0 until M).foldLeft(base) { (df, m) =>
@@ -269,24 +291,14 @@ object Pq {
       .withColumn("re", residualCol(col("ce"), col("cell"), means))
       .select("vid", "cell", "re")
     val cb = residualCodebooks(resCorpus, corpus.count())
-    // encode: argmin over residual-codebook literals, pure map
-    val codes = (0 until M).foldLeft(resCorpus) { (df, m) =>
-      val sub = slice(col("re"), m * subDim + 1, subDim)
-      df.withColumn(s"c$m",
-        bestCode(cb, m)(sub, Similarity.normSqDecimal(sub)))
-    }.drop("re")
-    // per-(query, probed-cell) residual ADC tables
-    val dec = DecimalType(23, 14)
+    // encode: argmin over residual-codebook literals — the same fused
+    // kernel as the raw encode, pure map
+    val codes = withCodeCols(resCorpus, "re", cb).drop("re")
+    // per-(query, probed-cell) residual ADC tables — same fused kernel
     val probe = Similarity.probeCells(cents, queries, np)
       .select(col("qid"), col("cell"), col("qe"))
       .withColumn("qr", residualCol(col("qe"), col("cell"), means))
-    val qTables = (0 until M).foldLeft(probe) { (df, m) =>
-      val sub = slice(col("qr"), m * subDim + 1, subDim)
-      val nrm = Similarity.normSqDecimal(sub)
-      df.withColumn(s"qd$m", array(cb.collect {
-        case (`m`, _, v, vn) => d2(sub, nrm, v, vn).cast(dec)
-      }: _*))
-    }.drop("qe", "qr")
+    val qTables = withQdCols(probe, "qr", cb).drop("qe", "qr")
     val pairs = codes.join(broadcast(qTables), "cell")
       .filter(col("qid") =!= col("vid"))
     rerank(adcShortlist(pairs, depth(corpus, shortlist)), corpus, queries, k)
@@ -377,18 +389,23 @@ object Pq {
 
   /** Query rows extended with per-subspace 16-entry ADC tables —
     * each entry cast to DECIMAL(23,14) at the boundary so the ADC sum
-    * is exact and association-free. */
+    * is exact and association-free. One fused kernel call
+    * ([[graft.functions.PqAdcTables]] — same 64 KB-codegen rationale
+    * as the encode kernel). */
   private def withQdTables(queries: DataFrame,
+      cb: Seq[(Int, Int, Array[Double], Double)]): DataFrame =
+    withQdCols(queries.select(col("vec_id").as("qid"),
+      col("embedding").as("qe")), "qe", cb).drop("qe")
+
+  /** Attach qd0..qd15 via the fused ADC-table kernel to any relation
+    * carrying a query embedding/residual array column. */
+  private def withQdCols(df: DataFrame, embCol: String,
       cb: Seq[(Int, Int, Array[Double], Double)]): DataFrame = {
-    val dec = DecimalType(23, 14)
-    val qBase = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    (0 until M).foldLeft(qBase) { (df, m) =>
-      val sub = subCol(col("qe"), m)
-      val nrm = Similarity.normSqDecimal(sub)
-      df.withColumn(s"qd$m", array(cb.collect {
-        case (`m`, _, v, vn) => d2(sub, nrm, v, vn).cast(dec)
-      }: _*))
-    }.drop("qe")
+    val withT = df.withColumn("_qd",
+      graft.functions.PqAdcTables(col(embCol), cb, M, subDim))
+    (0 until M).foldLeft(withT) { (d, m) =>
+      d.withColumn(s"qd$m", element_at(col("_qd"), m + 1))
+    }.drop("_qd")
   }
 
   /** Decimal ADC fold over (codes ⋈ qd-tables) pair rows → per-query

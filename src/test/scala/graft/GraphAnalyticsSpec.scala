@@ -183,6 +183,16 @@ class GraphAnalyticsSpec extends SparkSpec {
     codes.unpersist()
   }
 
+  test("PqCodes kernel is bit-identical to the composed encode tree") {
+    import graft.ops.Pq
+    val emb = Tables.embeddings(spark, sf)
+    val cb = Pq.codebooks(emb)
+    val fused = Pq.encode(emb, cb)
+    val composed = Pq.encodeComposed(emb, cb)
+    assert(fused.exceptAll(composed).isEmpty && composed.exceptAll(fused).isEmpty,
+      "PqCodes kernel diverges from the composed argmin expression tree")
+  }
+
   test("q88b IVFPQ: every result honors the probe pruning; ranks dense") {
     import graft.ops.{Pq, Similarity}
     val emb = Tables.embeddings(spark, sf)
