@@ -555,7 +555,32 @@ object SqlQueries {
       // SQL dual deliberately plans the naive single-partition window
       // while the DataFrame twin plans globalRank + the closed form,
       // and both must hash-agree
-      verbatim(Curation5x.q95))
+      verbatim(Curation5x.q95),
+      // round 16: q96's dual exercises the HLL sketch functions through
+      // SQL TEXT (hll_sketch_agg / hll_union_agg / hll_sketch_estimate)
+      // — the oracle stays the exact-twin + verdict booleans
+      (Warehouse.q96,
+        """WITH ord AS (
+          |  SELECT o_orderstatus AS status, o_custkey AS cust, o_orderdate AS od
+          |  FROM orders),
+          |base AS (SELECT status, hll_sketch_agg(cust) AS sk FROM ord
+          |         WHERE od < TIMESTAMP '2000-01-01 00:00:00' GROUP BY status),
+          |delta AS (SELECT status, hll_sketch_agg(cust) AS sk FROM ord
+          |          WHERE od >= TIMESTAMP '2000-01-01 00:00:00' GROUP BY status),
+          |merged AS (
+          |  SELECT status, hll_sketch_estimate(hll_union_agg(sk)) AS est_m
+          |  FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+          |  GROUP BY status),
+          |whole AS (SELECT status, hll_sketch_estimate(hll_sketch_agg(cust)) AS est_w
+          |          FROM ord GROUP BY status),
+          |ex AS (SELECT status, CAST(COUNT(DISTINCT cust) AS BIGINT) AS exact_custs
+          |       FROM ord GROUP BY status)
+          |SELECT ex.status, ex.exact_custs,
+          |  (abs(est_m - exact_custs) <= exact_custs * 0.05) AS approx_ok,
+          |  (abs(est_m - est_w) <= greatest(exact_custs * 0.033, 2.0D)) AS merge_law_ok
+          |FROM ex JOIN merged m ON m.status = ex.status
+          |JOIN whole w ON w.status = ex.status
+          |ORDER BY ex.status""".stripMargin))
   }
 
   /** Spark-SQL text of q43b, generated from the SAME stopword profiles
