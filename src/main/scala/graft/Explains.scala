@@ -69,7 +69,11 @@ object Explains {
     // round 16: k-means quantizer, residual IVFPQ, HLL sketch merge,
     // and the newly duck-oracled portable minhash
     "q42f_similarity_ivf_kmeans", "q88c_similarity_ivfpq_residual",
-    "q96_hll_incremental_distinct", "q41b_dedup_minhash")
+    "q96_hll_incremental_distinct", "q41b_dedup_minhash",
+    // round-16 batch 2: substring dedup, hashed classifier, DSIR,
+    // hard-negative mining
+    "q97_substring_dedup", "q97b_substring_strip", "q98_quality_classifier",
+    "q99_dsir_importance", "q100_hard_negatives")
 
   /** Prose above a query's plan — the one- paragraph reading guide for
     * the plan properties SCALING.md leans on. Keyed by query name so a
@@ -122,6 +126,54 @@ object Explains {
         |verify. Plan shape identical to the xxhash64 variant — only the
         |hash family changed, which is what flipped the query from
         |rows-only to duck-checked.""".stripMargin,
+    "q97_substring_dedup" ->
+      """Sub-document dedup (Lee et al. 2022): the gram explode is the
+        |only corpus-×L pass; the global frequency groupBy shuffles 8-byte
+        |portable HASHES (the gram strings never leave their partitions
+        |for the count), and only occurrences whose hash repeats join back
+        |for the exact-string verify — the find→verify split that makes a
+        |~30-bit hash safe at any scale. Span merging is one per-doc
+        |window (running max of span end), so overlapping grams of a long
+        |repeated passage cost one row each, never L. The left join back
+        |to the doc list is the only full-corpus exchange after the gram
+        |stage.""".stripMargin,
+    "q97b_substring_strip" ->
+      """q97's realization: same find→verify span pipeline, then covered
+        |positions explode from the VERIFIED spans only (duplicated
+        |occurrences × L rows — corpus-linear by the measured q97 law),
+        |the anti-join keeps survivors, and reassembly is one per-doc
+        |aggregate (array_sort over (pos, token) structs). The full
+        |cleaned string hash-checks — the span arithmetic has nowhere to
+        |hide.""".stripMargin,
+    "q98_quality_classifier" ->
+      """The hashing-trick plan: NO vocabulary relation, NO join, no
+        |explode — scoring is one fused kernel expression
+        |(BucketWeightSum) walking each token array once with the weight
+        |array riding codegen as a reference object. The whole query is a
+        |map over the corpus followed by nothing: verdicts are computed
+        |where the text lives. At 100 TB this is the difference between a
+        |model-based filter that costs one scan and one that shuffles a
+        |tokenized corpus against a vocabulary table.""".stripMargin,
+    "q99_dsir_importance" ->
+      """DSIR in three bounded stages: ONE tokenized pass builds both
+        |hashed-unigram histograms (conditional aggregate, map-side
+        |combined, D=1024 rows out); the log-ratio table collects to a
+        |D-long literal (the Pq codebook discipline) so the corpus-wide
+        |scoring pass is the same fused map kernel as q98 — zero explode,
+        |zero join at score time; selection is Ranking.globalRank's range
+        |exchange (no single-partition window) + an O(1) count broadcast
+        |for the ⌈n/4⌉ cut. The SQL dual deliberately plans the naive
+        |global window and must hash-agree — the q78/q95 proof
+        |pattern.""".stripMargin,
+    "q100_hard_negatives" ->
+      """Hard-negative mining: q42's broadcast-query brute shape with
+        |the label-mismatch predicate in the JOIN CONDITION — same-label
+        |pairs are never generated, not filtered after scoring — and the
+        |per-query top-3 as a WindowGroupLimit (both sides of the
+        |exchange), so no candidate relation is ever fully sorted. The
+        |exact pass is the baseline contract; at 100 TB the mining batch
+        |rides the IVF/PQ probe (q88b) with this predicate applied at the
+        |probe join.""".stripMargin,
     "q95_curriculum_bins" ->
       """NTILE without the single-partition window: the plan's global
         |order is a RANGE exchange (globalRank — per-partition row_number

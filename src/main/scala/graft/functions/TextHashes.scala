@@ -154,6 +154,34 @@ object TextHashes {
     java.lang.Long.valueOf(r)
   }
 
+  /** Fused hashing-trick scorer pass: one walk over a token array
+    * computing (non-empty token count, Σ weights[portableBase(tok) mod
+    * weights.length]) — the feature-hashing inner loop of a linear
+    * text scorer (fastText-style quality filter, DSIR importance
+    * weighting). No vocabulary relation, no explode, no join: the
+    * "model" is a weight ARRAY indexed by the portable hash, so the
+    * whole score stage is a map over the corpus whatever the
+    * vocabulary size. Returns null when no token contributes (mirrors
+    * the explode-formulation's groupBy dropping the doc). Weight sums
+    * are exact int64 — order-independent, so the fused result is
+    * bit-identical to the explode+join restatement the oracle runs. */
+  def bucketWeightSum(tokens: ArrayData, weights: Array[Long]): Array[Long] = {
+    val d = weights.length
+    var cnt = 0L
+    var sum = 0L
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val t = tokens.getUTF8String(i)
+      if (t != null && t.numBytes() > 0) {
+        cnt += 1
+        sum += weights((portableBase(t) % d).toInt)
+      }
+      i += 1
+    }
+    if (cnt == 0) null else Array(cnt, sum)
+  }
+
   /** 64-bit SimHash of a token array: per-bit ±1 votes of
     * xxhash64(token) over non-empty tokens; bit set iff votes > 0.
     * Null when no token contributes (mirrors SimHashAgg semantics). */
@@ -249,6 +277,74 @@ object MinHashSigsPortable {
   def apply(tokens: Column, k: Int, numHashes: Int): Column =
     GraftBridge.column(
       MinHashSigsPortable(GraftBridge.expression(tokens), k, numHashes))
+}
+
+/** `array<string>` tokens → `array<bigint>` [n_tokens, Σ weight] via
+  * [[TextHashes.bucketWeightSum]] — the weight array rides the
+  * expression as a codegen reference object (the PqCodes discipline:
+  * corpus- or formula-derived model parameters become literals, the
+  * scoring pass stays a pure map inside whole-stage codegen). */
+case class BucketWeightSum(child: Expression, weights: Array[Long])
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true // null when no token contributes
+
+  override def nullSafeEval(a: Any): Any = {
+    val r = TextHashes.bucketWeightSum(a.asInstanceOf[ArrayData], weights)
+    if (r == null) null else new GenericArrayData(r)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("weights", weights, "long[]")
+    nullSafeCodeGen(ctx, ev, x => {
+      val r = ctx.freshName("bws")
+      s"""
+         |long[] $r = graft.functions.TextHashes.bucketWeightSum($x, $wRef);
+         |if ($r == null) { ${ev.isNull} = true; } else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($r);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BucketWeightSum =
+    copy(child = newChild)
+  override def prettyName: String = "bucket_weight_sum"
+}
+
+object BucketWeightSum {
+  def apply(tokens: Column, weights: Array[Long]): Column =
+    GraftBridge.column(
+      BucketWeightSum(GraftBridge.expression(tokens), weights))
+}
+
+/** `string` → portable Horner-fold base hash ([[TextHashes
+  * .portableBase]]) as ONE native kernel call — bit-identical to the
+  * composed HOF fold (`TextAnalysis.fingerprint` = aggregate over
+  * split("") chars) but without materializing a per-char array per
+  * value: the q97 gram stage hashes ~L× the corpus token count, where
+  * the char-array garbage of the HOF form is the dominant cost. */
+case class PortableHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(a: Any): Any =
+    TextHashes.portableBase(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.TextHashes.portableBase($x);")
+
+  override protected def withNewChildInternal(newChild: Expression): PortableHash =
+    copy(child = newChild)
+  override def prettyName: String = "portable_hash"
+}
+
+object PortableHash {
+  def apply(s: Column): Column =
+    GraftBridge.column(PortableHash(GraftBridge.expression(s)))
 }
 
 /** Portable-family twin of [[SimHash64]] (per-bit votes from lane

@@ -232,4 +232,188 @@ object Curation {
       .filter(col("cum_tokens") <= budget)
       .drop("_pid")
   }
+
+  // ───────────── model-based filtering / importance resampling ─────────────
+
+  /** Feature-hashing bucket count for the linear scorer family (q98/
+    * q99). 1024 buckets keeps the weight array broadcast-trivial and
+    * the DuckDB restatement enumerable. */
+  val HashDim = 1024
+
+  /** q98's deterministic stand-in for TRAINED logistic-regression
+    * weights: w⁺(b) = (1664525·b + 1013904223) mod 2001 ∈ [0, 2000] —
+    * milli-units shifted by +1000 so every per-token contribution is
+    * POSITIVE (the q43j discipline: integer DIV needs a non-negative
+    * numerator for Spark's truncation and DuckDB's floor to agree).
+    * The formula (an LCG step) is stated identically in the oracle;
+    * a production pipeline loads real trained weights here and the
+    * plan does not change. */
+  def lcgWeights(d: Int = HashDim): Array[Long] =
+    Array.tabulate(d)(b => (1664525L * b + 1013904223L) % 2001L)
+
+  /** fastText-style HASHED LINEAR quality classifier (q98): score
+    * every document with a logistic model over hashed bag-of-words
+    * features — the model-based quality-filter stage of the published
+    * LLM pipelines (GPT-3's quality classifier, CCNet, LLaMA), whose
+    * defining scale trick is the HASHING TRICK: features are
+    * `portableBase(token) mod D`, so there is NO vocabulary relation,
+    * NO join, and the whole scoring pass is one map over the corpus
+    * ([[graft.functions.BucketWeightSum]] — a fused kernel walking
+    * each token array once; weights ride the expression as a codegen
+    * reference object, the PqCodes discipline).
+    *
+    * Exactness: per-token weights are integer milli-units; the per-doc
+    * mean is integer micro-units via DIV on the positive-shifted sum;
+    * the only IEEE arithmetic is the final sigmoid rendering, computed
+    * from the already-exact integer logit in one fixed tree. The keep
+    * verdict compares INTEGERS (logit_micro > 0) — no float in the
+    * decision. */
+  def hashedLinearScore(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val bw = graft.functions.BucketWeightSum(
+      filter(split(lower(col(textCol)), "\\s+"), t => t =!= ""),
+      lcgWeights())
+    docs.select(col(idCol).as("doc_id"), bw.as("bw"))
+      .filter(col("bw").isNotNull)
+      .select(col("doc_id"), col("bw").getItem(0).as("n_tokens"),
+        col("bw").getItem(1).as("sw"))
+      .withColumn("logit_micro",
+        expr("(sw * 1000) div n_tokens") - lit(1000000L))
+      .select(col("doc_id"), col("n_tokens"), col("logit_micro"),
+        round(lit(1.0) / (lit(1.0) +
+          exp(-col("logit_micro").cast("double") / lit(1000000.0))), 6)
+          .as("prob"),
+        (col("logit_micro") > 0).as("keep"))
+  }
+
+  /** DuckDB restatement of [[hashedLinearScore]] — explode + the same
+    * LCG weight formula per bucket; integer sums are order-independent
+    * so the fused-kernel result matches bit-exactly. */
+  def hashedLinearScoreSql(src: String): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, UNNEST(string_split_regex(lower(text), '\\s+')) AS t
+       |  FROM $src),
+       |t2 AS (SELECT doc_id, t FROM toks WHERE t <> ''),
+       |bh AS (SELECT doc_id, ${Dedup.baseHashSql("t")} % $HashDim AS b FROM t2),
+       |contrib AS (SELECT doc_id, (1664525 * b + 1013904223) % 2001 AS wpos FROM bh),
+       |d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |        CAST(SUM(wpos) AS BIGINT) AS sw
+       |      FROM contrib GROUP BY 1),
+       |sc AS (SELECT doc_id, n_tokens,
+       |         (sw * 1000) // n_tokens - 1000000 AS logit_micro
+       |       FROM d)
+       |SELECT doc_id, n_tokens, logit_micro,
+       |  ROUND(1.0 / (1.0 + exp(-CAST(logit_micro AS DOUBLE) / 1000000.0)), 6) AS prob,
+       |  (logit_micro > 0) AS keep
+       |FROM sc ORDER BY doc_id""".stripMargin
+
+  /** DSIR importance resampling (q99 — Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): weight
+    * every raw document by how much its hashed-unigram profile looks
+    * like a TARGET domain, then keep the top quarter. The published
+    * recipe verbatim: build unigram distributions over HASHED buckets
+    * (the same D=[[HashDim]] hashing trick — no vocabulary) for the
+    * target slice and the raw corpus, add-one smooth, and score each
+    * doc by Σ_tokens log(p_target(bucket)/p_raw(bucket)).
+    *
+    * Plan: two bucket-histogram aggregates (output D rows each — the
+    * "model" is a D-row relation whatever the corpus size), their
+    * per-bucket log-ratios rounded ONCE to integer micro-nats (D IEEE
+    * trees total, each one ln + one round from exact integers), then
+    * the corpus-wide scoring pass is [[graft.functions
+    * .BucketWeightSum]] again — the micro-nat table collected to a
+    * D-long literal array (metadata-sized, the Pq codebook precedent)
+    * and fused into one map-only kernel: zero explode, zero join, and
+    * the per-doc sum is EXACT integer arithmetic so partial-agg order
+    * can't flip a verdict. Selection is a distributed global rank
+    * ([[Ranking.globalRank]] — no single-partition window) with
+    * keep = rank ≤ ⌈n/4⌉.
+    *
+    * The target here is the English slice (`lang = 'en'`) — a
+    * deterministic stand-in for "looks like Wikipedia"; a production
+    * run swaps in any target corpus and the plan is unchanged. Note
+    * the published weight is the per-doc SUM of token log-ratios, so
+    * short documents are favored when the average ratio is negative
+    * (most tokens off-target) — the per-token average variant divides
+    * by n_tokens (q43j's shifted-DIV discipline) if length-fairness
+    * matters more than paper fidelity. */
+  def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, keepNum: Int = 1, keepDen: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    val d = HashDim
+    val toks = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"),
+        isTarget.as("is_t"))
+      .select(col("doc_id"), col("is_t"),
+        explode(filter(split(lower(col("text")), "\\s+"), t => t =!= ""))
+          .as("t"))
+    val bucketed = toks
+      .withColumn("b", graft.functions.PortableHash(col("t")) % d)
+    // two histograms in ONE corpus pass (conditional agg), output D rows
+    val hist = bucketed.groupBy("b")
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
+    val totals = hist.agg(sum("cr").as("nr"), sum("ct").as("nt")).collect()(0)
+    val (nr, nt) = (totals.getLong(0), totals.getLong(1))
+    // per-bucket micro-nat log-ratio, one fixed IEEE tree from exact
+    // int64 products ((c+1)·(N+D) < 2^53 up to ~10^8-token corpora per
+    // side — rescale to doubles-first past that, documented here)
+    val lrRows = hist.select(col("b"),
+        (round(log(
+          ((col("ct") + 1) * lit(nr + d)).cast("double") /
+            ((col("cr") + 1) * lit(nt + d)).cast("double")) * 1000000.0))
+          .cast("long").as("lr"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    // unseen buckets (no token hashed there): ct=cr=0 → lr of the pure
+    // smoothing ratio — same closed form, stated in the oracle too
+    val weights = Array.tabulate(d)(b => lrRows.getOrElse(b,
+      math.round(math.log((nr + d).toDouble / (nt + d).toDouble) * 1000000.0)))
+    val bw = graft.functions.BucketWeightSum(
+      filter(split(lower(col(textCol)), "\\s+"), t => t =!= ""), weights)
+    val scored = docs
+      .select(col(idCol).as("doc_id"), col("lang"), bw.as("bw"))
+      .filter(col("bw").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        col("bw").getItem(0).as("n_tokens"),
+        col("bw").getItem(1).as("weight_micro"))
+    val n = scored.count()
+    val keepUpTo = (n * keepNum + keepDen - 1) / keepDen // ⌈n·num/den⌉
+    Ranking.globalRank(scored, "rnk",
+        col("weight_micro").desc, col("doc_id"))
+      .withColumn("keep", col("rnk") <= keepUpTo)
+      .select("doc_id", "lang", "n_tokens", "weight_micro", "rnk", "keep")
+  }
+
+  /** DuckDB restatement of [[dsirSelect]] with `lang = 'en'` as the
+    * target — histograms, smoothing, micro-nat rounding, scoring and
+    * the ⌈n/4⌉ keep rule, bit-exact. The naive global window here vs
+    * the distributed rank in the DataFrame plan is the q78/q95
+    * distributed≡naive proof pattern. */
+  def dsirSelectSql(src: String): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, UNNEST(string_split_regex(lower(text), '\\s+')) AS t
+       |  FROM $src),
+       |t2 AS (SELECT doc_id, lang, t FROM toks WHERE t <> ''),
+       |bh AS (SELECT doc_id, lang, ${Dedup.baseHashSql("t")} % $HashDim AS b FROM t2),
+       |hist AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr,
+       |           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+       |         FROM bh GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr, CAST(SUM(ct) AS BIGINT) AS nt
+       |        FROM hist),
+       |lr AS (SELECT b,
+       |         CAST(ROUND(ln(CAST((ct + 1) * (nr + $HashDim) AS DOUBLE) /
+       |                       CAST((cr + 1) * (nt + $HashDim) AS DOUBLE)) * 1000000.0)
+       |           AS BIGINT) AS lr
+       |       FROM hist CROSS JOIN tot),
+       |scored AS (SELECT bh.doc_id, ANY_VALUE(bh.lang) AS lang,
+       |             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |             CAST(SUM(lr.lr) AS BIGINT) AS weight_micro
+       |           FROM bh JOIN lr USING (b) GROUP BY bh.doc_id),
+       |ranked AS (SELECT doc_id, lang, n_tokens, weight_micro,
+       |             CAST(ROW_NUMBER() OVER (ORDER BY weight_micro DESC, doc_id)
+       |               AS BIGINT) AS rnk,
+       |             COUNT(*) OVER () AS n
+       |           FROM scored)
+       |SELECT doc_id, lang, n_tokens, weight_micro, rnk,
+       |  (rnk * 4 <= n + 3) AS keep
+       |FROM ranked ORDER BY doc_id""".stripMargin
 }

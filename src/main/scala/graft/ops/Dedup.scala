@@ -868,4 +868,192 @@ object Dedup {
       .filter(col("dist") <= maxHamming)
       .select("doc_a", "doc_b", "dist")
   }
+
+  /** EXACT SUBSTRING dedup (the Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better" shape, token-
+    * granular): find every maximal token span covered by an `L`-token
+    * gram that occurs ≥ 2 times ANYWHERE in the corpus, and report per
+    * document how much of it is duplicated text. Doc-level dedup
+    * (q41a–k) cannot see a boilerplate paragraph shared by otherwise-
+    * distinct documents; this operator is the published fix.
+    *
+    * Plan (all relational, no suffix array needed for the ≥2-count
+    * criterion):
+    *   1. one explode pass → every L-gram occurrence (doc, start,
+    *      gram);
+    *   2. candidate grams by PORTABLE-HASH frequency — the global
+    *      groupBy shuffles 8-byte hashes, never gram strings (at
+    *      100 TB the gram relation is ~L× the corpus text, the hash
+    *      relation ~1/8 of it);
+    *   3. exact verify: only occurrences whose HASH is repeated join
+    *      back and recount by the gram STRING — a ~30-bit hash
+    *      collides at corpus scale, so the find→verify split keeps
+    *      the string shuffle proportional to the DUPLICATED sliver
+    *      while making false positives impossible (the minhash-verify
+    *      discipline applied to exact matching);
+    *   4. per-doc interval UNION of the surviving [s, s+L-1] spans via
+    *      one per-doc window (running max of span end — overlapping
+    *      grams of a long repeated passage merge without exploding
+    *      L rows per gram);
+    *   5. left join back to every doc: dup_tokens, dup_frac, and the
+    *      ≥50%-duplicated drop verdict.
+    *
+    * Determinism: counts and span arithmetic are exact integers; the
+    * single IEEE division (dup_frac) is rounded at 6 dp; the verdict
+    * compares integers. DedupSpec pins interval-union coverage against
+    * hand-placed overlapping duplicates. */
+  def substringDupStats(docs: DataFrame, idCol: String, textCol: String,
+      L: Int = 8): DataFrame = {
+    val (toks, dup) = substringDupSpans(docs, idCol, textCol, L)
+    val w = Window.partitionBy("doc").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cov = dup.withColumn("pm", max(col("e")).over(w))
+      .withColumn("contrib", greatest(lit(0L),
+        col("e") - greatest(coalesce(col("pm"), col("s") - 1), col("s") - 1)))
+      .groupBy("doc").agg(sum("contrib").as("dup_tokens"),
+        count(lit(1)).as("n_dup_grams"))
+    toks.select(col("doc"), size(col("l")).cast("long").as("n_tokens"))
+      .join(cov, Seq("doc"), "left")
+      .select(col("doc").as("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          col("n_tokens"), 6).as("dup_frac"),
+        (coalesce(col("dup_tokens"), lit(0L)) * 2 < col("n_tokens"))
+          .as("keep"))
+  }
+
+  /** Shared pipeline prefix of [[substringDupStats]] /
+    * [[substringStrip]]: the filtered token arrays and the verified
+    * duplicated-gram spans (doc, s, e). */
+  private def substringDupSpans(docs: DataFrame, idCol: String,
+      textCol: String, L: Int): (DataFrame, DataFrame) = {
+    val toks = docs.select(col(idCol).as("doc"),
+      filter(split(lower(col(textCol)), "\\s+"), t => t =!= "").as("l"))
+    // Spark's sequence(1, n) DESCENDS when n < 1 — guard short docs
+    // out before generating gram start positions.
+    val occ = toks.filter(size(col("l")) >= L)
+      .select(col("doc"), posexplode(transform(
+        sequence(lit(1), size(col("l")) - (L - 1)),
+        i => concat_ws(" ", slice(col("l"), i, lit(L))))).as(Seq("p0", "gram")))
+      .select(col("doc"), (col("p0") + 1).cast("long").as("s"), col("gram"))
+    // native Horner-fold kernel (bit-identical to TextAnalysis
+    // .fingerprint's HOF form, none of its per-char array garbage —
+    // this stage hashes ~L× the corpus token count)
+    val fp = occ.withColumn("h", graft.functions.PortableHash(col("gram")))
+      .transform(graft.Staging.stage) // occurrences feed the hash agg AND the verify join
+    val hotHashes = fp.groupBy("h").agg(count(lit(1)).as("hn"))
+      .filter(col("hn") >= 2).select("h")
+    val cand = fp.join(hotHashes, "h")
+    val verified = cand.groupBy("gram").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("gram")
+    val dup = cand.join(verified, "gram")
+      .select(col("doc"), col("s"), (col("s") + (L - 1)).as("e"))
+    (toks, dup)
+  }
+
+  /** [[substringDupStats]]'s REALIZATION step (q97b): actually strip
+    * the duplicated spans and publish the cleaned corpus — the output
+    * Lee et al.'s dedup ships to training. Covered positions come from
+    * exploding the verified spans (row volume = duplicated occurrences
+    * × L, corpus-LINEAR by the measured q97 law — never corpus × L);
+    * surviving tokens rejoin per doc through an anti-join and
+    * reassemble in position order. Docs losing every token stay in
+    * the output with empty text — a corpus release must account for
+    * every input id. */
+  def substringStrip(docs: DataFrame, idCol: String, textCol: String,
+      L: Int = 8): DataFrame = {
+    val (toks, dup) = substringDupSpans(docs, idCol, textCol, L)
+    val covered = dup
+      .select(col("doc"), explode(sequence(col("s"), col("e"))).as("pos"))
+      .distinct()
+    val positions = toks
+      .select(col("doc"), posexplode(col("l")).as(Seq("p0", "t")))
+      .select(col("doc"), (col("p0") + 1).cast("long").as("pos"), col("t"))
+    val kept = positions.join(covered, Seq("doc", "pos"), "left_anti")
+      .groupBy("doc")
+      .agg(count(lit(1)).as("kept_tokens"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("t")))),
+          x => x.getField("t")), " ").as("clean_text"))
+    toks.select(col("doc"), size(col("l")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc"), "left")
+      .select(col("doc").as("doc_id"), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** DuckDB restatement of [[substringStrip]] — spans, covered-position
+    * expansion, anti-join survival, in-order reassembly. */
+  def substringStripSql(src: String, L: Int = 8): String = {
+    val Lm1 = L - 1
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+       |           t -> t <> '') AS l
+       |  FROM $src),
+       |occ AS (
+       |  SELECT doc_id, ge.s AS s, ge.gram AS gram FROM (
+       |    SELECT doc_id, UNNEST(list_transform(generate_series(1, len(l) - $Lm1),
+       |      i -> struct_pack(s := i, gram := array_to_string(l[i:i+$Lm1], ' ')))) AS ge
+       |    FROM toks WHERE len(l) >= $L)),
+       |fp AS (SELECT doc_id, s, gram, ${baseHashSql("gram")} AS h FROM occ),
+       |hot AS (SELECT h FROM fp GROUP BY h HAVING COUNT(*) >= 2),
+       |cand AS (SELECT fp.doc_id, fp.s, fp.gram FROM fp JOIN hot USING (h)),
+       |ver AS (SELECT gram FROM cand GROUP BY gram HAVING COUNT(*) >= 2),
+       |dup AS (SELECT c.doc_id, c.s, c.s + $Lm1 AS e FROM cand c JOIN ver USING (gram)),
+       |covered AS (SELECT DISTINCT doc_id, pos FROM (
+       |    SELECT doc_id, UNNEST(generate_series(s, e)) AS pos FROM dup)),
+       |positions AS (
+       |  SELECT doc_id, i AS pos, l[i] AS t
+       |  FROM toks, UNNEST(generate_series(1, len(l))) AS g(i)),
+       |kept AS (
+       |  SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+       |    string_agg(p.t, ' ' ORDER BY p.pos) AS clean_text
+       |  FROM positions p LEFT JOIN covered c
+       |    ON c.doc_id = p.doc_id AND c.pos = p.pos
+       |  WHERE c.pos IS NULL
+       |  GROUP BY p.doc_id),
+       |nt AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens FROM toks)
+       |SELECT nt.doc_id, nt.n_tokens,
+       |  COALESCE(k.kept_tokens, 0) AS kept_tokens,
+       |  COALESCE(k.clean_text, '') AS clean_text
+       |FROM nt LEFT JOIN kept k USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB restatement of [[substringDupStats]] — gram enumeration,
+    * portable-hash candidates, exact-string verify, interval union and
+    * verdicts, bit-exact. `src` must yield (doc_id, text). */
+  def substringDupSql(src: String, L: Int = 8): String = {
+    val Lm1 = L - 1
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+       |           t -> t <> '') AS l
+       |  FROM $src),
+       |occ AS (
+       |  SELECT doc_id, ge.s AS s, ge.gram AS gram FROM (
+       |    SELECT doc_id, UNNEST(list_transform(generate_series(1, len(l) - $Lm1),
+       |      i -> struct_pack(s := i, gram := array_to_string(l[i:i+$Lm1], ' ')))) AS ge
+       |    FROM toks WHERE len(l) >= $L)),
+       |fp AS (SELECT doc_id, s, gram, ${baseHashSql("gram")} AS h FROM occ),
+       |hot AS (SELECT h FROM fp GROUP BY h HAVING COUNT(*) >= 2),
+       |cand AS (SELECT fp.doc_id, fp.s, fp.gram FROM fp JOIN hot USING (h)),
+       |ver AS (SELECT gram FROM cand GROUP BY gram HAVING COUNT(*) >= 2),
+       |dup AS (SELECT c.doc_id, c.s, c.s + $Lm1 AS e FROM cand c JOIN ver USING (gram)),
+       |iv AS (SELECT doc_id, s, e,
+       |         MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+       |       FROM dup),
+       |cov AS (SELECT doc_id,
+       |         CAST(SUM(GREATEST(0, e - GREATEST(COALESCE(pm, s - 1), s - 1))) AS BIGINT) AS dup_tokens,
+       |         CAST(COUNT(*) AS BIGINT) AS n_dup_grams
+       |       FROM iv GROUP BY 1),
+       |nt AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens FROM toks)
+       |SELECT nt.doc_id, nt.n_tokens,
+       |  COALESCE(cov.dup_tokens, 0) AS dup_tokens,
+       |  COALESCE(cov.n_dup_grams, 0) AS n_dup_grams,
+       |  ROUND(CAST(COALESCE(cov.dup_tokens, 0) AS DOUBLE) / nt.n_tokens, 6) AS dup_frac,
+       |  (COALESCE(cov.dup_tokens, 0) * 2 < nt.n_tokens) AS keep
+       |FROM nt LEFT JOIN cov USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
 }

@@ -139,6 +139,37 @@ object Similarity {
       .select(col("qid"), col("vid"), col("rk"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** HARD-NEGATIVE mining (q100): for each query vector, the `k`
+    * nearest corpus vectors carrying a DIFFERENT label — the mining
+    * step contrastive/retrieval training data needs (DPR/SBERT-style
+    * triplets: the best negatives are the most-similar wrong-label
+    * examples, random negatives teach nothing). Same deterministic
+    * scoring discipline as [[cosineTopK]] (decimal-exact dot, total
+    * tie-break on vid), with the label-mismatch predicate INSIDE the
+    * join condition so same-label pairs never reach the ranker, and
+    * the top-k is a per-query WindowGroupLimit — no full sort of the
+    * candidate relation. Scale: the query side is the broadcast
+    * (mining batches are bounded); the corpus side streams — at
+    * 100 TB the exact pass becomes the IVF/PQ-pruned variant (q88b's
+    * machinery) with this op's label predicate applied at the probe
+    * join, unchanged output contract. */
+  def hardNegatives(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = emb.select(col("vec_id").as("vid"), col("embedding").as("ce"),
+        col("label").as("neg_label"))
+      .withColumn("cnorm", normSqDecimal(col("ce")))
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("q_label"))
+      .withColumn("qnorm", normSqDecimal(col("qe")))
+    val scored = c.join(broadcast(q),
+        col("qid") =!= col("vid") && col("neg_label") =!= col("q_label"))
+      .withColumn("cosine",
+        dotDecimal(col("qe"), col("ce")) / sqrt(col("qnorm") * col("cnorm")))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vid"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("q_label"), col("vid"), col("neg_label"),
+        col("rk"), round(col("cosine"), 6).as("cosine"))
+  }
+
   /** ANN top-k: candidates = corpus vectors sharing any of the query's
     * `tables` LSH buckets (equi-join on (tbl, bucket) — never a cross
     * product), then exact cosine within the candidate set. The bucket

@@ -356,6 +356,35 @@ object Curation5x {
       .orderBy("bin")
   }
 
+  /** Hashed linear quality classifier (q98): the MODEL-BASED filter
+    * stage of the published LLM pipelines (GPT-3/CCNet/LLaMA quality
+    * classifiers), with the hashing trick doing the scale work — no
+    * vocabulary relation, no join, one fused map-only kernel pass
+    * ([[graft.ops.Curation.hashedLinearScore]]). Weights are a
+    * deterministic LCG stand-in for a trained model (stated in the
+    * oracle); the keep verdict compares exact integers. */
+  val q98 = QueryDef("q98_quality_classifier",
+    graft.ops.Curation.hashedLinearScoreSql("documents")) { (s, dir) =>
+    graft.ops.Curation.hashedLinearScore(
+        Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** DSIR importance resampling (q99, Xie et al. 2023): hashed-unigram
+    * importance weights against the English target slice, top-quarter
+    * keep via the distributed global rank — the data-SELECTION stage
+    * between quality filtering and training
+    * ([[graft.ops.Curation.dsirSelect]]). The SQL oracle plans the
+    * naive global window; hash equality with the Ranking.globalRank
+    * plan is the q78/q95 distributed≡naive proof. */
+  val q99 = QueryDef("q99_dsir_importance",
+    graft.ops.Curation.dsirSelectSql("documents")) { (s, dir) =>
+    import s.implicits._
+    graft.ops.Curation.dsirSelect(
+        Tables.documents(s, dir), "doc_id", "text", $"lang" === "en")
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(q52, q52b, q53, q54, q54b, q55, q59, q69, q76,
-    q78, q95)
+    q78, q95, q98, q99)
 }

@@ -1274,8 +1274,73 @@ object NorthStar {
       .orderBy("media_id")
   }
 
+  /** Hard-negative mining (q100): per query, the 3 most-similar
+    * WRONG-label vectors — the contrastive-training data op (DPR/
+    * SBERT triplet mining; random negatives teach nothing, the
+    * near-miss wrong answers are the training signal). Label
+    * predicate inside the join, decimal-exact ranking, per-query
+    * WindowGroupLimit — [[graft.ops.Similarity.hardNegatives]]. */
+  val q100 = QueryDef("q100_hard_negatives",
+    """WITH q AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 100 = 0),
+      |norms AS (
+      |  SELECT vec_id, CAST(list_sum(list_transform(embedding,
+      |    x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(23,14)))) AS DOUBLE) AS nrm
+      |  FROM embeddings),
+      |pairs AS (
+      |  SELECT q.vec_id AS qid, CAST(q.label AS INTEGER) AS q_label,
+      |    e.vec_id AS vid, CAST(e.label AS INTEGER) AS neg_label,
+      |    CAST(list_sum(list_transform(generate_series(1, len(q.embedding)),
+      |      i -> CAST(CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+      |           AS DECIMAL(23,14)))) AS DOUBLE) AS dot
+      |  FROM q, embeddings e
+      |  WHERE e.vec_id <> q.vec_id AND e.label <> q.label),
+      |scored AS (
+      |  SELECT qid, q_label, vid, neg_label, dot / sqrt(nq.nrm * ne.nrm) AS cosine
+      |  FROM pairs JOIN norms nq ON nq.vec_id = qid JOIN norms ne ON ne.vec_id = vid),
+      |top AS (SELECT qid, q_label, vid, neg_label,
+      |    CAST(rk AS INTEGER) AS rk, ROUND(cosine, 6) AS cosine
+      |  FROM (SELECT *, ROW_NUMBER() OVER (
+      |      PARTITION BY qid ORDER BY cosine DESC, vid) AS rk
+      |    FROM scored) WHERE rk <= 3)
+      |SELECT qid, q_label, vid, neg_label, rk, cosine FROM top
+      |ORDER BY qid, rk""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    Similarity.hardNegatives(emb, emb.filter($"vec_id" % 100 === 0), k = 3)
+      .withColumn("rk", $"rk".cast("int"))
+      .orderBy("qid", "rk")
+  }
+
+  /** Exact SUBSTRING dedup (q97, Lee et al. 2022): per-doc duplicated-
+    * token coverage by corpus-repeated 8-token grams — the sub-document
+    * rung of the dedup ladder (doc-level q41a, near-dup q41d/e, line-
+    * level q43i boilerplate; this one catches the shared PARAGRAPH
+    * inside otherwise-distinct docs). Candidate grams by portable-hash
+    * frequency, exact-string verify (collisions impossible in the
+    * verdict), per-doc interval UNION of surviving spans via one
+    * window — see [[graft.ops.Dedup.substringDupStats]] for the 100 TB
+    * plan shape. The corpus's templated sentences make the natural
+    * fixture: ~9% of docs carry a ≥8-token repeated span at sf0.01. */
+  val q97 = QueryDef("q97_substring_dedup",
+    Dedup.substringDupSql("documents", L = 8)) { (s, dir) =>
+    Dedup.substringDupStats(Tables.documents(s, dir), "doc_id", "text", L = 8)
+      .orderBy("doc_id")
+  }
+
+  /** q97's REALIZATION (q97b): the cleaned corpus itself — duplicated
+    * spans stripped, surviving tokens reassembled in order, every
+    * input id accounted for (fully-stripped docs stay as empty text).
+    * The whole reassembled STRING hash-checks against the oracle —
+    * the strongest possible pin on the span arithmetic
+    * ([[graft.ops.Dedup.substringStrip]]). */
+  val q97b = QueryDef("q97b_substring_strip",
+    Dedup.substringStripSql("documents", L = 8)) { (s, dir) =>
+    Dedup.substringStrip(Tables.documents(s, dir), "doc_id", "text", L = 8)
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(q41a, q41h, q41i, q41b, q41c, q41d, q41e, q41f, q41g,
     q41j, q41k, q42, q42b, q42c, q42d, q42e, q42f, q74, q43a, q43b, q43c, q43d, q43e, q43f,
     q43g, q43h, q43i, q43j, q44, q44b, q44c, q44d, q81, q83, q88, q88b, q88c,
-    q91, q92)
+    q91, q92, q97, q97b, q100)
 }

@@ -495,6 +495,37 @@ object Streaming {
   private val dedupFeedScratch =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Streaming model-based quality filter (q98b): q98's hashed linear
+    * classifier applied IN the ingest stream — the filter-at-ingest
+    * deployment where documents are scored as they arrive instead of
+    * by a later corpus pass. The scorer is STATELESS (one fused
+    * map-only kernel, no aggregation state at all), so Append mode
+    * emits verdicts per micro-batch and the state store holds
+    * nothing; maxFilesPerTrigger=1 forces multi-batch arrival and the
+    * shared-verbatim q98 oracle pins batch ≡ stream whatever the
+    * batching. Also the compatibility pin for a custom codegen
+    * expression (BucketWeightSum) planning inside a streaming
+    * query. */
+  val q98b = QueryDef("q98b_stream_quality_filter",
+    graft.ops.Curation.hashedLinearScoreSql("documents")) { (s0, dir) =>
+    val s = streamSession(s0)
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val root = qfFeedScratch.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft_qf").toString + "/feed"
+      docs.repartition(4).write.mode("overwrite").parquet(p)
+      p
+    })
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(root)
+    runToTable(s, graft.ops.Curation.hashedLinearScore(stream, "doc_id", "text"),
+        "append")
+      .orderBy("doc_id")
+  }
+
+  private val qfFeedScratch =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   val defs: Seq[QueryDef] = Seq(q36, q37, q38, q39, q39b, q48, q48b, q48c, q48d,
-    q60c, q79)
+    q60c, q79, q98b)
 }

@@ -254,4 +254,44 @@ class CurationSpec extends SparkSpec {
       assert(hi <= lo2, "length extents must be non-overlapping in bin order")
     }
   }
+
+  // ─────────── hashed linear classifier / DSIR selection ───────────
+
+  test("q98 hashed classifier: fused kernel score equals the hand-computed hashing-trick logit") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val docs = Seq((1L, "hello world"), (2L, "  "), (3L, "one")).toDF("doc_id", "text")
+    val out = Curation.hashedLinearScore(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "logit_micro", "keep")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    def wpos(tok: String): Long = {
+      val b = graft.functions.TextHashes.portableBase(
+        UTF8String.fromString(tok)) % Curation.HashDim
+      (1664525L * b + 1013904223L) % 2001L
+    }
+    def logit(toks: String*): Long =
+      toks.map(wpos).sum * 1000L / toks.length - 1000000L
+    val l1 = logit("hello", "world")
+    val l3 = logit("one")
+    // whitespace-only doc 2 contributes no token → dropped entirely
+    assert(out == Seq((1L, 2L, l1, l1 > 0), (3L, 1L, l3, l3 > 0)), s"got $out")
+  }
+
+  test("q99 DSIR: target-distribution docs outrank off-target docs and fill the kept quarter") {
+    // 4 'en' docs made of the target token, 12 off-target docs of a
+    // disjoint token: importance = Σ log(p_t/p_r) must rank every en
+    // doc above every zh doc, and the kept quarter (⌈16/4⌉ = 4) is
+    // exactly the en slice.
+    val docs = ((1L to 4L).map(i => (i, "alpha alpha alpha", "en")) ++
+      (5L to 16L).map(i => (i, "beta beta beta", "zh")))
+      .toDF("doc_id", "text", "lang")
+    val out = Curation.dsirSelect(docs, "doc_id", "text", $"lang" === "en")
+    val kept = out.filter($"keep").select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L, 4L), s"kept $kept")
+    val worstEn = out.filter($"lang" === "en").agg(max($"rnk")).as[Long].head()
+    val bestZh = out.filter($"lang" === "zh").agg(min($"rnk")).as[Long].head()
+    assert(worstEn < bestZh, "every target doc must outrank every off-target doc")
+    // ranks are a permutation of 1..n (total order, no ties)
+    assert(out.select("rnk").as[Long].collect().sorted.toSeq == (1L to 16L))
+  }
 }

@@ -480,4 +480,60 @@ class DedupSpec extends SparkSpec {
     assert(v.filter($"best_jaccard" < 0 || $"best_jaccard" > 1).isEmpty)
     v.unpersist()
   }
+
+  test("substring dedup: repeated 8-gram spans merge by interval union, unique text stays clean") {
+    // doc 1/2 share the 8-token phrase a..h (different positions);
+    // doc 3 is fully unique; doc 4 repeats "a..h i" TWICE internally —
+    // overlapping grams (a..h, b..i) at both sites must merge to two
+    // disjoint 9-token intervals, not 4·8 double-counted tokens.
+    val docs = Seq(
+      (1L, "a b c d e f g h x1 x2"),
+      (2L, "z1 a b c d e f g h z2"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),
+      (4L, "p1 a b c d e f g h i p2 a b c d e f g h i")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDupStats(docs, "doc_id", "text", L = 8)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "dup_tokens", "n_dup_grams", "keep")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      // doc 1: span [1,8] of 10 → 8 dup tokens, 1 dup gram, 16 ≥ 10 → drop
+      (1L, 10L, 8L, 1L, false),
+      (2L, 10L, 8L, 1L, false),
+      (3L, 10L, 0L, 0L, true),
+      // doc 4: grams (a..h, b..i) × 2 sites → union [2,10] ∪ [12,20] =
+      // 18 of 20 tokens, 4 dup-gram occurrences
+      (4L, 20L, 18L, 4L, false)), s"got $out")
+  }
+
+  test("substring dedup: a gram repeated only WITHIN the hash stage's candidate set still needs the exact-string count") {
+    // Two docs with entirely different grams: nothing repeats, so even
+    // though every occurrence enters the hash aggregate, no span may
+    // survive the exact verify.
+    val docs = Seq(
+      (1L, "q1 q2 q3 q4 q5 q6 q7 q8 q9"),
+      (2L, "r1 r2 r3 r4 r5 r6 r7 r8 r9")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDupStats(docs, "doc_id", "text", L = 8)
+    assert(out.filter($"dup_tokens" > 0).isEmpty)
+    assert(out.filter(!$"keep").isEmpty)
+  }
+
+  test("substring strip: duplicated spans removed byte-exactly, clean docs untouched, empty docs survive") {
+    val docs = Seq(
+      (1L, "a b c d e f g h x1 x2"),
+      (2L, "z1 a b c d e f g h z2"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),
+      (4L, "a b c d e f g h")  // exactly one fully-duplicated span
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringStrip(docs, "doc_id", "text", L = 8)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "kept_tokens", "clean_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 10L, 2L, "x1 x2"),
+      (2L, 10L, 2L, "z1 z2"),
+      (3L, 10L, 10L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),
+      (4L, 8L, 0L, "")), s"got $out")
+  }
 }

@@ -293,4 +293,21 @@ class SimilaritySpec extends SparkSpec {
       "selection must use the identical IVF assignment")
     out.unpersist()
   }
+
+  test("hard negatives (q100): nearest WRONG-label vectors in order, same-label never leaks") {
+    // query (label 0) sits in its own cluster; the hard negative is
+    // the wrong-label vector INSIDE the cluster, the easy one is far
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),  // query
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f), 0),  // same-label near — excluded
+      (2L, Array(0.8f, 0.2f, 0.0f, 0.0f), 1),  // hard negative (near miss)
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f), 1))  // easy negative (far)
+    val emb = rows.toDF("vec_id", "embedding", "label")
+      .withColumn("label", $"label".cast("int"))
+    val out = Similarity.hardNegatives(emb, emb.filter($"vec_id" === 0), k = 3)
+      .select("qid", "vid", "rk")
+      .as[(Long, Long, Int)].collect().toSeq
+    // only 2 wrong-label candidates exist → ranks 1..2, hard one first
+    assert(out == Seq((0L, 2L, 1), (0L, 3L, 2)), s"got $out")
+  }
 }
