@@ -271,7 +271,7 @@ object Curation {
   def hashedLinearScore(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val bw = graft.functions.BucketWeightSum(
-      filter(split(lower(col(textCol)), "\\s+"), t => t =!= ""),
+      array_remove(split(lower(col(textCol)), "\\s+"), ""),
       lcgWeights())
     docs.select(col(idCol).as("doc_id"), bw.as("bw"))
       .filter(col("bw").isNotNull)
@@ -344,7 +344,7 @@ object Curation {
     val toks = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"),
         isTarget.as("is_t"))
       .select(col("doc_id"), col("is_t"),
-        explode(filter(split(lower(col("text")), "\\s+"), t => t =!= ""))
+        explode(array_remove(split(lower(col("text")), "\\s+"), ""))
           .as("t"))
     val bucketed = toks
       .withColumn("b", graft.functions.PortableHash(col("t")) % d)
@@ -368,7 +368,7 @@ object Curation {
     val weights = Array.tabulate(d)(b => lrRows.getOrElse(b,
       math.round(math.log((nr + d).toDouble / (nt + d).toDouble) * 1000000.0)))
     val bw = graft.functions.BucketWeightSum(
-      filter(split(lower(col(textCol)), "\\s+"), t => t =!= ""), weights)
+      array_remove(split(lower(col(textCol)), "\\s+"), ""), weights)
     val scored = docs
       .select(col(idCol).as("doc_id"), col("lang"), bw.as("bw"))
       .filter(col("bw").isNotNull)

@@ -929,7 +929,7 @@ object Dedup {
   private def substringDupSpans(docs: DataFrame, idCol: String,
       textCol: String, L: Int): (DataFrame, DataFrame) = {
     val toks = docs.select(col(idCol).as("doc"),
-      filter(split(lower(col(textCol)), "\\s+"), t => t =!= "").as("l"))
+      array_remove(split(lower(col(textCol)), "\\s+"), "").as("l"))
     // Spark's sequence(1, n) DESCENDS when n < 1 — guard short docs
     // out before generating gram start positions.
     val occ = toks.filter(size(col("l")) >= L)

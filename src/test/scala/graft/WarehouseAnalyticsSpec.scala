@@ -277,6 +277,18 @@ class WarehouseAnalyticsSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("q98b streaming quality filter equals the batch q98 (stateless Append across triggers)") {
+    val streamed = graft.queries.Streaming.q98b.fn(spark, sf)
+      .select("doc_id", "logit_micro", "keep")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    val batch = graft.queries.Curation5x.q98.fn(spark, sf)
+      .select("doc_id", "logit_micro", "keep")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(streamed == batch,
+      "micro-batched arrival must not change a single verdict or logit")
+    assert(streamed.nonEmpty)
+  }
+
   test("q75 sequence examples: lead-chain windows on a hand-ordered stream") {
     // user 1: a b c d e → examples (a>b>c, d), (b>c>d, e); user 2: too short
     val e = ev(
