@@ -284,7 +284,10 @@ object Explains {
       """Inverted-index sparse similarity: the pair generator is a term-keyed
         |join (query weights × posting lists) — no all-pairs stage exists in
         |the plan — and the (qid, did) dot aggregate runs partial map-side
-        |before its exchange. Every sum is exact decimal; the one double
+        |before its exchange. Every sum is exact int64 micro-units (round
+        |16: was decimal — the BigDecimal accumulate over 4.5M pair rows
+        |was the suite's top cost, 5.9→3.7 s at sf0.1 with identical 6-dp
+        |weights; overflow bound documented at the op); the one double
         |division sits above the final join.""".stripMargin,
     "q44d_multimodal_wav_decode" ->
       """q44c's audio twin: binary WAV payloads synthesized and decoded
