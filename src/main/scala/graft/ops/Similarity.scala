@@ -170,6 +170,61 @@ object Similarity {
         col("rk"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** [[hardNegatives]] riding the IVF probe (q100b) — the composed
+    * scale path q100 documents, made real: the coarse quantizer prunes
+    * each query's candidates to its `nprobe` best cells BEFORE the
+    * label predicate and exact scoring run, so a mining batch touches
+    * ∝ nprobe/cells of the corpus instead of all of it. Same
+    * deterministic contract (decimal dots, vid tie-break); recall vs
+    * the exact q100 is bounded by the coarse probe exactly as q88b's
+    * is — a near-miss negative in an unprobed cell is unreachable, the
+    * spec-pinned trade. Centroids/assignment are the q42d/e build
+    * artifacts (shared oracle CTE prefix). */
+  def hardNegativesIvf(emb: DataFrame, queries: DataFrame, k: Int,
+      cells: Int = 16, nprobe: Int = 8): DataFrame = {
+    val cents = ivfCentroids(emb, cells)
+    val assigned = assignedCorpus(emb, cents)
+      .join(emb.select(col("vec_id").as("vid"), col("label").as("neg_label")),
+        Seq("vid"))
+    val q = probeCells(cents, queries, nprobe)
+      .join(queries.select(col("vec_id").as("qid"), col("label").as("q_label")),
+        Seq("qid"))
+    val scored = assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("qid") =!= col("vid") && col("neg_label") =!= col("q_label"))
+      .withColumn("cosine",
+        dotDecimal(col("qe"), col("ce")) / sqrt(col("qnorm") * col("cnorm")))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vid"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("q_label"), col("vid"), col("neg_label"),
+        col("rk"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** DuckDB restatement of [[hardNegativesIvf]] — the q42d quantizer/
+    * assign/probe CTE prefix with the label-mismatch predicate in the
+    * verify stage. */
+  def hardNegativesIvfSql(cells: Int, nprobe: Int, k: Int,
+      src: String = "embeddings",
+      queryPred: String = "vec_id % 100 = 0"): String = {
+    ivfQuantizerCte(cells, src) +
+      ivfAssignProbeCte(nprobe, src, queryPred) + s""",
+       |scored AS (
+       |  SELECT p.qid, CAST(eq.label AS INTEGER) AS q_label,
+       |    a.vid, CAST(ec.label AS INTEGER) AS neg_label,
+       |    ${cosSql("eq.embedding", "ec.embedding", "nq.nrm", "nc.nrm")} AS cosine
+       |  FROM probe p JOIN assign a ON a.cell = p.cell
+       |  JOIN $src eq ON eq.vec_id = p.qid
+       |  JOIN $src ec ON ec.vec_id = a.vid
+       |  JOIN norms nq ON nq.vec_id = p.qid
+       |  JOIN norms nc ON nc.vec_id = a.vid
+       |  WHERE a.vid <> p.qid AND ec.label <> eq.label)
+       |SELECT qid, q_label, vid, neg_label, CAST(rk AS INTEGER) AS rk,
+       |  ROUND(cosine, 6) AS cosine FROM (
+       |  SELECT qid, q_label, vid, neg_label, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vid) AS rk
+       |  FROM scored) WHERE rk <= $k
+       |ORDER BY qid, rk""".stripMargin
+  }
+
   /** ANN top-k: candidates = corpus vectors sharing any of the query's
     * `tables` LSH buckets (equi-join on (tbl, bucket) — never a cross
     * product), then exact cosine within the candidate set. The bucket

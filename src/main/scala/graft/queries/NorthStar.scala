@@ -1314,6 +1314,26 @@ object NorthStar {
       .orderBy("qid", "rk")
   }
 
+  /** IVF-pruned hard-negative mining (q100b): q100's documented scale
+    * path made real — the coarse quantizer prunes each query's
+    * candidates to its nprobe best cells BEFORE the label predicate
+    * and exact scoring, so a mining batch touches ∝ nprobe/cells of
+    * the corpus. nprobe = [[graft.ops.Pq.nprobeFor]](cells) — the
+    * round-16 derived operating point shared with q88b. Recall vs the
+    * exact q100 is bounded by the coarse probe (SimilaritySpec pins
+    * the subset law: every q100b negative is reachable and
+    * wrong-label; probed-cell misses are the documented trade). */
+  val q100b = QueryDef("q100b_hard_negatives_ivf",
+    Similarity.hardNegativesIvfSql(cells = 16,
+      nprobe = graft.ops.Pq.nprobeFor(16), k = 3)) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    Similarity.hardNegativesIvf(emb, emb.filter($"vec_id" % 100 === 0), k = 3,
+      cells = 16, nprobe = graft.ops.Pq.nprobeFor(16))
+      .withColumn("rk", $"rk".cast("int"))
+      .orderBy("qid", "rk")
+  }
+
   /** Exact SUBSTRING dedup (q97, Lee et al. 2022): per-doc duplicated-
     * token coverage by corpus-repeated 8-token grams — the sub-document
     * rung of the dedup ladder (doc-level q41a, near-dup q41d/e, line-
@@ -1345,5 +1365,5 @@ object NorthStar {
   val defs: Seq[QueryDef] = Seq(q41a, q41h, q41i, q41b, q41c, q41d, q41e, q41f, q41g,
     q41j, q41k, q42, q42b, q42c, q42d, q42e, q42f, q74, q43a, q43b, q43c, q43d, q43e, q43f,
     q43g, q43h, q43i, q43j, q44, q44b, q44c, q44d, q81, q83, q88, q88b, q88c,
-    q91, q92, q97, q97b, q100)
+    q91, q92, q97, q97b, q100, q100b)
 }

@@ -310,4 +310,29 @@ class SimilaritySpec extends SparkSpec {
     // only 2 wrong-label candidates exist → ranks 1..2, hard one first
     assert(out == Seq((0L, 2L, 1), (0L, 3L, 2)), s"got $out")
   }
+
+  test("IVF hard negatives (q100b): wrong-label only, cosines agree with the exact op, recall floor holds") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" % 100 === 0)
+    val exact = Similarity.hardNegatives(emb, queries, k = 3)
+      .select($"qid", $"vid", $"cosine".as("c_exact"))
+    val pruned = Similarity.hardNegativesIvf(emb, queries, k = 3,
+      cells = 16, nprobe = graft.ops.Pq.nprobeFor(16)).cache()
+    // never a same-label pair, ranks dense 1..k per query
+    assert(pruned.filter($"q_label" === $"neg_label").isEmpty)
+    val perQ = pruned.groupBy("qid").agg(
+      min("rk").as("lo"), max("rk").as("hi"), count(lit(1)).as("n"))
+    assert(perQ.filter($"lo" =!= 1 || $"hi" =!= $"n" || $"n" > 3).isEmpty)
+    // where a pair appears in both, the cosine is bit-identical
+    // (pruning changes the candidate SET, never a score)
+    assert(pruned.join(exact, Seq("qid", "vid"))
+      .filter($"cosine" =!= $"c_exact").isEmpty,
+      "pruned scoring must be bit-identical to the exact op per pair")
+    // recall floor vs the exact top-3 at the derived nprobe
+    val hit = pruned.join(exact.select("qid", "vid"), Seq("qid", "vid")).count()
+    val total = exact.count()
+    assert(hit * 10 >= total * 5,
+      s"IVF hard-negative recall $hit/$total below the 0.5 floor")
+    pruned.unpersist()
+  }
 }
