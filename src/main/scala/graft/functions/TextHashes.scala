@@ -154,6 +154,32 @@ object TextHashes {
     java.lang.Long.valueOf(r)
   }
 
+  /** Distinct word k-shingles of a token array — the fused kernel
+    * behind `Dedup.wordShingles` (round 16): bit-compatible with the
+    * composed `array_distinct(transform(sequence, i -> concat_ws(" ",
+    * slice(tokens, i, k))))` form (same concat_ws empty-token
+    * semantics, same first-occurrence order, empty-string shingles
+    * dropped exactly as the `<> ''` filter did), but ArrayTransform is
+    * a CodegenFallback — the composed form dropped every shingling
+    * consumer (q41d/g/k, q52/q52b) out of whole-stage codegen and
+    * built an interpreted expression tree per element. */
+  def wordShinglesCompute(tokens: ArrayData, k: Int): ArrayData = {
+    val n = tokens.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val sep = UTF8String.fromString(" ")
+    val parts = new Array[UTF8String](k)
+    var i = 0
+    while (i <= n - k) {
+      var j = 0
+      while (j < k) { parts(j) = tokens.getUTF8String(i + j); j += 1 }
+      val sh = UTF8String.concatWs(sep, parts: _*)
+      if (sh != null && sh.numBytes() > 0) seen.add(sh)
+      i += 1
+    }
+    new GenericArrayData(seen.toArray(Array.empty[AnyRef]))
+  }
+
   /** Fused hashing-trick scorer pass: one walk over a token array
     * computing (non-empty token count, Σ weights[portableBase(tok) mod
     * weights.length]) — the feature-hashing inner loop of a linear
@@ -317,6 +343,30 @@ object BucketWeightSum {
   def apply(tokens: Column, weights: Array[Long]): Column =
     GraftBridge.column(
       BucketWeightSum(GraftBridge.expression(tokens), weights))
+}
+
+/** `array<string>` tokens → `array<string>` distinct k-shingles via
+  * [[TextHashes.wordShinglesCompute]]. */
+case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(a: Any): Any =
+    TextHashes.wordShinglesCompute(a.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.TextHashes.wordShinglesCompute($x, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+  override def prettyName: String = "word_shingles"
+}
+
+object WordShingles {
+  def apply(tokens: Column, k: Int): Column =
+    GraftBridge.column(WordShingles(GraftBridge.expression(tokens), k))
 }
 
 /** `string` → portable Horner-fold base hash ([[TextHashes

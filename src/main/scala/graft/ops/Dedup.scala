@@ -197,15 +197,16 @@ object Dedup {
         coalesce(col("bj"), lit(0.0)).as("best_jaccard"))
   }
 
-  def wordShingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val tokens = split(lower(col(textCol)), "\\s+")
-    val shingles = when(size(tokens) >= k,
-      transform(sequence(lit(1), size(tokens) - k + 1),
-        i => concat_ws(" ", slice(tokens, i, lit(k)))))
-      .otherwise(array().cast("array<string>"))
-    df.select(col(idCol).as("doc"), explode(array_distinct(shingles)).as("shingle"))
+  def wordShingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    // fused kernel (round 16): bit-compatible with the old composed
+    // array_distinct(transform(sequence, i -> concat_ws(slice))) form,
+    // which sat on ArrayTransform — a CodegenFallback that dropped
+    // every shingling consumer (q41d/g/k, q52/q52b) out of
+    // whole-stage codegen (graft.functions.WordShingles)
+    df.select(col(idCol).as("doc"),
+        explode(graft.functions.WordShingles(
+          split(lower(col(textCol)), "\\s+"), k)).as("shingle"))
       .filter(col("shingle") =!= "")
-  }
 
   /** MinHash signatures: H independent permutations approximated by
     * xxhash64 with distinct salts; signature = per-doc min of each.
