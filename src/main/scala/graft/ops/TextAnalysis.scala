@@ -106,7 +106,11 @@ object TextAnalysis {
       .rowsBetween(Window.unboundedPreceding, -1)
     toks
       .withColumn("bnd",
-        when(fingerprint(col("token")) % divisor === 0, 1L).otherwise(0L))
+        // native Horner-fold kernel — bit-identical to fingerprint()
+        // on these tokens (already lowercase, no whitespace), without
+        // the per-char array the HOF fold builds per token
+        when(graft.functions.PortableHash(col("token")) % divisor === 0, 1L)
+          .otherwise(0L))
       .withColumn("chunk", lit(1L) + coalesce(sum(col("bnd")).over(w), lit(0L)))
       .groupBy(col(idCol), col("chunk"))
       .agg(count(lit(1)).as("n_tokens"),
