@@ -108,6 +108,44 @@ class DedupSpec extends SparkSpec {
       "SimHash64 diverges from simhash_agg over exploded tokens")
   }
 
+  test("round-16 fused kernels are bit-identical to their composed column forms") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    // WordShingles ≡ array_distinct(transform(sequence, i -> concat_ws(slice)))
+    val tokens = split(lower($"text"), "\\s+")
+    val composedSh = docs.select($"doc_id".as("doc"),
+        explode(array_distinct(when(size(tokens) >= 2,
+          transform(sequence(lit(1), size(tokens) - 1),
+            i => concat_ws(" ", slice(tokens, i, lit(2)))))
+          .otherwise(array().cast("array<string>")))).as("shingle"))
+      .filter($"shingle" =!= "")
+    val fusedSh = Dedup.wordShingles(docs, "doc_id", "text", 2)
+    assert(fusedSh.exceptAll(composedSh).isEmpty &&
+      composedSh.exceptAll(fusedSh).isEmpty,
+      "WordShingles diverges from the composed transform form")
+    // PortableHash ≡ the HOF Horner fold (fingerprint)
+    val hashes = docs.select($"doc_id",
+      graft.functions.PortableHash(lower(trim($"text"))).as("a"),
+      graft.ops.TextAnalysis.fingerprint($"text").as("b"))
+    assert(hashes.filter($"a" =!= $"b").isEmpty,
+      "PortableHash diverges from the HOF fold")
+    // BucketWeightSum ≡ explode + per-bucket weight formula sum
+    val weights = graft.ops.Curation.lcgWeights()
+    val fusedBw = graft.ops.Curation.hashedLinearScore(docs, "doc_id", "text")
+      .select($"doc_id", $"n_tokens", $"logit_micro")
+    val d = graft.ops.Curation.HashDim
+    val composedBw = docs.select($"doc_id",
+        explode(array_remove(split(lower($"text"), "\\s+"), "")).as("t"))
+      .withColumn("b", graft.functions.PortableHash($"t") % d)
+      .withColumn("wpos", (lit(1664525L) * $"b" + 1013904223L) % 2001L)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum($"wpos").as("sw"))
+      .withColumn("logit_micro", expr("(sw * 1000) div n_tokens") - 1000000L)
+      .select($"doc_id", $"n_tokens", $"logit_micro")
+    assert(fusedBw.exceptAll(composedBw).isEmpty &&
+      composedBw.exceptAll(fusedBw).isEmpty,
+      "BucketWeightSum diverges from the explode formulation")
+  }
+
   test("portable minhash/simhash: kernels match composed column forms; every true dup found") {
     // composed portable minhash: wordShingles → fingerprint base →
     // per-lane affine mins — the column-function restatement of
