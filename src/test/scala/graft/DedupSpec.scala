@@ -557,6 +557,39 @@ class DedupSpec extends SparkSpec {
     assert(out.filter(!$"keep").isEmpty)
   }
 
+  test("substring dedup matches a brute-force reference on random small-vocab corpora") {
+    val L = 3
+    for (seed <- Seq(11, 53, 89)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Array("aa", "bb", "cc", "dd") // tiny vocab → repeats guaranteed
+      val docs = (1L to 12L).map { id =>
+        (id, Seq.fill(3 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.length)))
+          .mkString(" "))
+      }
+      // brute-force reference: count every L-gram occurrence corpus-
+      // wide, mark covered positions, union trivially via a boolean
+      // array per doc
+      val toks = docs.map { case (id, t) => id -> t.split("\\s+").toSeq }
+      val occ = toks.flatMap { case (id, l) =>
+        (0 to l.length - L).map(s => (id, s, l.slice(s, s + L).mkString(" ")))
+      }
+      val freq = occ.groupBy(_._3).map { case (g, os) => g -> os.size }
+      val expected = toks.map { case (id, l) =>
+        val covered = Array.fill(l.length)(false)
+        occ.filter(o => o._1 == id && freq(o._3) >= 2)
+          .foreach(o => (o._2 until o._2 + L).foreach(covered(_) = true))
+        val dup = covered.count(identity).toLong
+        (id, l.length.toLong, dup, (2 * dup < l.length))
+      }.sortBy(_._1)
+      val got = Dedup.substringDupStats(docs.toDF("doc_id", "text"),
+          "doc_id", "text", L)
+        .orderBy("doc_id")
+        .select("doc_id", "n_tokens", "dup_tokens", "keep")
+        .as[(Long, Long, Long, Boolean)].collect().toSeq
+      assert(got == expected, s"seed $seed: substring-dedup mismatch")
+    }
+  }
+
   test("substring strip: duplicated spans removed byte-exactly, clean docs untouched, empty docs survive") {
     val docs = Seq(
       (1L, "a b c d e f g h x1 x2"),
