@@ -69,10 +69,15 @@ object Graphs {
     val ed = e.union(e.select($"dst".as("src"), $"src".as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = ed.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // outdeg rides the edge relation, attached ONCE (round 16): the
+    // old loop joined `deg` back onto the million-row edge relation
+    // in EVERY iteration — one full edge-sized join per round for a
+    // value that never changes. Same arithmetic, same oracle.
+    val edDeg = ed.join(deg, "src").select($"src", $"dst", $"outdeg")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var pts = deg.select($"src".as("node"), lit(1000000L).as("pts"))
     for (_ <- 1 to 3) {
-      pts = ed.join(pts, ed("src") === pts("node"))
-        .join(deg, "src")
+      pts = edDeg.join(pts, edDeg("src") === pts("node"))
         .select($"dst", expr("pts div outdeg").as("contrib"))
         .groupBy($"dst".as("node"))
         .agg((lit(150000L) +
