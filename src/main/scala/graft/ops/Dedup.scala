@@ -343,15 +343,29 @@ object Dedup {
   // ── DuckDB oracle emission for the portable family ───────────────
 
   /** DuckDB twin of [[graft.functions.TextHashes.portableBase]] over a
-    * string expression — the q92 fold verbatim. */
+    * string expression — the q92 fold verbatim (DuckDB splits and
+    * ascii()s by CODE POINT; the Scala kernel iterates code points to
+    * match, so the twin holds beyond the BMP). */
   def baseHashSql(e: String): String =
     s"list_reduce([CAST(7 AS BIGINT)] || " +
       s"list_transform(list_filter(string_split($e, ''), c -> c <> ''), " +
       s"c -> CAST(ascii(c) AS BIGINT)), (a, x) -> (a * 31 + x) % 1000000007)"
 
-  /** DuckDB twin of [[graft.functions.TextHashes.lane]]. */
-  private def laneSql(b: String, i: Int): String =
-    s"((${2 * i + 1} * $b + ${i.toLong * graft.functions.TextHashes.PHI}) % 1000000007)"
+  /** DuckDB twin of the SECOND Horner fold (seed 13, mult 131) of
+    * [[graft.functions.TextHashes.foldBases]]. */
+  def baseHash2Sql(e: String): String =
+    s"list_reduce([CAST(${graft.functions.TextHashes.Seed2} AS BIGINT)] || " +
+      s"list_transform(list_filter(string_split($e, ''), c -> c <> ''), " +
+      s"c -> CAST(ascii(c) AS BIGINT)), " +
+      s"(a, x) -> (a * ${graft.functions.TextHashes.Mult2} + x) % 1000000007)"
+
+  /** DuckDB twin of [[graft.functions.TextHashes.mhLane]]: lane i's
+    * hash from the two fold columns — (A_i·b1 + C_i·b2) mod p with the
+    * pinned pairwise-independent constants. */
+  private def laneSql(b1: String, b2: String, i: Int): String = {
+    val th = graft.functions.TextHashes
+    s"((${th.mhA(i)} * $b1 + ${th.mhC(i)} * $b2) % 1000000007)"
+  }
 
   /** Full DuckDB restatement of
     * `minHashNearDupsPortable(minHashSignaturesPortable(src))` —
@@ -362,7 +376,7 @@ object Dedup {
       bands: Int, rowsPer: Int, threshold: Double): String = {
     require(k == 2, "oracle emission fixed at k=2 shingles")
     val mins = (0 until numHashes)
-      .map(i => s"MIN(${laneSql("b", i)}) AS m$i").mkString(",\n      ")
+      .map(i => s"MIN(${laneSql("b1", "b2", i)}) AS m$i").mkString(",\n      ")
     val bandKeys = (0 until bands).map { bd =>
       val key = (0 until rowsPer)
         .map(r => s"CAST(m${bd * rowsPer + r} AS VARCHAR)")
@@ -381,7 +395,8 @@ object Dedup {
        |      i -> l[i] || ' ' || l[i + 1])) AS shingle
        |    FROM toks)
        |  WHERE shingle <> ''),
-       |bh AS (SELECT doc, ${baseHashSql("shingle")} AS b FROM sh),
+       |bh AS (SELECT doc, ${baseHashSql("shingle")} AS b1,
+       |              ${baseHash2Sql("shingle")} AS b2 FROM sh),
        |sig AS (SELECT doc,
        |      $mins
        |    FROM bh GROUP BY doc),
@@ -411,9 +426,9 @@ object Dedup {
     * popcount in both engines). */
   def simHashPortableSql(src: String, maxHamming: Int): String = {
     val P = 1000000007L
-    val PHI = graft.functions.TextHashes.PHI
+    val th = graft.functions.TextHashes
     val votes = (0 until 64)
-      .map(b => s"SUM(CASE WHEN ((${2 * b + 3} * b + ${b.toLong * PHI}) % $P) % 2 = 1 " +
+      .map(b => s"SUM(CASE WHEN ((${th.shA(b)} * b1 + ${th.shC(b)} * b2) % $P) % 2 = 1 " +
         s"THEN 1 ELSE -1 END) AS v$b")
       .mkString(",\n      ")
     val pack = ((0 until 63)
@@ -423,7 +438,8 @@ object Dedup {
     s"""WITH dup AS (SELECT doc_id, text FROM $src),
        |toks AS (SELECT doc_id AS doc, UNNEST(string_split_regex(lower(text), '\\s+')) AS t
        |         FROM dup),
-       |th AS (SELECT doc, ${baseHashSql("t")} AS b FROM toks WHERE t <> ''),
+       |th AS (SELECT doc, ${baseHashSql("t")} AS b1,
+       |             ${baseHash2Sql("t")} AS b2 FROM toks WHERE t <> ''),
        |votes AS (SELECT doc,
        |      $votes
        |    FROM th GROUP BY doc),

@@ -147,27 +147,33 @@ class DedupSpec extends SparkSpec {
   }
 
   test("portable minhash/simhash: kernels match composed column forms; every true dup found") {
-    // composed portable minhash: wordShingles → fingerprint base →
-    // per-lane affine mins — the column-function restatement of
-    // MinHashSigsPortable (mirrors the xxhash64 fused-vs-composed pin)
+    // composed portable minhash: wordShingles → TWO Horner folds →
+    // per-lane (A_i·b1 + C_i·b2) mod p mins — the column-function
+    // restatement of MinHashSigsPortable's round-17 two-fold family
+    // (mirrors the xxhash64 fused-vs-composed pin)
     val P = 1000000007L
-    val PHI = graft.functions.TextHashes.PHI
+    val th = graft.functions.TextHashes
+    def fold2Col(c: Column): Column = aggregate(
+      transform(filter(split(c, ""), ch => ch =!= ""), ch => ascii(ch).cast("long")),
+      lit(th.Seed2), (acc, x) => (acc * th.Mult2 + x) % P)
     val sh = Dedup.wordShingles(dupCorpus, "doc_id", "text", 2)
-      .withColumn("b", graft.ops.TextAnalysis.fingerprint($"shingle"))
+      .withColumn("b1", graft.ops.TextAnalysis.fingerprint($"shingle"))
+      .withColumn("b2", fold2Col($"shingle"))
     val laneMins = (0 until 32).map(i =>
-      min((lit(2L * i + 1) * $"b" + lit(i * PHI)) % P).as(s"m$i"))
+      min((lit(th.mhA(i)) * $"b1" + lit(th.mhC(i)) * $"b2") % P).as(s"m$i"))
     val composed = sh.groupBy("doc").agg(laneMins.head, laneMins.tail: _*)
       .select($"doc", array((0 until 32).map(i => col(s"m$i")): _*).as("sig"))
     val fused = Dedup.minHashSignaturesPortable(dupCorpus, "doc_id", "text", 2, 32)
     assert(fused.exceptAll(composed).isEmpty && composed.exceptAll(fused).isEmpty,
       "MinHashSigsPortable diverges from the composed portable formulation")
-    // composed portable simhash: per-token base, 64 parity votes, pack
+    // composed portable simhash: per-token folds, 64 parity votes, pack
     val tok = dupCorpus.select($"doc_id".as("doc"),
         explode(split(lower($"text"), "\\s+")).as("t"))
       .filter($"t" =!= "")
-      .withColumn("b", graft.ops.TextAnalysis.fingerprint($"t"))
+      .withColumn("b1", graft.ops.TextAnalysis.fingerprint($"t"))
+      .withColumn("b2", fold2Col($"t"))
     val voteCols = (0 until 64).map(bb =>
-      sum(when(((lit(2L * bb + 3) * $"b" + lit(bb * PHI)) % P) % 2 === 1, 1)
+      sum(when(((lit(th.shA(bb)) * $"b1" + lit(th.shC(bb)) * $"b2") % P) % 2 === 1, 1)
         .otherwise(-1)).as(s"v$bb"))
     val packed = tok.groupBy("doc").agg(voteCols.head, voteCols.tail: _*)
       .select($"doc", (0 until 64).map(bb =>
