@@ -80,10 +80,17 @@ object TextHashes {
   // (h_i,h_j) is the linear map [[A_i,C_i],[A_j,C_j]] over Z_p; its
   // determinant is verified ≠ 0 mod p at class init for every lane
   // pair, so the map is a bijection of (Z_p)² and (h_i,h_j) is uniform
-  // whenever (B1,B2) is — pairwise-INDEPENDENT lanes. Measured on the
-  // advisor's simulation shape: unrelated docs min Hamming 17 (0% at
-  // ≤3), unrelated MinHash max est_jaccard 0.0 with zero band
-  // collisions, near-dup est_jaccard sd 0.094. All products stay under
+  // whenever (B1,B2) is — pairwise independent ASSUMING the two folds
+  // behave as independent uniform hashes of the shingle. That premise
+  // is heuristic (B1, B2 are two Horner folds of the same string, not
+  // formally independent); the guarantee here is the determinant check
+  // plus the measured statistics, not a theorem. Measured (and
+  // REPRODUCIBLE from the repo — HashFamilySpec pins all three on a
+  // deterministic fixture): unrelated docs min Hamming 13 on a
+  // shared-vocab corpus (17 on the disjoint-vocab simulation shape;
+  // 0% at ≤3 either way), unrelated MinHash zero band collisions,
+  // identical docs est_jaccard exactly 1.0 with near-dup estimates
+  // concentrated (v1 was bimodal, sd ≈ 0.46). All products stay under
   // (p-1)² + (p-1)² < 2^62 — exact int64 on both engines.
 
   /** Modulus of the portable family (prime, ~2^30 — all products in
@@ -399,6 +406,12 @@ object MinHashSigs {
   * lanes — every signature value DuckDB-replicable). */
 case class MinHashSigsPortable(child: Expression, k: Int, numHashes: Int)
   extends UnaryExpression {
+
+  // fail at plan construction, not per-row: the portable family has a
+  // fixed pinned lane table (generating more lanes would change the
+  // cross-engine contract, so a larger ask is a caller bug)
+  require(numHashes > 0 && numHashes <= TextHashes.mhA.length,
+    s"portable minhash supports 1..${TextHashes.mhA.length} lanes, got $numHashes")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true

@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.Dedup
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Dedup operator semantics: exact keeps the smallest id; MinHash/LSH
@@ -153,11 +154,17 @@ class DedupSpec extends SparkSpec {
     // (mirrors the xxhash64 fused-vs-composed pin)
     val P = 1000000007L
     val th = graft.functions.TextHashes
-    def fold2Col(c: Column): Column = aggregate(
+    // NOT TextAnalysis.fingerprint: that trims+lowers before folding,
+    // while the fused kernel (and the DuckDB oracle) fold the shingle
+    // VERBATIM — a leading-whitespace shingle would diverge. Both
+    // folds here are raw, differing only in seed/multiplier.
+    def foldCol(c: Column, seed: Long, mult: Long): Column = aggregate(
       transform(filter(split(c, ""), ch => ch =!= ""), ch => ascii(ch).cast("long")),
-      lit(th.Seed2), (acc, x) => (acc * th.Mult2 + x) % P)
+      lit(seed), (acc, x) => (acc * mult + x) % P)
+    def fold1Col(c: Column): Column = foldCol(c, 7L, 31L)
+    def fold2Col(c: Column): Column = foldCol(c, th.Seed2, th.Mult2)
     val sh = Dedup.wordShingles(dupCorpus, "doc_id", "text", 2)
-      .withColumn("b1", graft.ops.TextAnalysis.fingerprint($"shingle"))
+      .withColumn("b1", fold1Col($"shingle"))
       .withColumn("b2", fold2Col($"shingle"))
     val laneMins = (0 until 32).map(i =>
       min((lit(th.mhA(i)) * $"b1" + lit(th.mhC(i)) * $"b2") % P).as(s"m$i"))
@@ -170,7 +177,7 @@ class DedupSpec extends SparkSpec {
     val tok = dupCorpus.select($"doc_id".as("doc"),
         explode(split(lower($"text"), "\\s+")).as("t"))
       .filter($"t" =!= "")
-      .withColumn("b1", graft.ops.TextAnalysis.fingerprint($"t"))
+      .withColumn("b1", fold1Col($"t"))
       .withColumn("b2", fold2Col($"t"))
     val voteCols = (0 until 64).map(bb =>
       sum(when(((lit(th.shA(bb)) * $"b1" + lit(th.shC(bb)) * $"b2") % P) % 2 === 1, 1)
@@ -437,6 +444,39 @@ class DedupSpec extends SparkSpec {
         .orderBy("doc").select("doc", "comp")
         .as[(Long, Long)].collect().toSeq
       assert(got == expected, s"seed $seed: component mismatch")
+    }
+  }
+
+  test("star CC needs no more rounds than hash-to-min on chain AND basin fixtures, same answer") {
+    // The round-17 verdict's #1 perf item: hash-to-min label
+    // propagation crawls basin-shaped giant components (local-minima
+    // label forests make pointer jumps no-ops; the global min moves
+    // one basin-hop per round — 13 rounds on the sf0.1 SemDeDup
+    // graph). The Kiveris large-star/small-star rewrite must win — or
+    // at worst tie — on BOTH adversarial topologies.
+    //
+    // chain: 64 docs in a line (diameter 63 — pointer jumping's best
+    // case). basin: 10 star clusters bridged in a line, hub ids
+    // DECREASING along the line so the global min (hub 0) sits at the
+    // far end and hash-to-min must crawl cluster by cluster.
+    val chainEdges = (0 until 63).map(i => (i.toLong, i + 1L))
+    val basinEdges = (0 until 10).flatMap { c =>
+      val hub = (9 - c) * 100L
+      val leaves = (1L to 9L).map(l => (hub, hub + l))
+      val bridge = if (c < 9) Seq(((9 - c) * 100L + 9L, (8 - c) * 100L + 9L))
+        else Seq.empty
+      leaves ++ bridge
+    }
+    for ((name, edges) <- Seq(("chain", chainEdges), ("basin", basinEdges))) {
+      val df = edges.toDF("da", "db")
+      val (star, starRounds) = Dedup.nearDupComponentsWithRounds(df)
+      val (htm, htmRounds) = Dedup.nearDupComponentsHashToMinWithRounds(df)
+      val s = star.orderBy("doc").as[(Long, Long, Long)].collect().toSeq
+      val h = htm.orderBy("doc").as[(Long, Long, Long)].collect().toSeq
+      assert(s == h, s"$name: star and hash-to-min components diverge")
+      info(s"$name: star $starRounds rounds vs hash-to-min $htmRounds")
+      assert(starRounds <= htmRounds,
+        s"$name: star CC took $starRounds rounds vs hash-to-min's $htmRounds")
     }
   }
 

@@ -6,10 +6,22 @@ import graft.queries.NorthStar
   * 16 both run on the PORTABLE hash family and are duck-oracled, so
   * the primary cross-engine check is the driver's; these goldens stay
   * as a fast in-suite drift pin (banding arithmetic, lane constants,
-  * hash seeding) that fails without needing DuckDB. Regenerated in
-  * round 16 from the portable-family outputs AFTER they hash-matched
-  * the DuckDB oracle at sf0.001/sf0.01/sf0.1 — the pins inherit the
-  * oracle's authority.
+  * hash seeding) that fails without needing DuckDB.
+  *
+  * Re-pinned in round 18 to the round-17 v2 TWO-FOLD family
+  * (TextHashes.scala — per-lane (A_i·B1 + C_i·B2) mod p) after
+  * adjudicating the delta from the v1 affine-lane pins:
+  *  - q41c: 291 → 86 pairs. The 205 dropped pairs were the v1
+  *    correlated-lane false positives (unrelated docs at Hamming ≤ 3);
+  *    all 50 identical-copy pairs (doc_b = doc_a + 1000000) remain at
+  *    Hamming 0 in both pin sets.
+  *  - q41b: 94 rows in both; only est_jaccard values move (e.g.
+  *    (0,50): doc 0 = doc 50 + " dup", ONE differing bigram out of a
+  *    ~22-shingle union → all 32 v2 lane-mins agree, est 1.0 — a
+  *    plausible estimator draw, independently replicated outside the
+  *    JVM). Values regenerated AFTER the v2 outputs hash-matched the
+  *    DuckDB oracle at sf0.01 (CORRECTNESS_r17) — the pins inherit
+  *    the oracle's authority. Regenerate via `graft.tools.GoldenGen`.
   */
 class GoldenDedupSpec extends SparkSpec {
 
