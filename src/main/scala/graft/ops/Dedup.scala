@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -755,30 +755,109 @@ object Dedup {
     * chains (A~B, B~C, A!~C) collapse into one cluster instead of
     * surviving pairwise deletion.
     *
-    * Hash-to-min label propagation WITH pointer jumping: each round
-    * every doc takes the min over its own label, its neighbors'
-    * labels, and its LABEL'S label (comp ← label(comp) — path-halving,
-    * the large-star step of distributed CC). Neighbor-min alone needs
-    * O(diameter) rounds; the jump makes it O(log diameter), so even a
-    * pathological 1M-doc chain converges in ~20 rounds. Each round is
-    * two (doc-keyed) joins + one min-agg; the driver loop holds only a
-    * changed-row COUNT — no row data ever collects — and every round
-    * localCheckpoints, so lineage stays flat however many rounds run.
-    * At 100 TB: state is one (doc, comp) relation the size of the
-    * PAIRED docs (a sliver of the corpus), never the corpus itself.
+    * Large-star / small-star alternation (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC 2014 — the GraphFrames
+    * CC algorithm): the EDGE SET itself is rewired each round until
+    * every component is a star centered on its minimum id. Large-star
+    * links every node's larger neighbors to the minimum of its
+    * neighborhood; small-star links its smaller neighbors (and itself)
+    * to their minimum. Unlike label propagation, progress is
+    * topology-independent: the round-15 CcRoundsProbe showed
+    * hash-to-min crawling 13 rounds across the SemDeDup basin graph
+    * (flat label forest, one basin-hop per round) where star rounds
+    * rewire the whole basin at once. Each round here fuses
+    * LS ∘ LS ∘ SS into one materialization (the double large-star
+    * quarters path distances per round, so a 1000-doc chain converges
+    * in ~6 rounds vs hash-to-min's 10 — spec-pinned in DedupSpec).
+    * Convergence is detected STRUCTURALLY: the edge set is a star
+    * forest iff every source appears exactly once and no source is
+    * also a target — no confirming round, no label diff. The driver
+    * loop holds only counts; every round stage-materializes, so
+    * lineage stays flat however many rounds run. At 100 TB: state is
+    * one (a, b) edge relation the size of the PAIRED docs (a sliver
+    * of the corpus), never the corpus itself.
     *
     * Returns (doc, comp, comp_size) for every doc in a pair. */
   def nearDupComponents(pairs: DataFrame, aCol: String = "da",
       bCol: String = "db", maxIters: Int = 20): DataFrame =
     nearDupComponentsWithRounds(pairs, aCol, bCol, maxIters)._1
 
-  /** [[nearDupComponents]] plus the number of label-propagation rounds
-    * actually executed (including the confirming round) — the loop is
-    * driver-eager, so the count is exact at return. Exposed so
-    * DedupSpec can pin the O(log diameter) claim: a 10x corpus must
-    * grow rounds by at most +1, not linearly. */
+  /** [[nearDupComponents]] plus the number of star rounds actually
+    * executed — the loop is driver-eager, so the count is exact at
+    * return. Exposed so DedupSpec can pin the round-count laws: flat
+    * at 10x corpus, and ≤ hash-to-min on chain AND basin fixtures. */
   def nearDupComponentsWithRounds(pairs: DataFrame, aCol: String = "da",
       bCol: String = "db", maxIters: Int = 20): (DataFrame, Int) = {
+    // canonical orientation big → small; both ops preserve it
+    var edges = pairs
+      .select(greatest(col(aCol), col(bCol)).as("a"),
+        least(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .transform(graft.Staging.stage)
+
+    // large-star: for each node u, m = min(Γ(u) ∪ {u}); emit (v, m)
+    // for v ∈ Γ(u), v > u. Output stays big → small (v > u ≥ m).
+    def largeStar(e: DataFrame): DataFrame = {
+      val und = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      val mins = und.groupBy("a").agg(min("b").as("nm"))
+        .select(col("a"), least(col("a"), col("nm")).as("m"))
+      und.join(mins, "a").filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b")).distinct()
+    }
+    // small-star: group edges at their LARGER endpoint u;
+    // m = min(Γ⁻(u)); emit (w, m) for w ∈ Γ⁻(u) \ {m} plus (u, m).
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("a").agg(min("b").as("m"))
+      e.join(mins, "a")
+        .select(col("b").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b"))
+        .unionByName(mins.select(col("a"), col("m").as("b")))
+        .distinct()
+    }
+    // star forest ⇔ sources unique AND sources ∩ targets = ∅; with
+    // LS/SS preserving connectivity this means ONE star per component
+    def isStarForest(e: DataFrame): Boolean = {
+      val Row(n: Long, nd: Long) =
+        e.agg(count(lit(1)).as("n"), countDistinct(col("a")).as("nd")).head()
+      n == nd &&
+        e.as("x").join(e.as("y"), col("x.a") === col("y.b"), "left_semi").isEmpty
+    }
+
+    var iters = 0
+    var stars = isStarForest(edges)
+    while (!stars && iters < maxIters) {
+      val next = smallStar(largeStar(largeStar(edges)))
+        .transform(graft.Staging.stage)
+      graft.CheckpointJanitor.dropNow(edges)
+      edges = next
+      iters += 1
+      stars = isStarForest(edges)
+    }
+    // partially-converged edges would silently split one component in
+    // several — fail loudly instead (star rounds quarter path
+    // distances, so 20 rounds covers ~10^12-doc chains; hitting the
+    // budget means the graph or the budget is wrong, not the answer)
+    require(stars,
+      s"nearDupComponents did not converge within $maxIters rounds " +
+        "(edge set is not yet a star forest)")
+    val labels = edges.select(col("a").as("doc"), col("b").as("comp"))
+      .unionByName(
+        edges.select(col("b").as("doc"), col("b").as("comp")).distinct())
+    val sizes = labels.groupBy("comp").agg(count(lit(1)).as("comp_size"))
+    (labels.join(sizes, "comp").select("doc", "comp", "comp_size"), iters)
+  }
+
+  /** The pre-round-18 CC: hash-to-min label propagation with pointer
+    * jumping. Kept as the measured comparator for the star algorithm
+    * (DedupSpec pins star rounds ≤ these rounds on chain and basin
+    * fixtures) and as the fallback if a deployment ever prefers
+    * label-state over edge rewiring. O(diameter-ish) rounds on basin
+    * graphs — the round-15 CcRoundsProbe measured 13 rounds on the
+    * sf0.1 SemDeDup giant component where the star algorithm rewires
+    * in ~3. */
+  def nearDupComponentsHashToMinWithRounds(pairs: DataFrame,
+      aCol: String = "da", bCol: String = "db",
+      maxIters: Int = 20): (DataFrame, Int) = {
     val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
       .unionByName(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
       .transform(graft.Staging.stage)
