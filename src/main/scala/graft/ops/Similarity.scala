@@ -183,13 +183,31 @@ object Similarity {
   def hardNegativesIvf(emb: DataFrame, queries: DataFrame, k: Int,
       cells: Int = 16, nprobe: Int = 8): DataFrame = {
     val cents = ivfCentroids(emb, cells)
-    val assigned = assignedCorpus(emb, cents)
-      .join(emb.select(col("vec_id").as("vid"), col("label").as("neg_label")),
-        Seq("vid"))
+    hardNegativesIvfProbed(cents, assignedCorpus(emb, cents), emb, queries,
+      k, nprobe)
+  }
+
+  /** [[hardNegativesIvf]] against a PREBUILT index (round-17 verdict
+    * item 3): `cents`/`assigned` come from `IvfIndex
+    * .buildOrLoadWithAssignments`, so the quantizer build and the
+    * corpus assignment pass move off the per-call path — the same
+    * build-once discipline as q42e's `ivfTopKProbed`, and the same
+    * index artifact (mining negatives and serving ANN share one
+    * quantizer). The assignment relation carries no labels (the at-rest
+    * schema is query-agnostic); labels join back here on vid — at 100
+    * TB that join prunes to the probed cells' partitions first. */
+  def hardNegativesIvfProbed(cents: Seq[(Int, Array[Double], Double)],
+      assigned: DataFrame, emb: DataFrame, queries: DataFrame, k: Int,
+      nprobe: Int): DataFrame = {
     val q = probeCells(cents, queries, nprobe)
       .join(queries.select(col("vec_id").as("qid"), col("label").as("q_label")),
         Seq("qid"))
-    val scored = assigned.join(broadcast(q), Seq("cell"))
+      .transform(graft.Staging.stage)
+    val probed = q.select("cell").distinct().collect().map(_.getInt(0)).sorted
+    val a = assigned.filter(col("cell").isin(probed.map(Int.box): _*))
+      .join(emb.select(col("vec_id").as("vid"), col("label").as("neg_label")),
+        Seq("vid"))
+    val scored = a.join(broadcast(q), Seq("cell"))
       .filter(col("qid") =!= col("vid") && col("neg_label") =!= col("q_label"))
       .withColumn("cosine",
         dotDecimal(col("qe"), col("ce")) / sqrt(col("qnorm") * col("cnorm")))

@@ -366,17 +366,25 @@ object NorthStar {
     * assertion in IvfIndexSpec. */
   private val ivfScratch =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** The per-(JVM, dataset) build-once IVF index (cells = 16) shared by
+    * every query that probes the corpus under the SAME quantizer —
+    * q42e's ANN serving and q100b's hard-negative mining. Scratch
+    * memoized per dataset (the bucketedDir/csvScratch pattern): the
+    * index is BUILD-ONCE state, not per-query work. */
+  private def sharedIvfIndex(s: org.apache.spark.sql.SparkSession, dir: String,
+      emb: org.apache.spark.sql.DataFrame)
+      : (Seq[(Int, Array[Double], Double)], org.apache.spark.sql.DataFrame) = {
+    val scratch = ivfScratch.computeIfAbsent(dir, _ =>
+      java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/index")
+    scratch.synchronized {
+      graft.ops.IvfIndex.buildOrLoadWithAssignments(s, emb, cells = 16, scratch)
+    }
+  }
   val q42e = QueryDef("q42e_similarity_ivf_indexed",
     Similarity.ivfSql(cells = 16, nprobe = 4, k = 5)) { (s, dir) =>
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
-    // scratch memoized per dataset (the bucketedDir/csvScratch pattern):
-    // the index is BUILD-ONCE state, not per-query work
-    val scratch = ivfScratch.computeIfAbsent(dir, _ =>
-      java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/index")
-    val (cents, assigned) = scratch.synchronized {
-      graft.ops.IvfIndex.buildOrLoadWithAssignments(s, emb, cells = 16, scratch)
-    }
+    val (cents, assigned) = sharedIvfIndex(s, dir, emb)
     Similarity.ivfTopKProbed(cents, assigned,
       emb.filter($"vec_id" % 100 === 0), k = 5, nprobe = 4)
       .orderBy("qid", "rk")
@@ -1328,8 +1336,13 @@ object NorthStar {
       nprobe = graft.ops.Pq.nprobeFor(16), k = 3)) { (s, dir) =>
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
-    Similarity.hardNegativesIvf(emb, emb.filter($"vec_id" % 100 === 0), k = 3,
-      cells = 16, nprobe = graft.ops.Pq.nprobeFor(16))
+    // round-17 verdict item 3: mine against the PERSISTED q42e index
+    // (same cells=16 quantizer) instead of rebuilding it per call —
+    // the quantizer build + corpus assignment move off the query path
+    val (cents, assigned) = sharedIvfIndex(s, dir, emb)
+    Similarity.hardNegativesIvfProbed(cents, assigned, emb,
+      emb.filter($"vec_id" % 100 === 0), k = 3,
+      nprobe = graft.ops.Pq.nprobeFor(16))
       .withColumn("rk", $"rk".cast("int"))
       .orderBy("qid", "rk")
   }
