@@ -32,6 +32,12 @@ object GuardLog {
         "bounded-candidate branch (oracle hash-checks do not apply at this scale)")
   }
 
+  /** Record a guard whose branches are BOTH exact (same results,
+    * different plan shape — e.g. the CC small-sliver fast path): no
+    * oracle-validity caveat, so no stderr line; the bench artifact
+    * still records which plan it timed. */
+  def branch(op: String, name: String): Unit = branches.put(op, name)
+
   /** Snapshot as a JSON object string ("{}" when no guard ran). */
   def json: String = {
     import scala.jdk.CollectionConverters._

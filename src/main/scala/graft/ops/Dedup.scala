@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -777,17 +777,40 @@ object Dedup {
     * one (a, b) edge relation the size of the PAIRED docs (a sliver
     * of the corpus), never the corpus itself.
     *
+    * SMALL-SLIVER FAST PATH: when the distinct pair count is at most
+    * [[SmallGraphEdges]] (broadcast-class bytes — the same size
+    * discipline as Spark's own 10 MB broadcast threshold), the star
+    * loop's per-round stage-scheduling latency dominates actual work
+    * (measured: q41f's 13-pair graph paid ~1.5 s of pure driver-loop
+    * overhead). The sliver then runs union-find in ONE narrow task via
+    * `mapPartitions` — executor-side, never a driver collect, memory
+    * bounded by the guard — producing the identical (doc, comp) labels
+    * (component id = min doc id either way; spec-pinned equal). Above
+    * the guard the distributed star rounds run unchanged, so the plan
+    * scales: the branch choice lands in GuardLog like every other
+    * guarded operator.
+    *
     * Returns (doc, comp, comp_size) for every doc in a pair. */
   def nearDupComponents(pairs: DataFrame, aCol: String = "da",
-      bCol: String = "db", maxIters: Int = 20): DataFrame =
-    nearDupComponentsWithRounds(pairs, aCol, bCol, maxIters)._1
+      bCol: String = "db", maxIters: Int = 20,
+      smallGraphEdges: Long = SmallGraphEdges): DataFrame =
+    nearDupComponentsWithRounds(pairs, aCol, bCol, maxIters,
+      smallGraphEdges)._1
+
+  /** Fast-path guard: distinct pair count at or below this runs
+    * single-task union-find (≈ 1.6 MB of edge longs at the bound —
+    * broadcast-class); above it, distributed star rounds. */
+  val SmallGraphEdges: Long = 100000L
 
   /** [[nearDupComponents]] plus the number of star rounds actually
-    * executed — the loop is driver-eager, so the count is exact at
-    * return. Exposed so DedupSpec can pin the round-count laws: flat
-    * at 10x corpus, and ≤ hash-to-min on chain AND basin fixtures. */
+    * executed (0 on the union-find fast path) — the loop is
+    * driver-eager, so the count is exact at return. Exposed so
+    * DedupSpec can pin the round-count laws: flat at 10x corpus, and
+    * ≤ hash-to-min on chain AND basin fixtures (those specs force the
+    * distributed path with `smallGraphEdges = 0`). */
   def nearDupComponentsWithRounds(pairs: DataFrame, aCol: String = "da",
-      bCol: String = "db", maxIters: Int = 20): (DataFrame, Int) = {
+      bCol: String = "db", maxIters: Int = 20,
+      smallGraphEdges: Long = SmallGraphEdges): (DataFrame, Int) = {
     // canonical orientation big → small; both ops preserve it
     var edges = pairs
       .select(greatest(col(aCol), col(bCol)).as("a"),
@@ -795,6 +818,19 @@ object Dedup {
       .filter(col("a") =!= col("b")).distinct()
       .transform(graft.Staging.stage)
 
+    val nEdges = edges.count() // cheap: the relation is staged
+    if (nEdges <= smallGraphEdges) {
+      graft.GuardLog.branch("nearDupComponents", "smallSliver")
+      return (smallSliverComponents(edges), 0)
+    }
+    graft.GuardLog.branch("nearDupComponents", "starRounds")
+
+    // The stars ops are MULTISET-safe: group minima are unaffected by
+    // duplicate edges, and per-op output size is bounded by ~2× input
+    // (each input row emits ≤ 1), so the composite round below runs
+    // all three ops duplicate-tolerant and pays ONE distinct at the
+    // materialization — two fewer shuffles per round than
+    // distinct-per-op, with intermediates bounded at ≤ 4×|edges|.
     // large-star: for each node u, m = min(Γ(u) ∪ {u}); emit (v, m)
     // for v ∈ Γ(u), v > u. Output stays big → small (v > u ≥ m).
     def largeStar(e: DataFrame): DataFrame = {
@@ -802,7 +838,7 @@ object Dedup {
       val mins = und.groupBy("a").agg(min("b").as("nm"))
         .select(col("a"), least(col("a"), col("nm")).as("m"))
       und.join(mins, "a").filter(col("b") > col("a"))
-        .select(col("b").as("a"), col("m").as("b")).distinct()
+        .select(col("b").as("a"), col("m").as("b"))
     }
     // small-star: group edges at their LARGER endpoint u;
     // m = min(Γ⁻(u)); emit (w, m) for w ∈ Γ⁻(u) \ {m} plus (u, m).
@@ -812,21 +848,22 @@ object Dedup {
         .select(col("b").as("a"), col("m").as("b"))
         .filter(col("a") =!= col("b"))
         .unionByName(mins.select(col("a"), col("m").as("b")))
-        .distinct()
     }
     // star forest ⇔ sources unique AND sources ∩ targets = ∅; with
-    // LS/SS preserving connectivity this means ONE star per component
-    def isStarForest(e: DataFrame): Boolean = {
-      val Row(n: Long, nd: Long) =
-        e.agg(count(lit(1)).as("n"), countDistinct(col("a")).as("nd")).head()
-      n == nd &&
-        e.as("x").join(e.as("y"), col("x.a") === col("y.b"), "left_semi").isEmpty
-    }
+    // LS/SS preserving connectivity this means ONE star per component.
+    // ONE job: classify each node's (source-count, target-count) in a
+    // single groupBy and look for any violating node.
+    def isStarForest(e: DataFrame): Boolean =
+      e.select(col("a").as("n"), lit(1L).as("s"), lit(0L).as("t"))
+        .unionByName(e.select(col("b").as("n"), lit(0L).as("s"), lit(1L).as("t")))
+        .groupBy("n").agg(sum("s").as("s"), sum("t").as("t"))
+        .filter(col("s") > 1 || (col("s") > 0 && col("t") > 0))
+        .isEmpty
 
     var iters = 0
     var stars = isStarForest(edges)
     while (!stars && iters < maxIters) {
-      val next = smallStar(largeStar(largeStar(edges)))
+      val next = smallStar(largeStar(largeStar(edges))).distinct()
         .transform(graft.Staging.stage)
       graft.CheckpointJanitor.dropNow(edges)
       edges = next
@@ -845,6 +882,45 @@ object Dedup {
         edges.select(col("b").as("doc"), col("b").as("comp")).distinct())
     val sizes = labels.groupBy("comp").agg(count(lit(1)).as("comp_size"))
     (labels.join(sizes, "comp").select("doc", "comp", "comp_size"), iters)
+  }
+
+  /** Single-task union-find over a guard-bounded edge sliver — the
+    * [[nearDupComponents]] fast path. Runs WHERE THE DATA IS (one
+    * `mapPartitions` task after `coalesce(1)`, not a driver collect);
+    * union-by-min with path compression, so the root of every set is
+    * the component's minimum id — exactly the star algorithm's label.
+    * The comp_size join stays distributed (it is already tiny here). */
+  private def smallSliverComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val labels = edges
+      .select(col("a").cast("long"), col("b").cast("long"))
+      .as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != r) {
+            val nx = parent(c); parent(c) = r; c = nx
+          }
+          r
+        }
+        val nodes = scala.collection.mutable.LongMap.empty[Unit]
+        it.foreach { case (a, b) =>
+          nodes.update(a, ()); nodes.update(b, ())
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) {
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        nodes.keysIterator.map(n => (n, find(n)))
+      }
+      .toDF("doc", "comp")
+    val sizes = labels.groupBy("comp").agg(count(lit(1)).as("comp_size"))
+    labels.join(sizes, "comp").select("doc", "comp", "comp_size")
   }
 
   /** The pre-round-18 CC: hash-to-min label propagation with pointer

@@ -11,7 +11,9 @@ object ChainProbe {
     val n = args.headOption.map(_.toInt).getOrElse(1000)
     val chain = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("da", "db")
     val t0 = System.nanoTime()
-    val (comp, rounds) = graft.ops.Dedup.nearDupComponentsWithRounds(chain)
+    // smallGraphEdges = 0: the probe exists to measure the DISTRIBUTED star
+    // rounds; the default guard would route a 1000-chain to the fast path
+    val (comp, rounds) = graft.ops.Dedup.nearDupComponentsWithRounds(chain, smallGraphEdges = 0)
     val roots = comp.select("comp").distinct().count()
     println(f"[chainprobe] n=$n rounds=$rounds roots=$roots wall=${(System.nanoTime()-t0)/1e9}%.1fs")
     spark.stop()

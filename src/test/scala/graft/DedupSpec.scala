@@ -400,24 +400,24 @@ class DedupSpec extends SparkSpec {
   }
 
   test("near-dup components fail loudly when the iteration budget is exhausted") {
-    // a 30-link chain cannot converge in a single round even with
-    // pointer jumping — partially-converged labels must throw, never
-    // flow downstream as silently split components
+    // a 30-link chain cannot converge in a single star round —
+    // partially-converged edges must throw, never flow downstream as
+    // silently split components (smallGraphEdges = 0 forces the
+    // distributed path; the fast path has no rounds to exhaust)
     val chain = (0 until 30).map(i => (i.toLong, i + 1L)).toDF("da", "db")
     val ex = intercept[IllegalArgumentException] {
-      Dedup.nearDupComponents(chain, maxIters = 1)
+      Dedup.nearDupComponents(chain, maxIters = 1, smallGraphEdges = 0)
     }
     assert(ex.getMessage.contains("did not converge"))
   }
 
-  test("a budget ending exactly on the converging round passes via the confirming round") {
-    // chain 1-2-3-4: one pointer-jumped round produces the final
-    // labels, but convergence is only OBSERVABLE via a following
-    // zero-change round. maxIters=1 therefore exhausts the budget with
-    // changed>0 — the confirming round must validate the labels
-    // instead of throwing spuriously.
+  test("a budget ending exactly on the converging round passes") {
+    // chain 1-2-3-4: one star round produces the star forest, and the
+    // STRUCTURAL convergence check observes it on that same round —
+    // maxIters=1 must succeed, not throw spuriously (under hash-to-min
+    // this needed a separate confirming round; the star check doesn't).
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("da", "db")
-    val got = Dedup.nearDupComponents(chain, maxIters = 1)
+    val got = Dedup.nearDupComponents(chain, maxIters = 1, smallGraphEdges = 0)
       .orderBy("doc").as[(Long, Long, Long)].collect().toSeq
     assert(got == Seq((1L, 1L, 4L), (2L, 1L, 4L), (3L, 1L, 4L), (4L, 1L, 4L)))
   }
@@ -469,7 +469,8 @@ class DedupSpec extends SparkSpec {
     }
     for ((name, edges) <- Seq(("chain", chainEdges), ("basin", basinEdges))) {
       val df = edges.toDF("da", "db")
-      val (star, starRounds) = Dedup.nearDupComponentsWithRounds(df)
+      val (star, starRounds) =
+        Dedup.nearDupComponentsWithRounds(df, smallGraphEdges = 0)
       val (htm, htmRounds) = Dedup.nearDupComponentsHashToMinWithRounds(df)
       val s = star.orderBy("doc").as[(Long, Long, Long)].collect().toSeq
       val h = htm.orderBy("doc").as[(Long, Long, Long)].collect().toSeq
@@ -477,6 +478,12 @@ class DedupSpec extends SparkSpec {
       info(s"$name: star $starRounds rounds vs hash-to-min $htmRounds")
       assert(starRounds <= htmRounds,
         s"$name: star CC took $starRounds rounds vs hash-to-min's $htmRounds")
+      // the small-sliver union-find fast path (what these fixtures take
+      // under the default guard) must produce the identical labels
+      val (fast, fastRounds) = Dedup.nearDupComponentsWithRounds(df)
+      assert(fastRounds == 0, s"$name: expected the fast path under the guard")
+      val f = fast.orderBy("doc").as[(Long, Long, Long)].collect().toSeq
+      assert(f == s, s"$name: fast-path union-find diverges from star CC")
     }
   }
 
@@ -507,10 +514,10 @@ class DedupSpec extends SparkSpec {
     val e1 = shard(0).toDF("da", "db")
     val e10 = (0 until 10).flatMap(s => shard(s * 1000000L)).toDF("da", "db")
     val ((out1, rounds1), wall1) = timed {
-      val (df, r) = Dedup.nearDupComponentsWithRounds(e1); (df.count(), r)
+      val (df, r) = Dedup.nearDupComponentsWithRounds(e1, smallGraphEdges = 0); (df.count(), r)
     }
     val ((out10, rounds10), wall10) = timed {
-      val (df, r) = Dedup.nearDupComponentsWithRounds(e10); (df.count(), r)
+      val (df, r) = Dedup.nearDupComponentsWithRounds(e10, smallGraphEdges = 0); (df.count(), r)
     }
     assert(out10 == 10 * out1, s"shifted shards must be disjoint: $out1 -> $out10")
     info(f"CC rounds $rounds1 -> $rounds10, wall $wall1%.2f s -> $wall10%.2f s (${wall10 / wall1}%.1fx) at 10x")
