@@ -127,6 +127,26 @@ object Dedup {
   def incrementalNearDup(existing: DataFrame, batch: DataFrame,
       idCol: String, textCol: String, k: Int = 2, maxDf: Int = 20,
       threshold: Double = 0.2): DataFrame = {
+    val shE = wordShingles(spreadToCores(existing), idCol, textCol, k)
+      .select(col("doc"), xxhash64(col("shingle")).as("sh"))
+      .transform(graft.Staging.stage)
+    val dfE = shE.groupBy("sh").agg(count(lit(1)).as("ce"))
+    incrementalNearDupWith(shE, dfE, batch, idCol, textCol, k, maxDf,
+      threshold)
+  }
+
+  /** [[incrementalNearDup]] against a PREBUILT corpus side: `shE` is
+    * the corpus's hashed-shingle relation (doc, sh) and `dfE` its
+    * per-shingle document frequency (sh, ce) — the build-once artifact
+    * [[ShingleIndex]] persists (round-17 verdict item 4). The promise
+    * the op text always made becomes the measured deployment shape:
+    * per-batch cost excludes the corpus shingling/hashing pass
+    * entirely; document frequencies still combine over BOTH sides
+    * (corpus counts from the artifact + batch counts computed here),
+    * so blocking decisions are bit-identical to the inline build. */
+  def incrementalNearDupWith(shE: DataFrame, dfE: DataFrame,
+      batch: DataFrame, idCol: String, textCol: String, k: Int = 2,
+      maxDf: Int = 20, threshold: Double = 0.2): DataFrame = {
     // the batch side keeps the shingle STRING alongside the hash: the
     // fallback generator ranks by (df, shingle) and the string tiebreak
     // is the one ordering both engines share (hash ordering is
@@ -134,11 +154,13 @@ object Dedup {
     val shB = wordShingles(spreadToCores(batch), idCol, textCol, k)
       .select(col("doc"), col("shingle"), xxhash64(col("shingle")).as("sh"))
       .transform(graft.Staging.stage)
-    val shE = wordShingles(spreadToCores(existing), idCol, textCol, k)
-      .select(col("doc"), xxhash64(col("shingle")).as("sh"))
-      .transform(graft.Staging.stage)
-    val dfreq = shB.select("doc", "sh").unionByName(shE).groupBy("sh")
-      .agg(count(lit(1)).as("c"))
+    // combined df = corpus-side counts ⊕ batch-side counts — same
+    // result as counting the unioned (doc, sh) rows, but the corpus
+    // term arrives pre-aggregated (one small (sh, ce) relation)
+    val dfreq = shB.groupBy("sh").agg(count(lit(1)).as("cb"))
+      .join(dfE, Seq("sh"), "full_outer")
+      .select(col("sh"),
+        (coalesce(col("cb"), lit(0L)) + coalesce(col("ce"), lit(0L))).as("c"))
       .transform(graft.Staging.stage)
     val rareSh = dfreq.filter(col("c") <= maxDf).select("sh")
     val cand1 = shB.join(rareSh, "sh").select(col("doc").as("da"), col("sh"))
@@ -243,7 +265,7 @@ object Dedup {
     * <1 MB), which would run the tokenize+hash pass serially on one
     * core — widen to the core count first (never shrinks an
     * already-wide scan). Same rationale as ngramJaccardStages. */
-  private def spreadToCores(df: DataFrame): DataFrame = {
+  private[ops] def spreadToCores(df: DataFrame): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
   }

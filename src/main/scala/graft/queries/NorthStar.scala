@@ -909,7 +909,7 @@ object NorthStar {
     * identical relational program over the same derivations. The
     * prefix-copies must match (they keep every original bigram), the
     * vowel-swapped docs must not (most bigrams change). */
-  val q41k = QueryDef("q41k_dedup_incremental_neardup",
+  private val q41kSql =
     """WITH exdocs AS (SELECT doc_id AS doc, text FROM documents),
       |badocs AS (
       |  SELECT doc_id + 2000000 AS doc, 'copy ' || text AS text
@@ -961,18 +961,50 @@ object NorthStar {
       |  COALESCE(v.n_matches, 0) AS n_matches,
       |  COALESCE(v.best_jaccard, 0.0) AS best_jaccard
       |FROM badocs b LEFT JOIN verd v ON v.da = b.doc
-      |ORDER BY batch_id""".stripMargin) { (s, dir) =>
+      |ORDER BY batch_id""".stripMargin
+
+  /** The q41k/q41l batch: prefix-copies of doc_id%10=3 (must match)
+    * plus vowel-swapped genuinely-new text for doc_id%10=4 (must not). */
+  private def nearDupBatch(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val d = Tables.documents(s, dir).select("doc_id", "text")
-    val batch = d.filter($"doc_id" % 10 === 3)
+    d.filter($"doc_id" % 10 === 3)
       .select(($"doc_id" + 2000000L).as("doc_id"),
         concat(lit("copy "), $"text").as("text"))
       .unionByName(d.filter($"doc_id" % 10 === 4)
         .select(($"doc_id" + 3000000L).as("doc_id"),
           translate($"text", "aeiou", "xyzwv").as("text")))
+  }
+
+  val q41k = QueryDef("q41k_dedup_incremental_neardup", q41kSql) { (s, dir) =>
+    val d = Tables.documents(s, dir).select("doc_id", "text")
     graft.CheckpointJanitor.evictAfterConsumption(
-      Dedup.incrementalNearDup(d, batch, "doc_id", "text",
+      Dedup.incrementalNearDup(d, nearDupBatch(s, dir), "doc_id", "text",
         k = 2, maxDf = 20, threshold = 0.2)
+        .orderBy("batch_id"))
+  }
+
+  /** q41l: q41k's DEPLOYMENT shape (round-17 verdict item 4) — the
+    * corpus's hashed-shingle relation and its df rollup come from the
+    * build-once [[graft.ops.ShingleIndex]] artifact (memoized per
+    * (JVM, dataset) like q42e's IVF index), so the per-batch cost
+    * excludes the corpus shingling pass entirely. Same oracle SQL as
+    * q41k: the artifact holds exactly the relations the inline build
+    * derives, so the verdicts hash-match bit-for-bit. */
+  private val shingleScratch =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  val q41l = QueryDef("q41l_dedup_incremental_neardup_indexed",
+    q41kSql) { (s, dir) =>
+    val scratch = shingleScratch.computeIfAbsent(dir, _ =>
+      java.nio.file.Files.createTempDirectory("graft_shingle").toString + "/index")
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    val (shE, dfE) = scratch.synchronized {
+      graft.ops.ShingleIndex.buildOrLoad(s, d, "doc_id", "text", k = 2, scratch)
+    }
+    graft.CheckpointJanitor.evictAfterConsumption(
+      Dedup.incrementalNearDupWith(shE, dfE, nearDupBatch(s, dir),
+        "doc_id", "text", k = 2, maxDf = 20, threshold = 0.2)
         .orderBy("batch_id"))
   }
 
@@ -1376,7 +1408,7 @@ object NorthStar {
   }
 
   val defs: Seq[QueryDef] = Seq(q41a, q41h, q41i, q41b, q41c, q41d, q41e, q41f, q41g,
-    q41j, q41k, q42, q42b, q42c, q42d, q42e, q42f, q74, q43a, q43b, q43c, q43d, q43e, q43f,
+    q41j, q41k, q41l, q42, q42b, q42c, q42d, q42e, q42f, q74, q43a, q43b, q43c, q43d, q43e, q43f,
     q43g, q43h, q43i, q43j, q44, q44b, q44c, q44d, q81, q83, q88, q88b, q88c,
     q91, q92, q97, q97b, q100, q100b)
 }
