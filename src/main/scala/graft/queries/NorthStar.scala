@@ -782,6 +782,21 @@ object NorthStar {
       .orderBy("qid", "rk")
   }
 
+  /** q88d: PQ/ADC with K-MEANS-trained subspace codebooks (round-17
+    * verdict item 7) — the strided seed books refined by one fixed
+    * exact-arithmetic Lloyd step per subspace
+    * ([[graft.ops.Pq.codebooksIter]]); the whole training loop unrolls
+    * into oracle CTEs exactly like q42f's quantizer, so the trained
+    * pipeline hash-checks end-to-end. Query-time cost identical to
+    * q88; recall gain at equal M measured in SCALING.md. */
+  val q88d = QueryDef("q88d_similarity_pq_kmeans",
+    Pq.pqKmeansSql(k = 5, iters = 1)) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    Pq.pqTopKKmeans(emb, emb.filter($"vec_id" % 100 === 0), k = 5, iters = 1)
+      .orderBy("qid", "rk")
+  }
+
   /** IVFPQ (q88b): the Faiss composition stated as ONE declared
     * hash-checked pipeline — the IVF coarse quantizer (q42d/e's exact
     * machinery, bit-identical oracle prefix) prunes candidates to the
@@ -1409,6 +1424,6 @@ object NorthStar {
 
   val defs: Seq[QueryDef] = Seq(q41a, q41h, q41i, q41b, q41c, q41d, q41e, q41f, q41g,
     q41j, q41k, q41l, q42, q42b, q42c, q42d, q42e, q42f, q74, q43a, q43b, q43c, q43d, q43e, q43f,
-    q43g, q43h, q43i, q43j, q44, q44b, q44c, q44d, q81, q83, q88, q88b, q88c,
+    q43g, q43h, q43i, q43j, q44, q44b, q44c, q44d, q81, q83, q88, q88b, q88c, q88d,
     q91, q92, q97, q97b, q100, q100b)
 }

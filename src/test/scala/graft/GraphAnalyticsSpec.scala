@@ -183,6 +183,42 @@ class GraphAnalyticsSpec extends SparkSpec {
     codes.unpersist()
   }
 
+  test("q88d k-means codebooks: iters=0 is the raw sample, Lloyd descends quantization error") {
+    import graft.ops.{Pq, Similarity}
+    val emb = Tables.embeddings(spark, sf)
+    assert(Pq.codebooksIter(emb, 0).map(t => (t._1, t._2, t._3.toSeq, t._4)) ==
+      Pq.codebooks(emb).map(t => (t._1, t._2, t._3.toSeq, t._4)),
+      "iters=0 must be the untouched strided sample")
+    // mean subspace quantization error (the objective Lloyd descends)
+    // must strictly improve with one training step on every subspace's
+    // aggregate — measured as the corpus-mean TOTAL d² to assigned codes
+    def qerr(cb: Seq[(Int, Int, Array[Double], Double)]): Double = {
+      val codes = Pq.encode(emb, cb)
+      val terms = (0 until Pq.M).map { m =>
+        val sub = slice($"embedding", m * Pq.subDim + 1, Pq.subDim)
+        val cases = cb.collect { case (`m`, code, v, vn) =>
+          ($"c$m" === code,
+            (Similarity.dotDecimal(sub, sub) -
+              lit(2.0) * Similarity.dotDecimal(sub, array(v.map(lit(_)): _*)))
+              + lit(vn))
+        }
+        cases.tail.foldLeft(when(cases.head._1, cases.head._2)) {
+          case (acc, (p, v)) => acc.when(p, v)
+        }
+      }
+      codes.join(emb.select($"vec_id".as("vid"), $"embedding"), "vid")
+        .agg(avg(terms.reduce(_ + _))).head().getDouble(0)
+    }
+    val e0 = qerr(Pq.codebooks(emb))
+    val e1 = qerr(Pq.codebooksIter(emb, 1))
+    info(f"subspace quantization error: $e0%.4f -> $e1%.4f after 1 Lloyd step")
+    assert(e1 < e0, f"Lloyd step did not descend the objective: $e0%.4f -> $e1%.4f")
+    // trained-books pipeline stays well-formed: k dense ranks per query
+    val out = NorthStar.q88d.fn(spark, sf)
+    val counts = out.groupBy("qid").agg(count(lit(1)).as("n"))
+    assert(counts.filter($"n" =!= 5).isEmpty, "q88d must return 5 dense ranks per query")
+  }
+
   test("PqCodes kernel is bit-identical to the composed encode tree") {
     import graft.ops.Pq
     val emb = Tables.embeddings(spark, sf)
