@@ -73,12 +73,26 @@ object Explains {
     // round-16 batch 2: substring dedup, hashed classifier, DSIR,
     // hard-negative mining
     "q97_substring_dedup", "q97b_substring_strip", "q98_quality_classifier",
-    "q99_dsir_importance", "q100_hard_negatives", "q100b_hard_negatives_ivf")
+    "q99_dsir_importance", "q100_hard_negatives", "q100b_hard_negatives_ivf",
+    // round 18: persisted corpus shingle artifact + k-means PQ books
+    "q41l_dedup_incremental_neardup_indexed", "q88d_similarity_pq_kmeans")
 
   /** Prose above a query's plan — the one- paragraph reading guide for
     * the plan properties SCALING.md leans on. Keyed by query name so a
     * full regeneration never loses the annotations. */
   val notes: Map[String, String] = Map(
+    "q41l_dedup_incremental_neardup_indexed" ->
+      """The corpus side arrives as two parquet SCANS (the ShingleIndex
+        |artifact — hashed shingles + df rollup), not a shingling
+        |pipeline: look for the plain FileScans where q41k's plan has the
+        |tokenize/explode/hash stages. The batch side still shingles; the
+        |combined df is a full-outer sum join of the tiny df relations.""".stripMargin,
+    "q88d_similarity_pq_kmeans" ->
+      """Identical query-time plan to q88 (encode map + broadcast ADC +
+        |shortlist window + rerank) — only the codebook LITERALS differ
+        |(Lloyd-trained means). The training pass runs before plan
+        |construction: one encode pass + an (m, code, j) partial-agg
+        |shuffle, M×K×subDim rows collected as literals, not data.""".stripMargin,
     "q90_group_split" ->
       """Group-aware split: the bucket assignment is a map-only expression
         |on user_id (same multiplicative-hash machinery as q51c, different
