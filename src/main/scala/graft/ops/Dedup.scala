@@ -154,13 +154,19 @@ object Dedup {
     val shB = wordShingles(spreadToCores(batch), idCol, textCol, k)
       .select(col("doc"), col("shingle"), xxhash64(col("shingle")).as("sh"))
       .transform(graft.Staging.stage)
-    // combined df = corpus-side counts ⊕ batch-side counts — same
-    // result as counting the unioned (doc, sh) rows, but the corpus
-    // term arrives pre-aggregated (one small (sh, ce) relation)
+    // combined df = corpus-side counts ⊕ batch-side counts, computed
+    // ONLY for shingles the batch contains: every downstream consumer
+    // probes through shB (cand1 joins it, the fallback ranks a batch
+    // doc's own shingles), so corpus-only shingles can never influence
+    // a verdict — a LEFT join gives bit-identical output while keeping
+    // dfreq (and hence rareSh) batch-vocabulary-sized. The old
+    // full-outer form dragged the ENTIRE corpus vocabulary into rareSh
+    // (maxDf keeps most shingles), making the shE⋈rareSh probe below
+    // O(corpus) per batch — the opposite of the artifact's point.
     val dfreq = shB.groupBy("sh").agg(count(lit(1)).as("cb"))
-      .join(dfE, Seq("sh"), "full_outer")
+      .join(dfE, Seq("sh"), "left_outer")
       .select(col("sh"),
-        (coalesce(col("cb"), lit(0L)) + coalesce(col("ce"), lit(0L))).as("c"))
+        (col("cb") + coalesce(col("ce"), lit(0L))).as("c"))
       .transform(graft.Staging.stage)
     val rareSh = dfreq.filter(col("c") <= maxDf).select("sh")
     val cand1 = shB.join(rareSh, "sh").select(col("doc").as("da"), col("sh"))
