@@ -75,7 +75,8 @@ object Explains {
     "q97_substring_dedup", "q97b_substring_strip", "q98_quality_classifier",
     "q99_dsir_importance", "q100_hard_negatives", "q100b_hard_negatives_ivf",
     // round 18: persisted corpus shingle artifact + k-means PQ books
-    "q41l_dedup_incremental_neardup_indexed", "q88d_similarity_pq_kmeans")
+    "q41l_dedup_incremental_neardup_indexed", "q88d_similarity_pq_kmeans",
+    "q41m_dedup_incremental_neardup_bucketed")
 
   /** Prose above a query's plan — the one- paragraph reading guide for
     * the plan properties SCALING.md leans on. Keyed by query name so a
@@ -86,7 +87,24 @@ object Explains {
         |artifact — hashed shingles + df rollup), not a shingling
         |pipeline: look for the plain FileScans where q41k's plan has the
         |tokenize/explode/hash stages. The batch side still shingles; the
-        |combined df is a full-outer sum join of the tiny df relations.""".stripMargin,
+        |combined df probes the artifact's rollup with a LEFT join keyed
+        |on the batch vocabulary (corpus-only shingles can never reach a
+        |verdict, so dfreq/rareSh stay batch-sized).""".stripMargin,
+    "q41m_dedup_incremental_neardup_bucketed" ->
+      """q41l's BIG-BATCH shape: the corpus artifact arrives BUCKETED
+        |per access key — (doc, sh) by sh for the rare probe, a second
+        |copy by doc for the candidate fetch, the df rollup by sh — and
+        |the probe joins carry MERGE hints (standing in for a
+        |rare-shingle relation past broadcast size). The dump below is
+        |the final verdict segment (stage barriers split the pipeline
+        |into separate jobs, so the bucketed corpus scans live in the
+        |UPSTREAM staged jobs); the probe fragments themselves are
+        |plan-pinned in ShingleIndexSpec — `Bucketed: true` scans with
+        |NO Exchange above them under the SortMergeJoins, both on the
+        |sh copy and the doc copy. Only batch-sized relations shuffle;
+        |a flat artifact re-shuffles the corpus per batch
+        |(ShingleBucketProbe: 78 vs 11 MiB shuffled at 10x corpus,
+        |fixed batch).""".stripMargin,
     "q88d_similarity_pq_kmeans" ->
       """Identical query-time plan to q88 (encode map + broadcast ADC +
         |shortlist window + rerank) — only the codebook LITERALS differ

@@ -146,7 +146,23 @@ object Dedup {
     * so blocking decisions are bit-identical to the inline build. */
   def incrementalNearDupWith(shE: DataFrame, dfE: DataFrame,
       batch: DataFrame, idCol: String, textCol: String, k: Int = 2,
-      maxDf: Int = 20, threshold: Double = 0.2): DataFrame = {
+      maxDf: Int = 20, threshold: Double = 0.2): DataFrame =
+    incrementalNearDupWith(shE, shE, dfE, batch, idCol, textCol, k,
+      maxDf, threshold)
+
+  /** [[incrementalNearDupWith]] with the corpus relation supplied
+    * PER ACCESS KEY: `shESh` serves the sh-keyed joins (the
+    * rare-shingle probe and the fallback's key probe), `shEDoc` the
+    * doc-keyed candidate fetch (pull every shingle of the corpus docs
+    * that blocked against the batch). Both must hold the same
+    * (doc, sh) rows — the two-copy [[ShingleIndex]] bucketed layout
+    * exists so each join finds its corpus side pre-partitioned on its
+    * own key and only batch-sized relations shuffle per batch. */
+  def incrementalNearDupWith(shESh: DataFrame, shEDoc: DataFrame,
+      dfE: DataFrame,
+      batch: DataFrame, idCol: String, textCol: String, k: Int,
+      maxDf: Int, threshold: Double): DataFrame = {
+    val shE = shESh
     // the batch side keeps the shingle STRING alongside the hash: the
     // fallback generator ranks by (df, shingle) and the string tiebreak
     // is the one ordering both engines share (hash ordering is
@@ -200,9 +216,12 @@ object Dedup {
     val cand = cand1.unionByName(cand2).distinct().transform(graft.Staging.stage)
     val shBc = shB.join(cand.select(col("da").as("doc")), Seq("doc"), "left_semi")
       .transform(graft.Staging.stage)
-    val shEc = shE.join(cand.select(col("db").as("doc")), Seq("doc"), "left_semi")
+    // candidate fetch is DOC-keyed — the one corpus access that can't
+    // ride the sh-partitioned copy (see the two-copy artifact layout)
+    val shEc = shEDoc.join(cand.select(col("db").as("doc")), Seq("doc"), "left_semi")
       .transform(graft.Staging.stage)
     graft.CheckpointJanitor.dropNow(shE)
+    if (shEDoc ne shE) graft.CheckpointJanitor.dropNow(shEDoc)
     val sizesB = shBc.groupBy("doc").agg(count(lit(1)).as("n"))
     val sizesE = shEc.groupBy("doc").agg(count(lit(1)).as("n"))
     val common = cand

@@ -61,4 +61,86 @@ object ShingleIndex {
       save(corpus, idCol, textCol, k, path)
     load(spark, path)
   }
+
+  /** Bucket count of the BUCKETED artifact layout ([[saveBucketed]]).
+    * Matches the session shuffle parallelism at bench scale; a 100 TB
+    * deployment picks buckets so one bucket ≈ a healthy scan-partition
+    * size (the q50 discipline). */
+  val Buckets = 32
+
+  /** The big-batch at-rest layout: THREE relations in the session
+    * catalog — the (doc, sh) relation bucketed+sorted by `sh`
+    * (`_sh`), a second copy bucketed+sorted by `doc` (`_doc`), and
+    * the df rollup bucketed by `sh` (`_df`).
+    *
+    * Why it exists: the plain [[save]] layout is enough when a batch's
+    * rare-shingle relation broadcasts — the candidate probe then scans
+    * the corpus artifact once with no shuffle on either side. But a
+    * big batch (TBs of fresh crawl against a 100 TB corpus) has a
+    * rare-shingle set far past broadcast size, so the probe joins
+    * become shuffle joins — and with the corpus relation stored flat,
+    * EVERY batch re-shuffles the whole corpus on the probe keys.
+    * Bucketing pays each shuffle ONCE at build time, per ACCESS KEY:
+    * the rare-shingle probe and the df sum join through `sh` (the
+    * `_sh`/`_df` copies), while the candidate-fetch semi join — pull
+    * every shingle of the corpus docs that blocked against the batch —
+    * joins through `doc` (the `_doc` copy; one sh-bucketed copy alone
+    * leaves that fetch re-shuffling the corpus by doc per batch, the
+    * measured 10×-corpus term in ShingleBucketProbe). With all three
+    * in place only batch-sized relations move per batch
+    * (ShingleIndexSpec pins the corpus side exchange-free under a
+    * disabled broadcast threshold — the q50/q14c discipline applied
+    * to the dedup artifact; SCALING.md records the fixed-batch
+    * shuffle-volume law). Storage cost: 2× the 16-byte (doc, sh)
+    * rows — the price of shuffle-free access on both keys. */
+  def saveBucketed(spark: SparkSession, corpus: DataFrame, idCol: String,
+      textCol: String, k: Int, table: String,
+      buckets: Int = Buckets): Unit = {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft")
+    val shE = Dedup.wordShingles(Dedup.spreadToCores(corpus), idCol,
+        textCol, k)
+      .select(col("doc"), xxhash64(col("shingle")).as("sh"))
+      .transform(graft.Staging.stage)
+    def materialize(name: String, df: DataFrame, key: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS graft.$name")
+      // clear any stale location from a previous JVM: the in-memory
+      // catalog forgets tables across sessions but the warehouse
+      // directory persists (the Ingest.ensureBucketedTables pattern)
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.conf.warehousePath, s"graft.db/$name")
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(loc, true)
+      df.write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, key).sortBy(key).saveAsTable(s"graft.$name")
+    }
+    materialize(s"${table}_sh", shE, "sh")
+    materialize(s"${table}_doc", shE, "doc")
+    materialize(s"${table}_df",
+      shE.groupBy("sh").agg(count(lit(1)).as("ce")), "sh")
+    graft.CheckpointJanitor.dropNow(shE)
+  }
+
+  /** Readers over a bucketed artifact — (shBySh, shByDoc, df). Plans
+    * built on these carry the bucketed output partitioning, so a join
+    * through the matching key skips the corpus-side exchange. */
+  def loadBucketed(spark: SparkSession, table: String)
+      : (DataFrame, DataFrame, DataFrame) =
+    (spark.table(s"graft.${table}_sh"),
+      spark.table(s"graft.${table}_doc"),
+      spark.table(s"graft.${table}_df"))
+
+  /** [[buildOrLoad]] for the bucketed layout: the existence check is
+    * the catalog entry (all three tables present), so a fresh JVM over
+    * a stale warehouse directory rebuilds rather than trusting files
+    * the in-memory catalog no longer describes. */
+  def buildOrLoadBucketed(spark: SparkSession, corpus: DataFrame,
+      idCol: String, textCol: String, k: Int, table: String,
+      buckets: Int = Buckets): (DataFrame, DataFrame, DataFrame) = {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft")
+    if (!spark.catalog.tableExists(s"graft.${table}_sh") ||
+        !spark.catalog.tableExists(s"graft.${table}_doc") ||
+        !spark.catalog.tableExists(s"graft.${table}_df"))
+      saveBucketed(spark, corpus, idCol, textCol, k, table, buckets)
+    loadBucketed(spark, table)
+  }
 }

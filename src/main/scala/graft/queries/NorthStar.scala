@@ -1023,6 +1023,40 @@ object NorthStar {
         .orderBy("batch_id"))
   }
 
+  /** q41m: q41l in the BIG-BATCH regime. q41l's plan is the
+    * small-batch shape — the batch's rare-shingle relation broadcasts,
+    * so the corpus artifact is scanned once with no shuffle on either
+    * probe side. A big batch (TBs of fresh crawl against a 100 TB
+    * corpus) has a rare-shingle set far past broadcast size; the probe
+    * joins become shuffle joins, and a FLAT corpus artifact then
+    * re-shuffles the entire corpus (doc, sh) relation + df rollup on
+    * every batch. This entry runs the identical pipeline over the
+    * BUCKETED artifact ([[graft.ops.ShingleIndex.saveBucketed]]:
+    * the (doc, sh) relation bucketed+sorted by `sh` AND a second copy
+    * by `doc` — one per probe key — plus the df rollup by `sh`) with
+    * MERGE hints standing in for the too-big-to-broadcast planner
+    * state — the sort-merge probes read co-located pre-sorted buckets
+    * and only batch-sized relations move (ShingleIndexSpec pins the
+    * corpus side exchange-free; ShingleBucketProbe measures the
+    * fixed-batch shuffle law at 10× corpus; the q50/q14c bucketing
+    * discipline applied to the dedup artifact). Same oracle SQL as
+    * q41k — join strategy and at-rest layout change nothing about the
+    * verdicts. */
+  val q41m = QueryDef("q41m_dedup_incremental_neardup_bucketed",
+    q41kSql) { (s, dir) =>
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    val (shESh, shEDoc, dfE) = shingleScratch.synchronized {
+      graft.ops.ShingleIndex.buildOrLoadBucketed(s, d, "doc_id", "text",
+        k = 2, table = "shingle_" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
+    }
+    graft.CheckpointJanitor.evictAfterConsumption(
+      Dedup.incrementalNearDupWith(shESh.hint("merge"),
+        shEDoc.hint("merge"), dfE.hint("merge"),
+        nearDupBatch(s, dir), "doc_id", "text", k = 2, maxDf = 20,
+        threshold = 0.2)
+        .orderBy("batch_id"))
+  }
+
   /** Corpus-trained unigram-LM quality scoring (q43h): P(w) from one
     * token pass, each doc scored by mean token log-prob + per-token
     * perplexity — the cheap stand-in for an LM quality filter, trained
@@ -1423,7 +1457,7 @@ object NorthStar {
   }
 
   val defs: Seq[QueryDef] = Seq(q41a, q41h, q41i, q41b, q41c, q41d, q41e, q41f, q41g,
-    q41j, q41k, q41l, q42, q42b, q42c, q42d, q42e, q42f, q74, q43a, q43b, q43c, q43d, q43e, q43f,
+    q41j, q41k, q41l, q41m, q42, q42b, q42c, q42d, q42e, q42f, q74, q43a, q43b, q43c, q43d, q43e, q43f,
     q43g, q43h, q43i, q43j, q44, q44b, q44c, q44d, q81, q83, q88, q88b, q88c, q88d,
     q91, q92, q97, q97b, q100, q100b)
 }

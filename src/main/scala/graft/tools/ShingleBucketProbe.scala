@@ -1,0 +1,90 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+/** Measures what the bucketed shingle artifact (q41m) buys in the
+  * big-batch regime: the same cross-corpus near-dup pipeline run over
+  * (a) the flat artifact with broadcast probes (q41l's bench-scale
+  * plan), (b) the flat artifact with MERGE-hinted probes (the plan a
+  * too-big-to-broadcast rare-shingle relation forces — the corpus
+  * relation re-shuffles per batch), and (c) the bucketed artifact with
+  * the same hints (q41m — corpus side exchange-free). Reports wall
+  * seconds and total shuffle WRITE bytes per variant (a stage-level
+  * listener sum), which is the number that scales with corpus size in
+  * (b) but with batch size in (c). SCALING.md records the output.
+  *
+  * Run: sbt "runMain graft.tools.ShingleBucketProbe <corpusDir> [batchDir]"
+  * — a batchDir different from corpusDir pins the LAW: corpus 10× with
+  * the batch FIXED isolates which variant's shuffle volume grows with
+  * corpus size (flat) vs batch size (bucketed).
+  */
+object ShingleBucketProbe {
+
+  private final class ShuffleBytes extends SparkListener {
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+      bytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val batchDir = if (args.length > 1) args(1) else dir
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+
+    val corpus = graft.Tables.documents(spark, dir).select("doc_id", "text")
+    val batchBase = graft.Tables.documents(spark, batchDir)
+      .select("doc_id", "text")
+    val batch = batchBase.filter($"doc_id" % 10 === 3)
+      .select(($"doc_id" + 2000000L).as("doc_id"),
+        concat(lit("copy "), $"text").as("text"))
+      .unionByName(batchBase.filter($"doc_id" % 10 === 4)
+        .select(($"doc_id" + 3000000L).as("doc_id"),
+          translate($"text", "aeiou", "xyzwv").as("text")))
+
+    // build both artifacts up front (build cost is NOT what the probe
+    // measures — both layouts pay one corpus pass at build time)
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft_shbp").toString + "/index"
+    val (shFlat, dfFlat) = graft.ops.ShingleIndex.buildOrLoad(
+      spark, corpus, "doc_id", "text", k = 2, scratch)
+    val (shBkSh, shBkDoc, dfBk) = graft.ops.ShingleIndex.buildOrLoadBucketed(
+      spark, corpus, "doc_id", "text", k = 2,
+      table = "shingle_probe_" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
+
+    val listener = new ShuffleBytes
+    spark.sparkContext.addSparkListener(listener)
+
+    def run(tag: String,
+        shE: org.apache.spark.sql.DataFrame,
+        shEDoc: org.apache.spark.sql.DataFrame,
+        dfE: org.apache.spark.sql.DataFrame): Unit = {
+      // one untimed warmup so JIT/codegen state is uniform across tags
+      graft.ops.Dedup.incrementalNearDupWith(shE, shEDoc, dfE, batch,
+        "doc_id", "text", k = 2, maxDf = 20, threshold = 0.2).count()
+      System.gc()
+      Thread.sleep(1000) // let straggling stage events from the warmup drain
+      listener.bytes.set(0L)
+      val t0 = System.nanoTime()
+      val n = graft.ops.Dedup.incrementalNearDupWith(shE, shEDoc, dfE, batch,
+        "doc_id", "text", k = 2, maxDf = 20, threshold = 0.2)
+        .filter($"matched" === 1).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1000) // drain this run's stage events before reading
+      println(f"[shbp] $tag%-18s wall=$wall%6.2fs shuffleWrite=${listener.bytes.get / 1048576.0}%8.2f MiB matched=$n")
+    }
+
+    run("flat+broadcast", shFlat, shFlat, dfFlat)
+    run("flat+smj", shFlat.hint("merge"), shFlat.hint("merge"),
+      dfFlat.hint("merge"))
+    run("bucketed+smj", shBkSh.hint("merge"), shBkDoc.hint("merge"),
+      dfBk.hint("merge"))
+    spark.stop()
+  }
+}

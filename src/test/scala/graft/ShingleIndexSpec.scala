@@ -50,4 +50,64 @@ class ShingleIndexSpec extends SparkSpec {
     val re = shE.groupBy("sh").agg(count(lit(1)).as("ce"))
     assert(dfE.exceptAll(re).isEmpty && re.exceptAll(dfE).isEmpty)
   }
+
+  test("bucketed artifact + merge hints reproduce the inline build (q41m)") {
+    val (shESh, shEDoc, dfE) = ShingleIndex.buildOrLoadBucketed(spark,
+      corpus, "doc_id", "text", k = 2, table = "shingle_spec_eq")
+    val bucketed = Dedup.incrementalNearDupWith(shESh.hint("merge"),
+      shEDoc.hint("merge"), dfE.hint("merge"), batch, "doc_id", "text",
+      k = 2, maxDf = 20, threshold = 0.2)
+    val inline = Dedup.incrementalNearDup(corpus, batch,
+      "doc_id", "text", k = 2, maxDf = 20, threshold = 0.2)
+    assert(bucketed.exceptAll(inline).isEmpty &&
+      inline.exceptAll(bucketed).isEmpty,
+      "bucketed path diverges from the inline build")
+    assert(bucketed.filter($"matched" === 1).count() > 0)
+  }
+
+  test("bucketed corpus side probes without a shuffle exchange") {
+    // model the big-batch regime: the rare-shingle relation too large
+    // to broadcast (threshold off), so the probe is a shuffle join —
+    // the bucketed corpus side must contribute its buckets IN PLACE
+    // while only the probe side moves (the q50 plan discipline)
+    val (shE, shEDoc, _) = ShingleIndex.buildOrLoadBucketed(spark, corpus,
+      "doc_id", "text", k = 2, table = "shingle_spec_plan")
+    val someSh = shE.limit(50).collect().map(_.getLong(1))
+    val rare = someSh.toSeq.toDF("sh")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probed = shE.hint("merge").join(rare, "sh")
+      probed.collect() // force the final AQE plan
+      val plan = probed.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.toString
+        case other => other.toString
+      }
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(plan.contains("Bucketed: true"),
+        s"corpus scan must be bucketed:\n$plan")
+      assert(exchanges == 1,
+        s"only the probe side may shuffle (found $exchanges exchanges):\n$plan")
+
+      // the DOC-keyed candidate fetch rides the second copy: corpus
+      // side again in place, only the candidate-doc list shuffles
+      val someDocs = shEDoc.limit(20).collect().map(_.getLong(0))
+        .toSeq.toDF("doc")
+      val fetched = shEDoc.hint("merge")
+        .join(someDocs, Seq("doc"), "left_semi")
+      fetched.collect()
+      val dplan = fetched.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.toString
+        case other => other.toString
+      }
+      val dexchanges = "Exchange hashpartitioning".r.findAllIn(dplan).size
+      assert(dplan.contains("Bucketed: true"),
+        s"doc-copy scan must be bucketed:\n$dplan")
+      assert(dexchanges == 1,
+        s"only the candidate list may shuffle (found $dexchanges):\n$dplan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
