@@ -76,7 +76,8 @@ object Explains {
     "q99_dsir_importance", "q100_hard_negatives", "q100b_hard_negatives_ivf",
     // round 18: persisted corpus shingle artifact + k-means PQ books
     "q41l_dedup_incremental_neardup_indexed", "q88d_similarity_pq_kmeans",
-    "q41m_dedup_incremental_neardup_bucketed")
+    "q41m_dedup_incremental_neardup_bucketed",
+    "q41n_dedup_incremental_neardup_delta")
 
   /** Prose above a query's plan — the one- paragraph reading guide for
     * the plan properties SCALING.md leans on. Keyed by query name so a
@@ -105,6 +106,15 @@ object Explains {
         |a flat artifact re-shuffles the corpus per batch
         |(ShingleBucketProbe: 78 vs 11 MiB shuffled at 10x corpus,
         |fixed batch).""".stripMargin,
+    "q41n_dedup_incremental_neardup_delta" ->
+      """The artifact lifecycle's round-2 probe: identical plan family
+        |to q41l (artifact FileScans + the batch pipeline) — what
+        |changed is WHICH rows the scans hold: the shingle relation now
+        |contains batch1's accepted docs via ShingleIndex.append (delta
+        |shingling + a rollup-sized df merge, no corpus re-read), so
+        |batch2's copies of accepted docs find their match. The
+        |maintenance cost itself runs once before this plan and is
+        |delta-sized.""".stripMargin,
     "q88d_similarity_pq_kmeans" ->
       """Identical query-time plan to q88 (encode map + broadcast ADC +
         |shortlist window + rerank) — only the codebook LITERALS differ

@@ -24,12 +24,10 @@ import org.apache.spark.sql.functions._
   * (doc, bigram-hash) pairs — ~tokens-per-doc rows per doc, 16
   * bytes each; the df rollup is one row per distinct shingle. Both
   * partition like any parquet relation; a production deployment
-  * would additionally bucket `shingles` by `sh` so the per-batch
-  * candidate join reads co-located buckets without shuffling the
-  * corpus side (the q50 bucketed-join discipline — the artifact's
-  * schema already supports it, the local scratch skips the metastore
-  * dependency). Delta maintenance is append-shaped: new corpus docs
-  * append their (doc, sh) rows and the df rollup merges by sum.
+  * would additionally bucket the relations per access key —
+  * [[saveBucketed]] implements that layout and q41m exercises it.
+  * Delta maintenance is append-shaped — [[append]] implements it and
+  * q41n exercises the probe → accept → append → probe lifecycle.
   */
 object ShingleIndex {
 
@@ -50,6 +48,47 @@ object ShingleIndex {
   def load(spark: SparkSession, path: String): (DataFrame, DataFrame) =
     (spark.read.parquet(s"$path/shingles"),
       spark.read.parquet(s"$path/df"))
+
+  /** Delta maintenance — fold `newDocs` (e.g. the docs a probe just
+    * ACCEPTED into the corpus) into a saved artifact: their (doc, sh)
+    * rows append to the shingle relation, and the df rollup merges by
+    * sum (counts are additive — df counts distinct (doc, sh) rows and
+    * the new doc ids are new). One shingling pass over the DELTA, a
+    * rollup-sized merge, zero corpus re-reads of text: the maintenance
+    * cost a 100 TB deployment pays per accepted batch.
+    *
+    * The df merge lands via write-new + directory swap (the rollup is
+    * read while being replaced, so in-place overwrite would corrupt
+    * it). The two relations do NOT update atomically: a crash between
+    * the shingle append and the df swap leaves counts behind the
+    * shingle rows (blocking then sees slightly-low df — conservative,
+    * more candidates, same verdicts' correctness envelope — and the
+    * next append's merge re-derives nothing, so the gap persists
+    * until a rebuild). A production deployment wraps both writes in
+    * the q46 stage-and-swap generation pattern or a transactional
+    * table format; ShingleIndexSpec pins append ≡ rebuild-from-union
+    * on the happy path. */
+  def append(spark: SparkSession, newDocs: DataFrame, idCol: String,
+      textCol: String, k: Int, path: String): Unit = {
+    val shA = Dedup.wordShingles(Dedup.spreadToCores(newDocs), idCol,
+        textCol, k)
+      .select(col("doc"), xxhash64(col("shingle")).as("sh"))
+      .transform(graft.Staging.stage)
+    shA.write.mode("append").parquet(s"$path/shingles")
+    val merged = spark.read.parquet(s"$path/df")
+      .join(shA.groupBy("sh").agg(count(lit(1)).as("ca")),
+        Seq("sh"), "full_outer")
+      .select(col("sh"),
+        (coalesce(col("ce"), lit(0L)) + coalesce(col("ca"), lit(0L))).as("ce"))
+    merged.write.mode("overwrite").parquet(s"$path/df_next")
+    graft.CheckpointJanitor.dropNow(shA)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/df"), true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/df_next"),
+      new org.apache.hadoop.fs.Path(s"$path/df")),
+      s"df rollup swap failed under $path")
+  }
 
   /** Load `path` when it already holds the artifact, else build from
     * `corpus` and save. The check reads only the path listing. */

@@ -992,6 +992,86 @@ object NorthStar {
           translate($"text", "aeiou", "xyzwv").as("text")))
   }
 
+  /** One round of the cross-corpus near-dup pipeline as DuckDB CTE
+    * fragments with every relation suffixed by `sfx`, so [[q41nSql]]
+    * can replay the pipeline twice (probe → accept → probe) inside one
+    * statement. `corpus`/`batch` name (doc, text) CTEs; the fragment
+    * chain ends in `verd$sfx` (da, n_matches, best_jaccard) — the
+    * matched batch docs. Body is q41kSql's pipeline verbatim. */
+  private def nearDupCtes(sfx: String, corpus: String, batch: String): String =
+    s"""tE$sfx AS (SELECT doc, string_split_regex(lower(text), '\\s+') AS l FROM $corpus),
+       |tB$sfx AS (SELECT doc, string_split_regex(lower(text), '\\s+') AS l FROM $batch),
+       |shE$sfx AS (SELECT DISTINCT doc,
+       |    UNNEST(list_transform(generate_series(1, len(l) - 1),
+       |      i -> l[i] || ' ' || l[i + 1])) AS shingle FROM tE$sfx),
+       |shB$sfx AS (SELECT DISTINCT doc,
+       |    UNNEST(list_transform(generate_series(1, len(l) - 1),
+       |      i -> l[i] || ' ' || l[i + 1])) AS shingle FROM tB$sfx),
+       |df$sfx AS (SELECT shingle, COUNT(*) AS c FROM (
+       |    SELECT doc, shingle FROM shE$sfx UNION ALL SELECT doc, shingle FROM shB$sfx) u
+       |  GROUP BY 1),
+       |rare$sfx AS (SELECT shingle FROM df$sfx WHERE c <= 20),
+       |cand1$sfx AS (SELECT DISTINCT b.doc AS da, e.doc AS db
+       |          FROM shB$sfx b JOIN rare$sfx USING (shingle)
+       |          JOIN shE$sfx e USING (shingle)),
+       |hot$sfx AS (SELECT doc FROM shB$sfx EXCEPT SELECT da FROM cand1$sfx),
+       |fb$sfx AS (SELECT doc, shingle FROM (
+       |    SELECT b.doc, b.shingle,
+       |      ROW_NUMBER() OVER (PARTITION BY b.doc
+       |        ORDER BY df$sfx.c, b.shingle) AS rk
+       |    FROM shB$sfx b JOIN hot$sfx USING (doc) JOIN df$sfx USING (shingle)) t
+       |  WHERE rk <= 4),
+       |cand2$sfx AS (SELECT DISTINCT f.doc AS da, e.doc AS db
+       |          FROM fb$sfx f JOIN shE$sfx e USING (shingle)),
+       |cand$sfx AS (SELECT da, db FROM cand1$sfx UNION SELECT da, db FROM cand2$sfx),
+       |sizesB$sfx AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS n FROM shB$sfx GROUP BY doc),
+       |sizesE$sfx AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS n FROM shE$sfx GROUP BY doc),
+       |common$sfx AS (SELECT c.da, c.db, CAST(COUNT(*) AS BIGINT) AS cm
+       |           FROM cand$sfx c
+       |           JOIN shB$sfx s1 ON s1.doc = c.da
+       |           JOIN shE$sfx s2 ON s2.doc = c.db AND s2.shingle = s1.shingle
+       |           GROUP BY 1, 2),
+       |pairs$sfx AS (SELECT da, CAST(cm AS DOUBLE) / (na.n + nb.n - cm) AS j
+       |          FROM common$sfx
+       |          JOIN sizesB$sfx na ON na.doc = da JOIN sizesE$sfx nb ON nb.doc = db
+       |          WHERE CAST(cm AS DOUBLE) / (na.n + nb.n - cm) >= 0.2),
+       |verd$sfx AS (SELECT da, CAST(COUNT(*) AS BIGINT) AS n_matches,
+       |                ROUND(MAX(j), 6) AS best_jaccard
+       |         FROM pairs$sfx GROUP BY 1)""".stripMargin
+
+  /** q41n's oracle: the artifact LIFECYCLE replayed in SQL — round 1
+    * probes batch1 against the corpus, the unmatched docs are ACCEPTED
+    * into it, round 2 probes batch2 against corpus ∪ accepted. Batch2
+    * mixes copies of batch1's (typically accepted) translate-variants —
+    * matchable only through the delta — with novel re-vowelled docs. */
+  private val q41nSql =
+    s"""WITH exdocs AS (SELECT doc_id AS doc, text FROM documents),
+       |badocs1 AS (
+       |  SELECT doc_id + 2000000 AS doc, 'copy ' || text AS text
+       |  FROM documents WHERE doc_id % 10 = 3
+       |  UNION ALL
+       |  SELECT doc_id + 3000000 AS doc, translate(text, 'aeiou', 'xyzwv') AS text
+       |  FROM documents WHERE doc_id % 10 = 4),
+       |${nearDupCtes("1", "exdocs", "badocs1")},
+       |accepted AS (SELECT b.doc, b.text FROM badocs1 b
+       |             LEFT JOIN verd1 v ON v.da = b.doc WHERE v.da IS NULL),
+       |exdocs2 AS (SELECT doc, text FROM exdocs
+       |            UNION ALL SELECT doc, text FROM accepted),
+       |badocs2 AS (
+       |  SELECT doc_id + 4000000 AS doc,
+       |    'copy ' || translate(text, 'aeiou', 'xyzwv') AS text
+       |  FROM documents WHERE doc_id % 10 = 4
+       |  UNION ALL
+       |  SELECT doc_id + 5000000 AS doc, translate(text, 'aeiou', 'uoiea') AS text
+       |  FROM documents WHERE doc_id % 10 = 6),
+       |${nearDupCtes("2", "exdocs2", "badocs2")}
+       |SELECT b.doc AS batch_id,
+       |  CAST(CASE WHEN v.da IS NULL THEN 0 ELSE 1 END AS BIGINT) AS matched,
+       |  COALESCE(v.n_matches, 0) AS n_matches,
+       |  COALESCE(v.best_jaccard, 0.0) AS best_jaccard
+       |FROM badocs2 b LEFT JOIN verd2 v ON v.da = b.doc
+       |ORDER BY batch_id""".stripMargin
+
   val q41k = QueryDef("q41k_dedup_incremental_neardup", q41kSql) { (s, dir) =>
     val d = Tables.documents(s, dir).select("doc_id", "text")
     graft.CheckpointJanitor.evictAfterConsumption(
@@ -1054,6 +1134,64 @@ object NorthStar {
         shEDoc.hint("merge"), dfE.hint("merge"),
         nearDupBatch(s, dir), "doc_id", "text", k = 2, maxDf = 20,
         threshold = 0.2)
+        .orderBy("batch_id"))
+  }
+
+  /** Batch2 for the q41n lifecycle: copies of batch1's translate-
+    * variants (near-dups of docs the corpus holds ONLY through the
+    * round-1 append — the rows that prove delta maintenance) plus
+    * novel re-vowelled docs as the unmatched control. */
+  private def nearDupBatch2(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    d.filter($"doc_id" % 10 === 4)
+      .select(($"doc_id" + 4000000L).as("doc_id"),
+        concat(lit("copy "), translate($"text", "aeiou", "xyzwv")).as("text"))
+      .unionByName(d.filter($"doc_id" % 10 === 6)
+        .select(($"doc_id" + 5000000L).as("doc_id"),
+          translate($"text", "aeiou", "uoiea").as("text")))
+  }
+
+  /** q41n: the artifact LIFECYCLE (the claim [[graft.ops.ShingleIndex
+    * .append]] implements — "delta maintenance is append-shaped"):
+    * build the corpus artifact once, probe batch1 (q41k's batch),
+    * APPEND the accepted (unmatched) docs — one shingling pass over
+    * the delta plus a rollup-sized merge, zero corpus re-reads — then
+    * probe batch2 against the maintained artifact. Batch2's copies of
+    * batch1's accepted docs match ONLY through the delta (spec-pinned:
+    * the same probe against the pristine artifact misses them). The
+    * oracle replays both rounds in one SQL statement ([[q41nSql]]);
+    * the returned verdicts are batch2's. */
+  private val deltaScratch =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  val q41n = QueryDef("q41n_dedup_incremental_neardup_delta",
+    q41nSql) { (s, dir) =>
+    val scratch = deltaScratch.computeIfAbsent(dir, _ =>
+      java.nio.file.Files.createTempDirectory("graft_shdelta").toString + "/index")
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    val marker = java.nio.file.Paths.get(scratch + "_APPENDED")
+    scratch.synchronized {
+      if (!java.nio.file.Files.exists(marker)) {
+        graft.ops.ShingleIndex.save(d, "doc_id", "text", 2, scratch)
+        val (shE, dfE) = graft.ops.ShingleIndex.load(s, scratch)
+        val b1 = nearDupBatch(s, dir)
+        val v1 = Dedup.incrementalNearDupWith(shE, dfE, b1,
+          "doc_id", "text", k = 2, maxDf = 20, threshold = 0.2)
+        val accepted = b1.join(
+          v1.filter(col("matched") === 0)
+            .select(col("batch_id").as("doc_id")),
+          Seq("doc_id"), "left_semi")
+        graft.ops.ShingleIndex.append(s, accepted, "doc_id", "text", 2,
+          scratch)
+        graft.CheckpointJanitor.dropNow(v1)
+        java.nio.file.Files.createFile(marker)
+      }
+    }
+    val (shE2, dfE2) = graft.ops.ShingleIndex.load(s, scratch)
+    graft.CheckpointJanitor.evictAfterConsumption(
+      Dedup.incrementalNearDupWith(shE2, dfE2, nearDupBatch2(s, dir),
+        "doc_id", "text", k = 2, maxDf = 20, threshold = 0.2)
         .orderBy("batch_id"))
   }
 
@@ -1457,7 +1595,7 @@ object NorthStar {
   }
 
   val defs: Seq[QueryDef] = Seq(q41a, q41h, q41i, q41b, q41c, q41d, q41e, q41f, q41g,
-    q41j, q41k, q41l, q41m, q42, q42b, q42c, q42d, q42e, q42f, q74, q43a, q43b, q43c, q43d, q43e, q43f,
+    q41j, q41k, q41l, q41m, q41n, q42, q42b, q42c, q42d, q42e, q42f, q74, q43a, q43b, q43c, q43d, q43e, q43f,
     q43g, q43h, q43i, q43j, q44, q44b, q44c, q44d, q81, q83, q88, q88b, q88c, q88d,
     q91, q92, q97, q97b, q100, q100b)
 }

@@ -51,6 +51,48 @@ class ShingleIndexSpec extends SparkSpec {
     assert(dfE.exceptAll(re).isEmpty && re.exceptAll(dfE).isEmpty)
   }
 
+  test("append folds accepted docs in: artifact equals a rebuild from the union") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shap").toString
+    ShingleIndex.save(corpus, "doc_id", "text", 2, s"$dir/grown")
+    val delta = batch.limit(40)
+    ShingleIndex.append(spark, delta, "doc_id", "text", 2, s"$dir/grown")
+    ShingleIndex.save(corpus.unionByName(delta), "doc_id", "text", 2,
+      s"$dir/rebuilt")
+    val (shG, dfG) = ShingleIndex.load(spark, s"$dir/grown")
+    val (shR, dfR) = ShingleIndex.load(spark, s"$dir/rebuilt")
+    assert(shG.exceptAll(shR).isEmpty && shR.exceptAll(shG).isEmpty,
+      "appended shingle relation diverges from a rebuild")
+    assert(dfG.exceptAll(dfR).isEmpty && dfR.exceptAll(dfG).isEmpty,
+      "merged df rollup diverges from a rebuild")
+  }
+
+  test("lifecycle: a copy of an ACCEPTED doc matches only after the append") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shlc").toString
+    ShingleIndex.save(corpus, "doc_id", "text", 2, s"$dir/index")
+    val (shE, dfE) = ShingleIndex.load(spark, s"$dir/index")
+    // batch1's translate-variants are novel vs the corpus → accepted
+    val b1 = batch.filter($"doc_id" >= 3000000L)
+    val v1 = Dedup.incrementalNearDupWith(shE, dfE, b1,
+      "doc_id", "text", k = 2, maxDf = 20, threshold = 0.2)
+    val accepted = b1.join(v1.filter($"matched" === 0)
+      .select($"batch_id".as("doc_id")), Seq("doc_id"), "left_semi")
+    assert(accepted.count() > 0, "fixture must accept some batch1 docs")
+    // batch2 = copies of the accepted docs, at fresh ids
+    val b2 = accepted.select(($"doc_id" + 1000000L).as("doc_id"),
+      concat(lit("copy "), $"text").as("text"))
+    def matchedCount(sh: org.apache.spark.sql.DataFrame,
+        df: org.apache.spark.sql.DataFrame): Long =
+      Dedup.incrementalNearDupWith(sh, df, b2, "doc_id", "text",
+        k = 2, maxDf = 20, threshold = 0.2)
+        .filter($"matched" === 1).count()
+    assert(matchedCount(shE, dfE) === 0L,
+      "pristine artifact must not know batch1's accepted docs")
+    ShingleIndex.append(spark, accepted, "doc_id", "text", 2, s"$dir/index")
+    val (shE2, dfE2) = ShingleIndex.load(spark, s"$dir/index")
+    assert(matchedCount(shE2, dfE2) === b2.count(),
+      "every copy of an accepted doc must match through the delta")
+  }
+
   test("bucketed artifact + merge hints reproduce the inline build (q41m)") {
     val (shESh, shEDoc, dfE) = ShingleIndex.buildOrLoadBucketed(spark,
       corpus, "doc_id", "text", k = 2, table = "shingle_spec_eq")
