@@ -77,7 +77,8 @@ object Explains {
     // round 18: persisted corpus shingle artifact + k-means PQ books
     "q41l_dedup_incremental_neardup_indexed", "q88d_similarity_pq_kmeans",
     "q41m_dedup_incremental_neardup_bucketed",
-    "q41n_dedup_incremental_neardup_delta")
+    "q41n_dedup_incremental_neardup_delta",
+    "q42g_similarity_ivf_delta")
 
   /** Prose above a query's plan — the one- paragraph reading guide for
     * the plan properties SCALING.md leans on. Keyed by query name so a
@@ -115,6 +116,15 @@ object Explains {
         |batch2's copies of accepted docs find their match. The
         |maintenance cost itself runs once before this plan and is
         |delta-sized.""".stripMargin,
+    "q42g_similarity_ivf_delta" ->
+      """The maintained ANN index's probe: identical plan family to
+        |q42e (centroid literals + cell-partition-pruned assignment
+        |scan) — the difference is on DISK: the assignment partitions
+        |now hold appended delta rows assigned under the FROZEN
+        |quantizer (IvfIndex.appendAssignments, a delta-sized map +
+        |partitioned append run once before this plan). PartitionFilters
+        |still prune to the probed cells; delta vectors surface exactly
+        |as a from-scratch union assignment would.""".stripMargin,
     "q88d_similarity_pq_kmeans" ->
       """Identical query-time plan to q88 (encode map + broadcast ADC +
         |shortlist window + rerank) — only the codebook LITERALS differ

@@ -80,6 +80,23 @@ object IvfIndex {
   def loadAssignments(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame =
     spark.read.parquet(path)
 
+  /** Delta maintenance (the Faiss `add` semantic): assign `delta`
+    * under the FROZEN quantizer `cents` — per-vector argmax over the
+    * centroid literals, a pure map over the delta — and APPEND its
+    * rows to the cell-partitioned assignment. Per-arrival cost is
+    * delta-sized (one assignment map + a partitioned append); the
+    * corpus is never re-read and the quantizer never retrained, so
+    * recall drifts only as the data distribution does — a production
+    * deployment re-trains on its rebuild cadence and re-checks the
+    * recall SLA then (q42g exercises the grow-then-probe lifecycle;
+    * IvfIndexSpec pins appended state ≡ a from-scratch assignment of
+    * the union under the same centroids). */
+  def appendAssignments(spark: SparkSession,
+      delta: org.apache.spark.sql.DataFrame,
+      cents: Seq[(Int, Array[Double], Double)], path: String): Unit =
+    Similarity.assignedCorpus(delta, cents)
+      .write.mode("append").partitionBy("cell").parquet(path)
+
   /** Build-if-absent for the full index pair (centroids + cell-
     * partitioned assignment): one corpus pass for the quantizer, one
     * for the assignment, then every probe session loads KBs of

@@ -833,6 +833,58 @@ object Similarity {
        |    JOIN cnorms cn ON cn.cell = c.cell)
        |  WHERE rn <= $nprobe)""".stripMargin
 
+  /** DuckDB twin of the MAINTAINED-index probe (q42g): the quantizer
+    * is trained on — and FROZEN at — the original corpus slice
+    * (`corpusPred`), while assignment and verify run over the full
+    * table (original ∪ delta): exactly the state
+    * [[IvfIndex.appendAssignments]] leaves on disk after the delta is
+    * assigned under the frozen centroids and appended. The fragments
+    * mirror [[ivfAssignProbeCte]]/[[ivfSql]] with the norm relation
+    * widened to the union (`normsu`) — the quantizer prefix's `norms`
+    * covers only the training slice. */
+  def ivfDeltaSql(cells: Int, nprobe: Int, k: Int,
+      corpusPred: String = "vec_id % 10 <> 7",
+      queryPred: String = "vec_id % 100 = 0"): String = {
+    val head = ivfQuantizerCte(cells, "corpus0").replaceFirst(
+      "^WITH ",
+      s"WITH corpus0 AS (SELECT vec_id, embedding FROM embeddings WHERE $corpusPred),\n")
+    head + s""",
+       |normsu AS (SELECT vec_id, ${dotSql("embedding", "embedding")} AS nrm FROM embeddings),
+       |assignu AS (
+       |  SELECT vid, cell FROM (
+       |    SELECT e.vec_id AS vid, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cosSql("e.embedding", "c.ce", "ne.nrm", "cn.cn")} DESC, c.cell ASC) AS rn
+       |    FROM embeddings e CROSS JOIN cents c
+       |    JOIN normsu ne ON ne.vec_id = e.vec_id
+       |    JOIN cnorms cn ON cn.cell = c.cell)
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id, embedding FROM embeddings WHERE $queryPred),
+       |probe AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT q.vec_id AS qid, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${cosSql("q.embedding", "c.ce", "nq.nrm", "cn.cn")} DESC, c.cell ASC) AS rn
+       |    FROM q CROSS JOIN cents c
+       |    JOIN normsu nq ON nq.vec_id = q.vec_id
+       |    JOIN cnorms cn ON cn.cell = c.cell)
+       |  WHERE rn <= $nprobe),
+       |scored AS (
+       |  SELECT p.qid, a.vid,
+       |    ${cosSql("eq.embedding", "ec.embedding", "nq.nrm", "nc.nrm")} AS cosine
+       |  FROM probe p JOIN assignu a ON a.cell = p.cell
+       |  JOIN embeddings eq ON eq.vec_id = p.qid
+       |  JOIN embeddings ec ON ec.vec_id = a.vid
+       |  JOIN normsu nq ON nq.vec_id = p.qid
+       |  JOIN normsu nc ON nc.vec_id = a.vid
+       |  WHERE a.vid <> p.qid)
+       |SELECT qid, vid, CAST(rk AS INTEGER) AS rk, ROUND(cosine, 6) AS cosine FROM (
+       |  SELECT qid, vid, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vid) AS rk
+       |  FROM scored) WHERE rk <= $k
+       |ORDER BY qid, rk""".stripMargin
+  }
+
   def ivfSql(cells: Int, nprobe: Int, k: Int,
       src: String = "embeddings",
       queryPred: String = "vec_id % 100 = 0"): String = {

@@ -87,4 +87,50 @@ class IvfIndexSpec extends SparkSpec {
         s"probe listed ${parts.length} of $nCells cell partitions (expected <= 4)")
     }
   }
+
+  test("appendAssignments: appended state == a from-scratch union assignment") {
+    val emb = Tables.embeddings(spark, sf)
+    val corpus0 = emb.filter($"vec_id" % 10 =!= 7)
+    val delta = emb.filter($"vec_id" % 10 === 7)
+    val cents = Similarity.ivfCentroids(corpus0, cells = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfap").toString
+    IvfIndex.saveAssignments(spark, corpus0, cents, s"$dir/grown")
+    IvfIndex.appendAssignments(spark, delta, cents, s"$dir/grown")
+    IvfIndex.saveAssignments(spark, emb, cents, s"$dir/rebuilt")
+    val g = IvfIndex.loadAssignments(spark, s"$dir/grown")
+      .select("vid", "cell")
+    val r = IvfIndex.loadAssignments(spark, s"$dir/rebuilt")
+      .select("vid", "cell")
+    assert(g.exceptAll(r).isEmpty && r.exceptAll(g).isEmpty,
+      "appended assignment diverges from a from-scratch union assignment")
+  }
+
+  test("lifecycle: delta vectors are probe-visible only after the append") {
+    val emb = Tables.embeddings(spark, sf)
+    val corpus0 = emb.filter($"vec_id" % 10 =!= 7)
+    val delta = emb.filter($"vec_id" % 10 === 7)
+    val cents = Similarity.ivfCentroids(corpus0, cells = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivflc").toString
+    IvfIndex.saveAssignments(spark, corpus0, cents, s"$dir/idx")
+    val q = emb.filter($"vec_id" % 100 === 0)
+    def vids(path: String): Set[Long] =
+      Similarity.ivfTopKProbed(cents, IvfIndex.loadAssignments(spark, path),
+        q, k = 5, nprobe = 4)
+        .select("vid").as[Long].collect().toSet
+    val before = vids(s"$dir/idx")
+    assert(!before.exists(_ % 10 == 7),
+      "pristine index must not surface unappended vectors")
+    IvfIndex.appendAssignments(spark, delta, cents, s"$dir/idx")
+    val after = Similarity.ivfTopKProbed(cents,
+      IvfIndex.loadAssignments(spark, s"$dir/idx"), q, k = 5, nprobe = 4)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    // bit-identity to a from-scratch union index under the same cents
+    IvfIndex.saveAssignments(spark, emb, cents, s"$dir/union")
+    val union = Similarity.ivfTopKProbed(cents,
+      IvfIndex.loadAssignments(spark, s"$dir/union"), q, k = 5, nprobe = 4)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(after == union, "maintained index diverges from union rebuild")
+    assert(after.exists(_._2 % 10 == 7),
+      "fixture must surface at least one delta vector post-append")
+  }
 }
