@@ -44,10 +44,29 @@ object ShingleIndex {
     graft.CheckpointJanitor.dropNow(shE)
   }
 
-  /** Lazy readers over a saved artifact. */
-  def load(spark: SparkSession, path: String): (DataFrame, DataFrame) =
+  /** Lazy readers over a saved artifact. Heals an interrupted
+    * [[append]] df swap first: if the rollup dir is missing but a
+    * committed `df_next` exists, the crash happened between the swap's
+    * delete and rename — `df_next` is complete by construction (it
+    * commits BEFORE the delete), so finishing the rename restores the
+    * artifact instead of failing on a missing path. */
+  def load(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    healDfSwap(spark, path)
     (spark.read.parquet(s"$path/shingles"),
       spark.read.parquet(s"$path/df"))
+  }
+
+  private def healDfSwap(spark: SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val df = new org.apache.hadoop.fs.Path(s"$path/df")
+    val next = new org.apache.hadoop.fs.Path(s"$path/df_next")
+    if (!fs.exists(new org.apache.hadoop.fs.Path(df, "_SUCCESS")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(next, "_SUCCESS"))) {
+      fs.delete(df, true) // clear any uncommitted debris
+      require(fs.rename(next, df), s"df rollup swap recovery failed under $path")
+    }
+  }
 
   /** Delta maintenance — fold `newDocs` (e.g. the docs a probe just
     * ACCEPTED into the corpus) into a saved artifact: their (doc, sh)
@@ -59,21 +78,34 @@ object ShingleIndex {
     *
     * The df merge lands via write-new + directory swap (the rollup is
     * read while being replaced, so in-place overwrite would corrupt
-    * it). The two relations do NOT update atomically: a crash between
-    * the shingle append and the df swap leaves counts behind the
-    * shingle rows (blocking then sees slightly-low df — conservative,
-    * more candidates, same verdicts' correctness envelope — and the
-    * next append's merge re-derives nothing, so the gap persists
-    * until a rebuild). A production deployment wraps both writes in
-    * the q46 stage-and-swap generation pattern or a transactional
-    * table format; ShingleIndexSpec pins append ≡ rebuild-from-union
-    * on the happy path. */
+    * it); a crash inside the swap's delete→rename window is healed on
+    * the next [[load]] (`df_next` commits before the delete, so
+    * finishing the rename restores it). The two RELATIONS still do not
+    * update atomically: a crash between the shingle append and the df
+    * swap leaves counts behind the shingle rows (blocking then sees
+    * slightly-low df — conservative, more candidates, same verdicts'
+    * correctness envelope — and the gap persists until a rebuild). A
+    * production deployment wraps both writes in the q46 stage-and-swap
+    * generation pattern or a transactional table format;
+    * ShingleIndexSpec pins append ≡ rebuild-from-union on the happy
+    * path and the swap-crash recovery.
+    *
+    * `newDocs` ids must be NEW — re-appending a doc would silently
+    * double its (doc, sh) rows and df counts, corrupting Jaccard
+    * verdicts — so overlap fails fast. The guard costs one doc-column
+    * pass over the artifact (column-pruned parquet read); a deployment
+    * that tracks accepted ids elsewhere can pre-screen instead. */
   def append(spark: SparkSession, newDocs: DataFrame, idCol: String,
       textCol: String, k: Int, path: String): Unit = {
     val shA = Dedup.wordShingles(Dedup.spreadToCores(newDocs), idCol,
         textCol, k)
       .select(col("doc"), xxhash64(col("shingle")).as("sh"))
       .transform(graft.Staging.stage)
+    val dup = spark.read.parquet(s"$path/shingles").select("doc")
+      .join(shA.select("doc").distinct(), Seq("doc"), "left_semi")
+      .limit(1).count()
+    require(dup == 0L,
+      s"append would double-count: newDocs contains doc ids already in $path")
     shA.write.mode("append").parquet(s"$path/shingles")
     val merged = spark.read.parquet(s"$path/df")
       .join(shA.groupBy("sh").agg(count(lit(1)).as("ca")),
@@ -106,6 +138,14 @@ object ShingleIndex {
     * deployment picks buckets so one bucket ≈ a healthy scan-partition
     * size (the q50 discipline). */
   val Buckets = 32
+
+  /** Collision-safe catalog table name for `dir`'s bucketed artifact:
+    * the sanitized dir alone can collide (".../sf0.1" and ".../sf0_1"
+    * both sanitize to sf0_1 — the second caller would silently probe
+    * the first corpus), so the raw dir's hash rides along. */
+  def tableFor(prefix: String, dir: String): String =
+    prefix + "_" + dir.replaceAll("[^a-zA-Z0-9]", "_") +
+      "_" + java.lang.Integer.toHexString(dir.hashCode)
 
   /** The big-batch at-rest layout: THREE relations in the session
     * catalog — the (doc, sh) relation bucketed+sorted by `sh`

@@ -847,7 +847,8 @@ object Similarity {
       queryPred: String = "vec_id % 100 = 0"): String = {
     val head = ivfQuantizerCte(cells, "corpus0").replaceFirst(
       "^WITH ",
-      s"WITH corpus0 AS (SELECT vec_id, embedding FROM embeddings WHERE $corpusPred),\n")
+      java.util.regex.Matcher.quoteReplacement( // corpusPred may carry $ or \
+        s"WITH corpus0 AS (SELECT vec_id, embedding FROM embeddings WHERE $corpusPred),\n"))
     head + s""",
        |normsu AS (SELECT vec_id, ${dotSql("embedding", "embedding")} AS nrm FROM embeddings),
        |assignu AS (

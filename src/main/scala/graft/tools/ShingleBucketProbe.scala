@@ -39,14 +39,9 @@ object ShingleBucketProbe {
     import spark.implicits._
 
     val corpus = graft.Tables.documents(spark, dir).select("doc_id", "text")
-    val batchBase = graft.Tables.documents(spark, batchDir)
-      .select("doc_id", "text")
-    val batch = batchBase.filter($"doc_id" % 10 === 3)
-      .select(($"doc_id" + 2000000L).as("doc_id"),
-        concat(lit("copy "), $"text").as("text"))
-      .unionByName(batchBase.filter($"doc_id" % 10 === 4)
-        .select(($"doc_id" + 3000000L).as("doc_id"),
-          translate($"text", "aeiou", "xyzwv").as("text")))
+    // the EXACT q41k/q41l/q41m workload — reuse the fixture so the
+    // probe can never drift from what SCALING.md attributes to it
+    val batch = graft.queries.NorthStar.nearDupBatch(spark, batchDir)
 
     // build both artifacts up front (build cost is NOT what the probe
     // measures — both layouts pay one corpus pass at build time)
@@ -56,7 +51,7 @@ object ShingleBucketProbe {
       spark, corpus, "doc_id", "text", k = 2, scratch)
     val (shBkSh, shBkDoc, dfBk) = graft.ops.ShingleIndex.buildOrLoadBucketed(
       spark, corpus, "doc_id", "text", k = 2,
-      table = "shingle_probe_" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
+      table = graft.ops.ShingleIndex.tableFor("shingle_probe", dir))
 
     val listener = new ShuffleBytes
     spark.sparkContext.addSparkListener(listener)

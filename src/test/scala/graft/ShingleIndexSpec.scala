@@ -66,6 +66,35 @@ class ShingleIndexSpec extends SparkSpec {
       "merged df rollup diverges from a rebuild")
   }
 
+  test("append refuses a delta whose doc ids are already in the artifact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shdup").toString
+    ShingleIndex.save(corpus, "doc_id", "text", 2, s"$dir/index")
+    val delta = batch.limit(10)
+    ShingleIndex.append(spark, delta, "doc_id", "text", 2, s"$dir/index")
+    val e = intercept[IllegalArgumentException] {
+      ShingleIndex.append(spark, delta, "doc_id", "text", 2, s"$dir/index")
+    }
+    assert(e.getMessage.contains("double-count"))
+  }
+
+  test("load heals a df swap interrupted between delete and rename") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shheal").toString
+    ShingleIndex.save(corpus, "doc_id", "text", 2, s"$dir/index")
+    val (_, dfBefore) = ShingleIndex.load(spark, s"$dir/index")
+    val expect = dfBefore.collect().toSet
+    // simulate the crash window: a COMMITTED df_next exists, df deleted
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(s"$dir/index/df")
+      .write.mode("overwrite").parquet(s"$dir/index/df_next")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/index/df"), true)
+    val (_, dfHealed) = ShingleIndex.load(spark, s"$dir/index")
+    assert(dfHealed.collect().toSet === expect,
+      "healed rollup must hold the committed df_next rows")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/index/df_next")),
+      "recovery must complete the rename, not copy")
+  }
+
   test("lifecycle: a copy of an ACCEPTED doc matches only after the append") {
     val dir = java.nio.file.Files.createTempDirectory("graft_shlc").toString
     ShingleIndex.save(corpus, "doc_id", "text", 2, s"$dir/index")
