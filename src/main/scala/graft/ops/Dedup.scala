@@ -131,8 +131,15 @@ object Dedup {
       .select(col("doc"), xxhash64(col("shingle")).as("sh"))
       .transform(graft.Staging.stage)
     val dfE = shE.groupBy("sh").agg(count(lit(1)).as("ce"))
-    incrementalNearDupWith(shE, dfE, batch, idCol, textCol, k, maxDf,
-      threshold)
+    val out = incrementalNearDupWith(shE, dfE, batch, idCol, textCol, k,
+      maxDf, threshold)
+    // shE is OURS (built and staged above) and the pipeline's own stage
+    // barriers have all materialized by the time the call returns, so
+    // its blocks are releasable here. Caller-supplied corpus relations
+    // are never dropped by the pipeline (a caller that stages a loaded
+    // artifact across batches owns those blocks — round-18 advice).
+    graft.CheckpointJanitor.dropNow(shE)
+    out
   }
 
   /** [[incrementalNearDup]] against a PREBUILT corpus side: `shE` is
@@ -161,8 +168,40 @@ object Dedup {
   def incrementalNearDupWith(shESh: DataFrame, shEDoc: DataFrame,
       dfE: DataFrame,
       batch: DataFrame, idCol: String, textCol: String, k: Int,
+      maxDf: Int, threshold: Double): DataFrame =
+    incrementalNearDupSegmented(Seq((shESh, shEDoc)), dfE, batch,
+      idCol, textCol, k, maxDf, threshold)
+
+  /** [[incrementalNearDupWith]] over a SEGMENTED corpus artifact — the
+    * LSM layout [[ShingleIndex.appendLsm]] maintains: the corpus's
+    * (doc, sh) relation arrives as immutable segments (each a
+    * (sh-keyed, doc-keyed) bucketed pair; doc ids are disjoint across
+    * segments by the append guard), plus ONE merged df rollup for the
+    * whole artifact. A segment UNION would erase the bucketed output
+    * partitioning (Union's partitioning is unknown to Catalyst), so
+    * every corpus-sized probe would re-shuffle the whole corpus per
+    * batch — the exact cost the bucketed layout exists to remove.
+    * Instead each corpus-touching join runs PER SEGMENT against that
+    * segment's pre-bucketed copy and only the batch-sized results
+    * union: the rare-shingle probe and the fallback probe through the
+    * sh-keyed copies, the candidate fetch through the doc-keyed
+    * copies. Per-batch shuffle volume stays batch-sized regardless of
+    * segment count or corpus size; verdicts are bit-identical to the
+    * single-relation pipeline because doc-disjoint segments make every
+    * per-segment union reproduce the joins against the full relation
+    * row-for-row (LsmShingleSpec pins equality). */
+  def incrementalNearDupSegmented(segments: Seq[(DataFrame, DataFrame)],
+      dfE: DataFrame,
+      batch: DataFrame, idCol: String, textCol: String, k: Int,
       maxDf: Int, threshold: Double): DataFrame = {
-    val shE = shESh
+    require(segments.nonEmpty, "need at least one corpus segment")
+    // batch-sized relations consumed once per segment materialize ONCE
+    // when there are multiple segments (plans built on them otherwise
+    // recompute the producer per segment); with a single segment the
+    // extra barrier is pure overhead — skip it and keep the q41k/l/m
+    // plans unchanged
+    def stagePerSegment(df: DataFrame): DataFrame =
+      if (segments.sizeIs > 1) graft.Staging.stage(df) else df
     // the batch side keeps the shingle STRING alongside the hash: the
     // fallback generator ranks by (df, shingle) and the string tiebreak
     // is the one ordering both engines share (hash ordering is
@@ -185,9 +224,13 @@ object Dedup {
         (col("cb") + coalesce(col("ce"), lit(0L))).as("c"))
       .transform(graft.Staging.stage)
     val rareSh = dfreq.filter(col("c") <= maxDf).select("sh")
-    val cand1 = shB.join(rareSh, "sh").select(col("doc").as("da"), col("sh"))
-      .join(shE.join(rareSh, "sh").select(col("doc").as("db"), col("sh")), "sh")
-      .select("da", "db")
+    val shBr = shB.join(rareSh, "sh").select(col("doc").as("da"), col("sh"))
+      .transform(stagePerSegment)
+    val cand1 = segments.map { case (segSh, _) =>
+        shBr.join(segSh.join(rareSh, "sh")
+          .select(col("doc").as("db"), col("sh")), "sh")
+          .select("da", "db")
+      }.reduce(_ unionByName _)
       .transform(graft.Staging.stage) // consumed twice: the union below + generator 2's unpaired set
     // Generator 2 — batch docs generator 1 left UNPAIRED: either
     // all-hot (every shingle above maxDf — boilerplate, invisible to
@@ -210,18 +253,20 @@ object Dedup {
       .withColumn("rk", row_number().over(wRank))
       .filter(col("rk") <= NearDupFallbackShingles)
       .select(col("doc").as("da"), col("sh"))
-    val cand2 = fbKeys
-      .join(shE.select(col("doc").as("db"), col("sh")), "sh")
-      .select("da", "db")
+      .transform(stagePerSegment)
+    val cand2 = segments.map { case (segSh, _) =>
+        fbKeys.join(segSh.select(col("doc").as("db"), col("sh")), "sh")
+          .select("da", "db")
+      }.reduce(_ unionByName _)
     val cand = cand1.unionByName(cand2).distinct().transform(graft.Staging.stage)
     val shBc = shB.join(cand.select(col("da").as("doc")), Seq("doc"), "left_semi")
       .transform(graft.Staging.stage)
     // candidate fetch is DOC-keyed — the one corpus access that can't
     // ride the sh-partitioned copy (see the two-copy artifact layout)
-    val shEc = shEDoc.join(cand.select(col("db").as("doc")), Seq("doc"), "left_semi")
+    val shEc = segments.map { case (_, segDoc) =>
+        segDoc.join(cand.select(col("db").as("doc")), Seq("doc"), "left_semi")
+      }.reduce(_ unionByName _)
       .transform(graft.Staging.stage)
-    graft.CheckpointJanitor.dropNow(shE)
-    if (shEDoc ne shE) graft.CheckpointJanitor.dropNow(shEDoc)
     val sizesB = shBc.groupBy("doc").agg(count(lit(1)).as("n"))
     val sizesE = shEc.groupBy("doc").agg(count(lit(1)).as("n"))
     val common = cand

@@ -172,6 +172,23 @@ object ShingleIndex {
     * to the dedup artifact; SCALING.md records the fixed-batch
     * shuffle-volume law). Storage cost: 2× the 16-byte (doc, sh)
     * rows — the price of shuffle-free access on both keys. */
+  /** (Re)create catalog table `graft.$name` bucketed+sorted by `key`.
+    * DROP + an explicit location delete first: the in-memory catalog
+    * forgets tables across sessions but the warehouse directory
+    * persists (the Ingest.ensureBucketedTables pattern) — and a
+    * crashed LSM append's ORPHAN tables get overwritten the same way
+    * when the retry re-allocates their names. */
+  private def materialize(spark: SparkSession, name: String,
+      df: DataFrame, key: String, buckets: Int): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS graft.$name")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.conf.warehousePath, s"graft.db/$name")
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(loc, true)
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(s"graft.$name")
+  }
+
   def saveBucketed(spark: SparkSession, corpus: DataFrame, idCol: String,
       textCol: String, k: Int, table: String,
       buckets: Int = Buckets): Unit = {
@@ -180,22 +197,10 @@ object ShingleIndex {
         textCol, k)
       .select(col("doc"), xxhash64(col("shingle")).as("sh"))
       .transform(graft.Staging.stage)
-    def materialize(name: String, df: DataFrame, key: String): Unit = {
-      spark.sql(s"DROP TABLE IF EXISTS graft.$name")
-      // clear any stale location from a previous JVM: the in-memory
-      // catalog forgets tables across sessions but the warehouse
-      // directory persists (the Ingest.ensureBucketedTables pattern)
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.sessionState.conf.warehousePath, s"graft.db/$name")
-      loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(loc, true)
-      df.write.mode("overwrite").format("parquet")
-        .bucketBy(buckets, key).sortBy(key).saveAsTable(s"graft.$name")
-    }
-    materialize(s"${table}_sh", shE, "sh")
-    materialize(s"${table}_doc", shE, "doc")
-    materialize(s"${table}_df",
-      shE.groupBy("sh").agg(count(lit(1)).as("ce")), "sh")
+    materialize(spark, s"${table}_sh", shE, "sh", buckets)
+    materialize(spark, s"${table}_doc", shE, "doc", buckets)
+    materialize(spark, s"${table}_df",
+      shE.groupBy("sh").agg(count(lit(1)).as("ce")), "sh", buckets)
     graft.CheckpointJanitor.dropNow(shE)
   }
 
@@ -221,5 +226,221 @@ object ShingleIndex {
         !spark.catalog.tableExists(s"graft.${table}_df"))
       saveBucketed(spark, corpus, idCol, textCol, k, table, buckets)
     loadBucketed(spark, table)
+  }
+
+  // ------------------- LSM bucketed layout (q41o) -------------------
+  //
+  // The BUCKETED layout above survives big batches but could only be
+  // rebuilt whole — three corpus-sized shuffles per accepted batch.
+  // The LSM layout makes the bucketed artifact MAINTAINABLE: the
+  // (doc, sh) relation lives as IMMUTABLE SEGMENTS (each a bucketed
+  // _sh/_doc table pair — delta-sized after the base), the df rollup
+  // as one table REWRITTEN per generation (rollup-sized — one row per
+  // distinct shingle, the only sublinear-but-growing term), and a
+  // MANIFEST file names the exact tables of a generation. The pointer
+  // file `CURRENT` is the single commit point (StagedRefresh
+  // .swapPointer — the q46 stage-and-swap pattern): a writer killed
+  // any instant before the swap leaves readers on the old generation
+  // with df and shingles CONSISTENT — the cross-relation atomicity the
+  // flat [[append]] documents away. Orphan tables from a crashed
+  // append are invisible (no manifest names them) and are overwritten
+  // by the retry / dropped by the next GC, so a crashed append is
+  // RETRYABLE — the overlap guard reads the manifest's segments, never
+  // the orphans. Probes run per segment (Dedup
+  // .incrementalNearDupSegmented): a segment UNION would erase the
+  // bucketed partitioning, so each corpus-sized join instead meets its
+  // segment pre-bucketed and only batch-sized relations shuffle —
+  // the q41m shuffle law, now preserved across appends. Segment count
+  // grows per accept; [[compactLsm]] folds all segments into one on
+  // the deployment's cadence (one corpus-sized rewrite amortized over
+  // many appends — the LSM compaction trade).
+  //
+  // The manifest/pointer live on the filesystem while the tables live
+  // in the session catalog; a production deployment uses a persistent
+  // metastore so both survive the JVM (in-repo, entries rebuild per
+  // JVM like every buildOrLoadBucketed caller).
+
+  /** One LSM generation: bucket count, the df rollup table, and the
+    * immutable segment table PREFIXES (each names `<p>_sh`/`<p>_doc`). */
+  final case class LsmManifest(gen: Long, buckets: Int, dfTable: String,
+      segments: Seq[String])
+
+  private val LsmPointer = "CURRENT"
+
+  private def hadoopFs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writeManifest(spark: SparkSession, root: String,
+      m: LsmManifest): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(root, s"gen-${m.gen}")
+    val fs = hadoopFs(spark, dir)
+    fs.delete(dir, true) // clear a crashed prior attempt at this gen
+    fs.mkdirs(dir)
+    val text = (s"buckets=${m.buckets}" +: s"df=${m.dfTable}" +:
+      m.segments.map(s => s"seg=$s")).mkString("\n")
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, "MANIFEST"), true)
+    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readManifest(spark: SparkSession, root: String,
+      gen: String): LsmManifest = {
+    val p = new org.apache.hadoop.fs.Path(root, s"$gen/MANIFEST")
+    val in = hadoopFs(spark, p).open(p)
+    val lines = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8).linesIterator.toSeq
+    finally in.close()
+    def one(k: String) = lines.collectFirst {
+      case l if l.startsWith(k + "=") => l.stripPrefix(k + "=") }.get
+    LsmManifest(gen.stripPrefix("gen-").toLong, one("buckets").toInt,
+      one("df"), lines.collect { case l if l.startsWith("seg=") =>
+        l.stripPrefix("seg=") })
+  }
+
+  /** The live generation's manifest, if a build ever committed. */
+  def currentManifest(spark: SparkSession, root: String): Option[LsmManifest] =
+    StagedRefresh.readPointer(spark,
+        new org.apache.hadoop.fs.Path(root), LsmPointer)
+      .map(readManifest(spark, root, _))
+
+  /** Readers over the live generation: the per-segment (sh-bucketed,
+    * doc-bucketed) pairs — feed them to
+    * [[Dedup.incrementalNearDupSegmented]] — plus the merged df. */
+  def loadLsm(spark: SparkSession, root: String)
+      : (Seq[(DataFrame, DataFrame)], DataFrame) = {
+    val m = currentManifest(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"no committed LSM generation under $root (pointer absent)"))
+    (m.segments.map(p =>
+        (spark.table(s"graft.${p}_sh"), spark.table(s"graft.${p}_doc"))),
+      spark.table(s"graft.${m.dfTable}"))
+  }
+
+  /** Build generation 1 from `corpus`: one base segment + its df. */
+  def saveLsm(spark: SparkSession, corpus: DataFrame, idCol: String,
+      textCol: String, k: Int, root: String, base: String,
+      buckets: Int = Buckets): Unit = {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft")
+    val shE = Dedup.wordShingles(Dedup.spreadToCores(corpus), idCol,
+        textCol, k)
+      .select(col("doc"), xxhash64(col("shingle")).as("sh"))
+      .transform(graft.Staging.stage)
+    val prefix = s"${base}_s1"
+    materialize(spark, s"${prefix}_sh", shE, "sh", buckets)
+    materialize(spark, s"${prefix}_doc", shE, "doc", buckets)
+    materialize(spark, s"${base}_g1_df",
+      shE.groupBy("sh").agg(count(lit(1)).as("ce")), "sh", buckets)
+    graft.CheckpointJanitor.dropNow(shE)
+    val m = LsmManifest(1L, buckets, s"${base}_g1_df", Seq(prefix))
+    writeManifest(spark, root, m)
+    StagedRefresh.swapPointer(spark,
+      new org.apache.hadoop.fs.Path(root), LsmPointer, "gen-1")
+  }
+
+  /** Fold `newDocs` into the live generation as a NEW immutable
+    * segment: one shingling pass over the DELTA (two delta-sized
+    * bucketed writes — the next appends' probes meet the delta
+    * pre-bucketed too), a rollup-sized df merge into the next
+    * generation's df table, then the atomic pointer swap. The corpus
+    * text is never re-read and no existing table is touched, so the
+    * per-accept cost is delta-sized + the df merge. `hook` is the
+    * crash-injection seam ("staged" = everything written, pointer not
+    * swapped; "swapped" = committed, GC pending); a crash at either
+    * point leaves a consistent artifact — old XOR new — and the append
+    * is safely retryable (orphans are overwritten, the dup guard reads
+    * only manifest segments). */
+  def appendLsm(spark: SparkSession, newDocs: DataFrame, idCol: String,
+      textCol: String, k: Int, root: String, base: String,
+      hook: String => Unit = _ => ()): Unit = {
+    val m = currentManifest(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"appendLsm needs a committed generation under $root"))
+    val shA = Dedup.wordShingles(Dedup.spreadToCores(newDocs), idCol,
+        textCol, k)
+      .select(col("doc"), xxhash64(col("shingle")).as("sh"))
+      .transform(graft.Staging.stage)
+    // fail fast on re-appended ids (they would double df counts and
+    // corrupt Jaccard verdicts) — a column-pruned doc scan of the LIVE
+    // segments only, so a crashed self-append's orphan rows can never
+    // make the retry look like a double-append
+    val dup = m.segments.map(p =>
+        spark.table(s"graft.${p}_doc").select("doc"))
+      .reduce(_ unionByName _)
+      .join(shA.select("doc").distinct(), Seq("doc"), "left_semi")
+      .limit(1).count()
+    require(dup == 0L,
+      s"appendLsm would double-count: newDocs contains doc ids already live under $root")
+    val segId = m.segments.map(_.stripPrefix(s"${base}_s").toLong).max + 1
+    val prefix = s"${base}_s$segId"
+    materialize(spark, s"${prefix}_sh", shA, "sh", m.buckets)
+    materialize(spark, s"${prefix}_doc", shA, "doc", m.buckets)
+    val gen = m.gen + 1
+    val dfTable = s"${base}_g${gen}_df"
+    val merged = spark.table(s"graft.${m.dfTable}")
+      .join(shA.groupBy("sh").agg(count(lit(1)).as("ca")),
+        Seq("sh"), "full_outer")
+      .select(col("sh"),
+        (coalesce(col("ce"), lit(0L)) + coalesce(col("ca"), lit(0L))).as("ce"))
+    materialize(spark, dfTable, merged, "sh", m.buckets)
+    graft.CheckpointJanitor.dropNow(shA)
+    val m2 = LsmManifest(gen, m.buckets, dfTable, m.segments :+ prefix)
+    writeManifest(spark, root, m2)
+    hook("staged")
+    StagedRefresh.swapPointer(spark,
+      new org.apache.hadoop.fs.Path(root), LsmPointer, s"gen-$gen")
+    hook("swapped")
+    gcLsm(spark, root, base, keepTables = lsmTables(m2) ++ lsmTables(m),
+      keepGens = Set(s"gen-$gen", s"gen-${m.gen}"))
+  }
+
+  /** Fold ALL live segments into one (the LSM compaction step, run on
+    * the deployment's cadence): one corpus-sized rewrite buys back
+    * single-segment probe plans after many appends. The df rollup is
+    * already generation-merged, so the new manifest reuses it
+    * unchanged; commit is the same old-XOR-new pointer swap. */
+  def compactLsm(spark: SparkSession, root: String, base: String,
+      hook: String => Unit = _ => ()): Unit = {
+    val m = currentManifest(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"compactLsm needs a committed generation under $root"))
+    val all = m.segments.map(p => spark.table(s"graft.${p}_sh"))
+      .reduce(_ unionByName _)
+    val segId = m.segments.map(_.stripPrefix(s"${base}_s").toLong).max + 1
+    val prefix = s"${base}_s$segId"
+    materialize(spark, s"${prefix}_sh", all, "sh", m.buckets)
+    materialize(spark, s"${prefix}_doc",
+      spark.table(s"graft.${prefix}_sh"), "doc", m.buckets)
+    val gen = m.gen + 1
+    val m2 = LsmManifest(gen, m.buckets, m.dfTable, Seq(prefix))
+    writeManifest(spark, root, m2)
+    hook("staged")
+    StagedRefresh.swapPointer(spark,
+      new org.apache.hadoop.fs.Path(root), LsmPointer, s"gen-$gen")
+    hook("swapped")
+    gcLsm(spark, root, base, keepTables = lsmTables(m2) ++ lsmTables(m),
+      keepGens = Set(s"gen-$gen", s"gen-${m.gen}"))
+  }
+
+  private def lsmTables(m: LsmManifest): Set[String] =
+    m.segments.flatMap(p => Seq(s"${p}_sh", s"${p}_doc")).toSet + m.dfTable
+
+  /** Drop catalog tables under `base` that neither the new nor the
+    * previous generation references (the predecessor survives one
+    * cycle for readers that resolved the pointer just before the swap
+    * — the StagedRefresh GC contract), and prune old manifest dirs. */
+  private def gcLsm(spark: SparkSession, root: String, base: String,
+      keepTables: Set[String], keepGens: Set[String]): Unit = {
+    spark.catalog.listTables("graft").collect()
+      .map(_.name)
+      .filter(n => n.startsWith(base + "_") && !keepTables.contains(n))
+      .foreach(n => spark.sql(s"DROP TABLE IF EXISTS graft.$n"))
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = hadoopFs(spark, rootPath)
+    fs.listStatus(rootPath).foreach { st =>
+      val n = st.getPath.getName
+      if ((n.startsWith("gen-") && !keepGens.contains(n)) ||
+          n.startsWith(s".$LsmPointer.tmp-"))
+        fs.delete(st.getPath, true)
+    }
   }
 }

@@ -52,8 +52,16 @@ object StagedRefresh {
     FileContext.getFileContext(p.toUri, spark.sparkContext.hadoopConfiguration)
 
   /** The live generation dir name, if a refresh ever completed. */
-  def currentGen(spark: SparkSession, root: String): Option[String] = {
-    val ptr = new Path(root, PointerName)
+  def currentGen(spark: SparkSession, root: String): Option[String] =
+    readPointer(spark, new Path(root), PointerName)
+
+  /** Read a pointer file's contents (the generic form of
+    * [[currentGen]] — the LSM shingle artifact and the IVF retrain
+    * lifecycle keep their own generation pointers with the same
+    * old-XOR-new contract). */
+  def readPointer(spark: SparkSession, rootPath: Path,
+      name: String): Option[String] = {
+    val ptr = new Path(rootPath, name)
     val ctx = fc(spark, ptr)
     if (!ctx.util.exists(ptr)) None
     else {
@@ -61,6 +69,40 @@ object StagedRefresh {
       try Some(new String(in.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8).trim)
       finally in.close()
+    }
+  }
+
+  /** Atomically replace the pointer file `name` under `rootPath` with
+    * `value` — write-temp + atomic rename, scheme-dispatched (see the
+    * class doc: `file:` → POSIX rename(2) via NIO; everything else →
+    * FileContext, natively atomic on HDFS; the S3 analog is a
+    * conditional PUT). This is the single commit point of every
+    * staged-swap protocol in the repo: a writer killed any instant
+    * before the rename leaves the old pointer (and the artifact it
+    * names) fully intact. */
+  def swapPointer(spark: SparkSession, rootPath: Path, name: String,
+      value: String): Unit = {
+    val ctx = fc(spark, rootPath)
+    val ptr = new Path(rootPath, name)
+    if (ctx.makeQualified(ptr).toUri.getScheme == "file") {
+      import java.nio.file.{Files => NF, Paths => NP, StandardCopyOption => CO}
+      val dir = NP.get(ctx.makeQualified(rootPath).toUri.getPath)
+      val tmp = dir.resolve(s".$name.tmp-${java.util.UUID.randomUUID}")
+      NF.write(tmp, value.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // Pre-round-15 swaps went through ChecksumFs and left a .crc
+      // sidecar; after a pure-NIO swap a STALE sidecar fails readers (a
+      // missing one is tolerated). Drop it before the move — old-pointer
+      // reads stay valid throughout, and the NIO path never creates one.
+      NF.deleteIfExists(dir.resolve(s".$name.crc"))
+      NF.move(tmp, dir.resolve(name), CO.ATOMIC_MOVE, CO.REPLACE_EXISTING)
+    } else {
+      val tmp = new Path(rootPath, s".$name.tmp-${java.util.UUID.randomUUID}")
+      val out = ctx.create(tmp,
+        java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+          org.apache.hadoop.fs.CreateFlag.OVERWRITE))
+      try out.write(value.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      ctx.rename(tmp, ptr, Options.Rename.OVERWRITE)
     }
   }
 
@@ -124,31 +166,8 @@ object StagedRefresh {
     // STAGE: a crash below leaves the live pointer untouched
     df.write.mode("overwrite").parquet(new Path(rootPath, gen).toString)
     hook("staged")
-    // SWAP: write-temp + atomic rename of the pointer file,
-    // scheme-dispatched — see the class doc. file: → POSIX rename(2);
-    // everything else → FileContext (atomic on HDFS).
-    val ptr = new Path(rootPath, PointerName)
-    if (ctx.makeQualified(ptr).toUri.getScheme == "file") {
-      import java.nio.file.{Files => NF, Paths => NP, StandardCopyOption => CO}
-      val dir = NP.get(ctx.makeQualified(rootPath).toUri.getPath)
-      val tmp = dir.resolve(s".$PointerName.tmp-${java.util.UUID.randomUUID}")
-      NF.write(tmp, gen.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      // Pre-round-15 swaps went through ChecksumFs and left a
-      // .CURRENT.crc sidecar; after a pure-NIO swap a STALE sidecar
-      // fails readers (a missing one is tolerated). Drop it before the
-      // move — old-pointer reads stay valid throughout, and the NIO
-      // path never creates a new one.
-      NF.deleteIfExists(dir.resolve(s".$PointerName.crc"))
-      NF.move(tmp, dir.resolve(PointerName), CO.ATOMIC_MOVE, CO.REPLACE_EXISTING)
-    } else {
-      val tmp = new Path(rootPath, s".$PointerName.tmp-${java.util.UUID.randomUUID}")
-      val out = ctx.create(tmp,
-        java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
-          org.apache.hadoop.fs.CreateFlag.OVERWRITE))
-      try out.write(gen.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      ctx.rename(tmp, ptr, Options.Rename.OVERWRITE)
-    }
+    // SWAP: the shared scheme-dispatched atomic pointer replace
+    swapPointer(spark, rootPath, PointerName, gen)
     hook("swapped")
     // GC: keep the new generation and the just-replaced live one; drop
     // older generations, orphaned staging dirs, and stale pointer temps

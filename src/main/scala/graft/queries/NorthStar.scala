@@ -1244,6 +1244,56 @@ object NorthStar {
         .orderBy("batch_id"))
   }
 
+  /** q41o: q41n's lifecycle over the BUCKETED artifact — the round-18
+    * composition gap closed (q41m's layout is the only one that
+    * survives big batches at 100 TB, but could only full-rebuild;
+    * q41n's append maintained only the flat layout, and its two
+    * relations committed non-atomically). The LSM layout
+    * ([[graft.ops.ShingleIndex.saveLsm]]/[[graft.ops.ShingleIndex
+    * .appendLsm]]) keeps the corpus (doc, sh) relation as immutable
+    * bucketed SEGMENTS — the accept writes one delta-sized segment
+    * pair plus a rollup-sized df merge, never touching existing tables
+    * — and commits BOTH relations with one atomic pointer swap (the
+    * q46 stage-and-swap pattern), so a crash can never leave df behind
+    * the shingle rows and a crashed append retries cleanly
+    * (LsmShingleSpec pins both). Probes run per segment
+    * ([[graft.ops.Dedup.incrementalNearDupSegmented]]) under the same
+    * MERGE hints as q41m, so the corpus sides stay exchange-free and
+    * the per-batch shuffle law survives the append (ShingleBucketProbe
+    * post-append rung). Same oracle as q41n: layout and join strategy
+    * change nothing about the verdicts. */
+  private val lsmScratch =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  val q41o = QueryDef("q41o_dedup_incremental_neardup_lsm",
+    q41nSql) { (s, dir) =>
+    import graft.ops.ShingleIndex
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    val base = ShingleIndex.tableFor("shlsm", dir)
+    def hinted(root: String) = {
+      val (segs, dfE) = ShingleIndex.loadLsm(s, root)
+      (segs.map { case (sh, doc) => (sh.hint("merge"), doc.hint("merge")) },
+        dfE.hint("merge"))
+    }
+    val scratch = buildOnceScratch(lsmScratch, dir, "graft_shlsm") { p =>
+      ShingleIndex.saveLsm(s, d, "doc_id", "text", 2, p, base)
+      val (segs1, dfE1) = hinted(p)
+      val b1 = nearDupBatch(s, dir)
+      val v1 = Dedup.incrementalNearDupSegmented(segs1, dfE1, b1,
+        "doc_id", "text", k = 2, maxDf = 20, threshold = 0.2)
+      val accepted = b1.join(
+        v1.filter(col("matched") === 0)
+          .select(col("batch_id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      ShingleIndex.appendLsm(s, accepted, "doc_id", "text", 2, p, base)
+      graft.CheckpointJanitor.dropNow(v1)
+    }
+    val (segs2, dfE2) = hinted(scratch)
+    graft.CheckpointJanitor.evictAfterConsumption(
+      Dedup.incrementalNearDupSegmented(segs2, dfE2, nearDupBatch2(s, dir),
+        "doc_id", "text", k = 2, maxDf = 20, threshold = 0.2)
+        .orderBy("batch_id"))
+  }
+
   /** Corpus-trained unigram-LM quality scoring (q43h): P(w) from one
     * token pass, each doc scored by mean token log-prob + per-token
     * perplexity — the cheap stand-in for an LM quality filter, trained
@@ -1644,7 +1694,7 @@ object NorthStar {
   }
 
   val defs: Seq[QueryDef] = Seq(q41a, q41h, q41i, q41b, q41c, q41d, q41e, q41f, q41g,
-    q41j, q41k, q41l, q41m, q41n, q42, q42b, q42c, q42d, q42e, q42f, q42g, q74, q43a, q43b, q43c, q43d, q43e, q43f,
+    q41j, q41k, q41l, q41m, q41n, q41o, q42, q42b, q42c, q42d, q42e, q42f, q42g, q74, q43a, q43b, q43c, q43d, q43e, q43f,
     q43g, q43h, q43i, q43j, q44, q44b, q44c, q44d, q81, q83, q88, q88b, q88c, q88d,
     q91, q92, q97, q97b, q100, q100b)
 }

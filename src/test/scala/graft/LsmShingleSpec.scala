@@ -1,0 +1,145 @@
+package graft
+
+import graft.ops.{Dedup, ShingleIndex}
+import org.apache.spark.sql.functions._
+
+/** The LSM bucketed shingle artifact (q41o): segmented probes must be
+  * bit-identical to the inline build, the append must commit BOTH
+  * relations atomically (old XOR new across any crash point) and be
+  * retryable after a crash, compaction must not change verdicts, and
+  * the segment corpus sides must probe without shuffling. */
+class LsmShingleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Tables.documents(spark, sf).select("doc_id", "text")
+
+  private def batch = {
+    val d = corpus
+    d.filter($"doc_id" % 10 === 3)
+      .select(($"doc_id" + 2000000L).as("doc_id"),
+        concat(lit("copy "), $"text").as("text"))
+      .unionByName(d.filter($"doc_id" % 10 === 4)
+        .select(($"doc_id" + 3000000L).as("doc_id"),
+          translate($"text", "aeiou", "xyzwv").as("text")))
+  }
+
+  private def probe(root: String,
+      b: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val (segs, dfE) = ShingleIndex.loadLsm(spark, root)
+    Dedup.incrementalNearDupSegmented(segs, dfE, b,
+      "doc_id", "text", k = 2, maxDf = 20, threshold = 0.2)
+  }
+
+  private def freshRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString + "/lsm"
+
+  test("segmented probe over base+delta equals the inline build over the union") {
+    val root = freshRoot("graft_lsm_eq")
+    ShingleIndex.saveLsm(spark, corpus, "doc_id", "text", 2, root, "lsmspec_eq")
+    val delta = batch.filter($"doc_id" >= 3000000L) // novel docs
+    ShingleIndex.appendLsm(spark, delta, "doc_id", "text", 2, root, "lsmspec_eq")
+    val b2 = delta.select(($"doc_id" + 1000000L).as("doc_id"),
+      concat(lit("copy "), $"text").as("text"))
+    val segmented = probe(root, b2)
+    val inline = Dedup.incrementalNearDup(corpus.unionByName(delta), b2,
+      "doc_id", "text", k = 2, maxDf = 20, threshold = 0.2)
+    assert(segmented.exceptAll(inline).isEmpty &&
+      inline.exceptAll(segmented).isEmpty,
+      "segmented LSM probe diverges from the inline union build")
+    // non-trivial: every copy of an appended doc matches via the delta
+    assert(segmented.filter($"matched" === 1).count() === b2.count())
+  }
+
+  test("a crash between staging and the pointer swap leaves the OLD generation — and the append retries") {
+    val root = freshRoot("graft_lsm_crash")
+    ShingleIndex.saveLsm(spark, corpus, "doc_id", "text", 2, root, "lsmspec_cr")
+    val delta = batch.filter($"doc_id" >= 3000000L)
+    val b2 = delta.select(($"doc_id" + 1000000L).as("doc_id"),
+      concat(lit("copy "), $"text").as("text"))
+    assert(probe(root, b2).filter($"matched" === 1).count() === 0L,
+      "pristine artifact must not know the delta")
+    // kill the writer AFTER both relations staged, BEFORE the commit
+    val boom = intercept[RuntimeException] {
+      ShingleIndex.appendLsm(spark, delta, "doc_id", "text", 2, root,
+        "lsmspec_cr", hook = stage =>
+          if (stage == "staged") throw new RuntimeException("yanked power cord"))
+    }
+    assert(boom.getMessage.contains("yanked"))
+    // readers still see generation 1: shingles AND df consistent —
+    // neither relation can be "ahead" of the other (the flat append's
+    // documented gap), so the probe result is exactly the pristine one
+    val m = ShingleIndex.currentManifest(spark, root).get
+    assert(m.gen === 1L && m.segments.size === 1)
+    assert(probe(root, b2).filter($"matched" === 1).count() === 0L,
+      "a crashed append must be invisible to readers")
+    // the RETRY must succeed — the dup guard reads manifest segments,
+    // not the crashed attempt's orphan tables
+    ShingleIndex.appendLsm(spark, delta, "doc_id", "text", 2, root, "lsmspec_cr")
+    val m2 = ShingleIndex.currentManifest(spark, root).get
+    assert(m2.gen === 2L && m2.segments.size === 2)
+    assert(probe(root, b2).filter($"matched" === 1).count() === b2.count(),
+      "the retried append must surface the delta")
+  }
+
+  test("appendLsm refuses doc ids already live in the artifact") {
+    val root = freshRoot("graft_lsm_dup")
+    ShingleIndex.saveLsm(spark, corpus, "doc_id", "text", 2, root, "lsmspec_dup")
+    val delta = batch.limit(10)
+    ShingleIndex.appendLsm(spark, delta, "doc_id", "text", 2, root, "lsmspec_dup")
+    val e = intercept[IllegalArgumentException] {
+      ShingleIndex.appendLsm(spark, delta, "doc_id", "text", 2, root, "lsmspec_dup")
+    }
+    assert(e.getMessage.contains("double-count"))
+  }
+
+  test("compaction folds segments into one without changing verdicts") {
+    val root = freshRoot("graft_lsm_cp")
+    ShingleIndex.saveLsm(spark, corpus, "doc_id", "text", 2, root, "lsmspec_cp")
+    val delta = batch.filter($"doc_id" >= 3000000L)
+    ShingleIndex.appendLsm(spark, delta, "doc_id", "text", 2, root, "lsmspec_cp")
+    val b2 = delta.select(($"doc_id" + 1000000L).as("doc_id"),
+      concat(lit("copy "), $"text").as("text"))
+    val before = probe(root, b2)
+    val beforeRows = before.collect().toSeq
+    ShingleIndex.compactLsm(spark, root, "lsmspec_cp")
+    val m = ShingleIndex.currentManifest(spark, root).get
+    assert(m.segments.size === 1, "compaction must leave one segment")
+    val after = probe(root, b2)
+    assert(after.collect().toSeq.sortBy(_.getLong(0)) ===
+      beforeRows.sortBy(_.getLong(0)),
+      "compaction changed probe verdicts")
+  }
+
+  test("every LSM segment's corpus sides probe without a corpus-side exchange") {
+    val root = freshRoot("graft_lsm_plan")
+    ShingleIndex.saveLsm(spark, corpus, "doc_id", "text", 2, root, "lsmspec_pl")
+    ShingleIndex.appendLsm(spark, batch.filter($"doc_id" >= 3000000L),
+      "doc_id", "text", 2, root, "lsmspec_pl")
+    val (segs, _) = ShingleIndex.loadLsm(spark, root)
+    assert(segs.size === 2)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try segs.foreach { case (segSh, segDoc) =>
+      def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+        df.collect()
+        df.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan.toString
+          case other => other.toString
+        }
+      }
+      // sh-keyed probe: segment side must contribute buckets in place
+      val someSh = segSh.limit(20).collect().map(_.getLong(1)).toSeq.toDF("sh")
+      val p1 = finalPlan(segSh.hint("merge").join(someSh, "sh"))
+      assert(p1.contains("Bucketed: true"), s"sh copy not bucketed:\n$p1")
+      assert("Exchange hashpartitioning".r.findAllIn(p1).size == 1,
+        s"segment sh side must not shuffle:\n$p1")
+      // doc-keyed candidate fetch: same law on the second copy
+      val someDocs = segDoc.limit(20).collect().map(_.getLong(0)).toSeq.toDF("doc")
+      val p2 = finalPlan(segDoc.hint("merge").join(someDocs, Seq("doc"), "left_semi"))
+      assert(p2.contains("Bucketed: true"), s"doc copy not bucketed:\n$p2")
+      assert("Exchange hashpartitioning".r.findAllIn(p2).size == 1,
+        s"segment doc side must not shuffle:\n$p2")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
