@@ -93,9 +93,30 @@ object IvfIndex {
     * the union under the same centroids). */
   def appendAssignments(spark: SparkSession,
       delta: org.apache.spark.sql.DataFrame,
-      cents: Seq[(Int, Array[Double], Double)], path: String): Unit =
-    Similarity.assignedCorpus(delta, cents)
-      .write.mode("append").partitionBy("cell").parquet(path)
+      cents: Seq[(Int, Array[Double], Double)], path: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val a = Similarity.assignedCorpus(delta, cents)
+      .transform(graft.Staging.stage) // guard + write share one pass
+    // fail fast on re-appended vids (a retried q42g-style build step
+    // would otherwise silently duplicate them, and duplicated vids then
+    // occupy multiple ranks in ivfTopKProbed results, displacing
+    // genuine neighbors — round-18 advice). The check is delta-sized:
+    // a column-pruned vid read of only the cells the delta lands in.
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))) {
+      val hitCells = a.select("cell").distinct().collect().map(_.getInt(0))
+      val dup = loadAssignments(spark, path)
+        .filter(col("cell").isin(hitCells.map(Int.box): _*))
+        .select("vid")
+        .join(a.select("vid").distinct(), Seq("vid"), "left_semi")
+        .limit(1).count()
+      require(dup == 0L,
+        s"appendAssignments would duplicate vids already assigned under $path")
+    }
+    a.write.mode("append").partitionBy("cell").parquet(path)
+    graft.CheckpointJanitor.dropNow(a)
+  }
 
   /** Build-if-absent for the full index pair (centroids + cell-
     * partitioned assignment): one corpus pass for the quantizer, one
@@ -118,4 +139,89 @@ object IvfIndex {
       saveAssignments(spark, corpus, cents, assignPath)
     (cents, loadAssignments(spark, assignPath))
   }
+
+  // ------------- generational lifecycle (q42h retrain) -------------
+  //
+  // The delta-append lifecycle above ([[appendAssignments]]) keeps the
+  // quantizer FROZEN — the Faiss `add` semantic — and recall drifts as
+  // the data distribution moves away from what the quantizer was
+  // trained on. The documented remedy is the RETRAIN CADENCE: on the
+  // deployment's rebuild schedule, re-train the quantizer over the
+  // grown corpus, re-assign everything under it, and swap BOTH
+  // artifacts (centroids + cell-partitioned assignment) atomically so
+  // probes never see a new quantizer over an old assignment (cell ids
+  // mean different regions under different centroids — a torn pair
+  // would probe the wrong vectors, silently). The commit point is the
+  // same pointer-swap pattern as the LSM shingle artifact
+  // (StagedRefresh.swapPointer): generations stage completely under
+  // `root/gen-N/{quantizer,assign}`, readers resolve `root/CURRENT`,
+  // old XOR new across any crash instant, predecessor retained one
+  // cycle for in-flight readers.
+
+  private val Pointer = "CURRENT"
+  private val GenPrefix = "gen-"
+
+  /** The live generation dir, if a commit ever completed. */
+  def currentGenDir(spark: SparkSession, root: String): Option[String] =
+    StagedRefresh.readPointer(spark,
+        new org.apache.hadoop.fs.Path(root), Pointer)
+      .map(g => s"$root/$g")
+
+  /** Readers over the live generation's (quantizer, assignment) pair. */
+  def loadCurrent(spark: SparkSession, root: String)
+      : (Seq[(Int, Array[Double], Double)], org.apache.spark.sql.DataFrame) = {
+    val dir = currentGenDir(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"no committed IVF generation under $root (pointer absent)"))
+    (load(spark, s"$dir/quantizer"), loadAssignments(spark, s"$dir/assign"))
+  }
+
+  /** Stage `cents` + the assignment of `corpus` under them as the next
+    * generation and atomically swap the pointer. `hook` is the
+    * crash-injection seam ("staged" = both artifacts written, pointer
+    * not swapped; "swapped" = committed, GC pending). Returns the new
+    * generation dir name. */
+  def commitGeneration(spark: SparkSession,
+      corpus: org.apache.spark.sql.DataFrame,
+      cents: Seq[(Int, Array[Double], Double)], root: String,
+      hook: String => Unit = _ => ()): String = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(rootPath)
+    val existing = fs.listStatus(rootPath).toSeq
+      .map(_.getPath.getName).filter(_.startsWith(GenPrefix))
+      .flatMap(n => n.stripPrefix(GenPrefix).toLongOption)
+    val gen = GenPrefix + (existing.maxOption.getOrElse(0L) + 1L)
+    // the generation the POINTER names is the one in-flight readers may
+    // hold — that is what GC must spare (a crashed commit's orphan dir
+    // may outnumber it; the StagedRefresh discipline)
+    val prevLive = StagedRefresh.readPointer(spark, rootPath, Pointer)
+    save(spark, cents, s"$root/$gen/quantizer")
+    saveAssignments(spark, corpus, cents, s"$root/$gen/assign")
+    hook("staged")
+    StagedRefresh.swapPointer(spark, rootPath, Pointer, gen)
+    hook("swapped")
+    val keep = Set(gen) ++ prevLive
+    fs.listStatus(rootPath).foreach { st =>
+      val n = st.getPath.getName
+      if ((n.startsWith(GenPrefix) && !keep.contains(n)) ||
+          n.startsWith(s".$Pointer.tmp-"))
+        fs.delete(st.getPath, true)
+    }
+    gen
+  }
+
+  /** The RETRAIN CADENCE step: deterministic k-means
+    * ([[Similarity.ivfCentroidsIter]] — strided seeds + `iters` exact-
+    * decimal Lloyd rounds, fully oracle-replayable) over the GROWN
+    * corpus (original ∪ every appended delta), a full re-assignment
+    * under the new quantizer, and an atomic generation swap. Cost is
+    * the build cost — iters× corpus passes + one assignment pass —
+    * paid on the rebuild cadence, not per arrival; probes in flight
+    * keep the old generation, the next probe sees the new one. */
+  def retrain(spark: SparkSession, union: org.apache.spark.sql.DataFrame,
+      cells: Int, iters: Int, root: String,
+      hook: String => Unit = _ => ()): String =
+    commitGeneration(spark, union,
+      Similarity.ivfCentroidsIter(union, cells, iters), root, hook)
 }

@@ -424,6 +424,49 @@ object NorthStar {
       .orderBy("qid", "rk")
   }
 
+  /** q42h: the RETRAIN CADENCE — the step q42g's op doc promises
+    * ("re-train on the rebuild cadence, re-check the recall SLA
+    * then"), made real. The lifecycle replays q42g's grow phase —
+    * quantizer trained and frozen on the original slice, the delta
+    * assigned under it and appended ([[graft.ops.IvfIndex
+    * .appendAssignments]], now guarded against re-appended vids) —
+    * and then RETRAINS: deterministic k-means over the grown union
+    * (q42f's 3 exact-decimal Lloyd rounds), a full re-assignment, and
+    * an ATOMIC generation swap of the (quantizer, assignment) PAIR
+    * ([[graft.ops.IvfIndex.commitGeneration]] — cell ids mean
+    * different regions under different centroids, so a torn pair
+    * would probe the wrong vectors; the pointer swap makes that state
+    * unreachable, IvfIndexSpec pins it with a crash injection). The
+    * probe reads the live generation; because the union here is the
+    * whole table and the retrain depth matches q42f, the oracle is
+    * q42f's text verbatim — the retrained index must answer exactly
+    * as an index built from scratch over everything. Recall recovery
+    * under the retrain (frozen 1-step/slice quantizer vs retrained
+    * 3-iter/union) is measured in SCALING.md's round-19 rung
+    * (IvfRetrainProbe). */
+  private val ivfRetrainScratch =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  val q42h = QueryDef("q42h_similarity_ivf_retrain",
+    Similarity.ivfIterSql(cells = 16, nprobe = 4, k = 5, iters = 3)) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val scratch = buildOnceScratch(ivfRetrainScratch, dir, "graft_ivfr") { p =>
+      // gen-1: the frozen-quantizer grow lifecycle (q42g's shape)
+      val corpus0 = emb.filter($"vec_id" % 10 =!= 7)
+      val c0 = Similarity.ivfCentroids(corpus0, cells = 16)
+      graft.ops.IvfIndex.commitGeneration(s, corpus0, c0, p)
+      graft.ops.IvfIndex.appendAssignments(s,
+        emb.filter($"vec_id" % 10 === 7), c0,
+        graft.ops.IvfIndex.currentGenDir(s, p).get + "/assign")
+      // gen-2: the retrain cadence over the union, atomic pair swap
+      graft.ops.IvfIndex.retrain(s, emb, cells = 16, iters = 3, p)
+    }
+    val (cents, assigned) = graft.ops.IvfIndex.loadCurrent(s, scratch)
+    Similarity.ivfTopKProbed(cents, assigned,
+      emb.filter($"vec_id" % 100 === 0), k = 5, nprobe = 4)
+      .orderBy("qid", "rk")
+  }
+
   /** q42f: IVF with a DETERMINISTIC K-MEANS quantizer (round-16
     * verdict item 2) — the strided seeds refined by THREE fixed
     * exact-decimal Lloyd iterations instead of one
@@ -1694,7 +1737,7 @@ object NorthStar {
   }
 
   val defs: Seq[QueryDef] = Seq(q41a, q41h, q41i, q41b, q41c, q41d, q41e, q41f, q41g,
-    q41j, q41k, q41l, q41m, q41n, q41o, q42, q42b, q42c, q42d, q42e, q42f, q42g, q74, q43a, q43b, q43c, q43d, q43e, q43f,
+    q41j, q41k, q41l, q41m, q41n, q41o, q42, q42b, q42c, q42d, q42e, q42f, q42g, q42h, q74, q43a, q43b, q43c, q43d, q43e, q43f,
     q43g, q43h, q43i, q43j, q44, q44b, q44c, q44d, q81, q83, q88, q88b, q88c, q88d,
     q91, q92, q97, q97b, q100, q100b)
 }

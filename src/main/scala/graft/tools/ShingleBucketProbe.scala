@@ -56,30 +56,58 @@ object ShingleBucketProbe {
     val listener = new ShuffleBytes
     spark.sparkContext.addSparkListener(listener)
 
-    def run(tag: String,
-        shE: org.apache.spark.sql.DataFrame,
-        shEDoc: org.apache.spark.sql.DataFrame,
-        dfE: org.apache.spark.sql.DataFrame): Unit = {
+    def measure(tag: String)(verdicts: => org.apache.spark.sql.DataFrame): Unit = {
       // one untimed warmup so JIT/codegen state is uniform across tags
-      graft.ops.Dedup.incrementalNearDupWith(shE, shEDoc, dfE, batch,
-        "doc_id", "text", k = 2, maxDf = 20, threshold = 0.2).count()
+      verdicts.count()
       System.gc()
       Thread.sleep(1000) // let straggling stage events from the warmup drain
       listener.bytes.set(0L)
       val t0 = System.nanoTime()
-      val n = graft.ops.Dedup.incrementalNearDupWith(shE, shEDoc, dfE, batch,
-        "doc_id", "text", k = 2, maxDf = 20, threshold = 0.2)
-        .filter($"matched" === 1).count()
+      val n = verdicts.filter($"matched" === 1).count()
       val wall = (System.nanoTime() - t0) / 1e9
       Thread.sleep(1000) // drain this run's stage events before reading
       println(f"[shbp] $tag%-18s wall=$wall%6.2fs shuffleWrite=${listener.bytes.get / 1048576.0}%8.2f MiB matched=$n")
     }
+    def run(tag: String,
+        shE: org.apache.spark.sql.DataFrame,
+        shEDoc: org.apache.spark.sql.DataFrame,
+        dfE: org.apache.spark.sql.DataFrame): Unit =
+      measure(tag)(graft.ops.Dedup.incrementalNearDupWith(shE, shEDoc, dfE,
+        batch, "doc_id", "text", k = 2, maxDf = 20, threshold = 0.2))
 
     run("flat+broadcast", shFlat, shFlat, dfFlat)
     run("flat+smj", shFlat.hint("merge"), shFlat.hint("merge"),
       dfFlat.hint("merge"))
     run("bucketed+smj", shBkSh.hint("merge"), shBkDoc.hint("merge"),
       dfBk.hint("merge"))
+
+    // ---- the LSM lifecycle (q41o): the law must SURVIVE an append ----
+    // append a FIXED batch-sized delta (novel ids), then probe the
+    // 2-segment artifact with the same hints: per-batch shuffle volume
+    // must stay batch-sized (the q41m law), and the APPEND itself must
+    // cost delta-shingling + a rollup-sized df merge — fixed delta at
+    // growing corpus isolates any corpus-proportional term
+    val lsmRoot = java.nio.file.Files
+      .createTempDirectory("graft_shbp_lsm").toString + "/lsm"
+    val lsmBase = graft.ops.ShingleIndex.tableFor("shingle_probe_lsm", dir)
+    graft.ops.ShingleIndex.saveLsm(spark, corpus, "doc_id", "text", 2,
+      lsmRoot, lsmBase)
+    val delta = graft.queries.NorthStar.nearDupBatch(spark, batchDir)
+      .filter($"doc_id" >= 3000000L) // the novel (vowel-swapped) half
+    System.gc(); Thread.sleep(1000)
+    listener.bytes.set(0L)
+    val tA = System.nanoTime()
+    graft.ops.ShingleIndex.appendLsm(spark, delta, "doc_id", "text", 2,
+      lsmRoot, lsmBase)
+    val wallA = (System.nanoTime() - tA) / 1e9
+    Thread.sleep(1000)
+    println(f"[shbp] lsm-append         wall=$wallA%6.2fs shuffleWrite=${listener.bytes.get / 1048576.0}%8.2f MiB (fixed delta — corpus-size-independent by construction)")
+    val (segs, dfLsm) = graft.ops.ShingleIndex.loadLsm(spark, lsmRoot)
+    measure(s"lsm+smj seg=${segs.size}")(
+      graft.ops.Dedup.incrementalNearDupSegmented(
+        segs.map { case (sh, doc) => (sh.hint("merge"), doc.hint("merge")) },
+        dfLsm.hint("merge"), batch, "doc_id", "text",
+        k = 2, maxDf = 20, threshold = 0.2))
     spark.stop()
   }
 }

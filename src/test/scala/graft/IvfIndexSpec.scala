@@ -133,4 +133,67 @@ class IvfIndexSpec extends SparkSpec {
     assert(after.exists(_._2 % 10 == 7),
       "fixture must surface at least one delta vector post-append")
   }
+
+  test("appendAssignments refuses vids already assigned (retry guard)") {
+    val emb = Tables.embeddings(spark, sf)
+    val corpus0 = emb.filter($"vec_id" % 10 =!= 7)
+    val delta = emb.filter($"vec_id" % 10 === 7)
+    val cents = Similarity.ivfCentroids(corpus0, cells = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfdg").toString
+    IvfIndex.saveAssignments(spark, corpus0, cents, s"$dir/idx")
+    IvfIndex.appendAssignments(spark, delta, cents, s"$dir/idx")
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.appendAssignments(spark, delta, cents, s"$dir/idx")
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
+
+  test("retrain: atomic pair swap — a crash before the pointer swap leaves the old generation; the retry lands") {
+    val emb = Tables.embeddings(spark, sf)
+    val corpus0 = emb.filter($"vec_id" % 10 =!= 7)
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfrt").toString + "/lifecycle"
+    // gen-1: frozen-quantizer grow (q42g's shape)
+    val c0 = Similarity.ivfCentroids(corpus0, cells = 16)
+    IvfIndex.commitGeneration(spark, corpus0, c0, root)
+    IvfIndex.appendAssignments(spark, emb.filter($"vec_id" % 10 === 7), c0,
+      IvfIndex.currentGenDir(spark, root).get + "/assign")
+    val q = emb.filter($"vec_id" % 100 === 0)
+    def probeNow(): Set[(Long, Long, Int, Double)] = {
+      val (ce, as) = IvfIndex.loadCurrent(spark, root)
+      Similarity.ivfTopKProbed(ce, as, q, k = 5, nprobe = 4)
+        .as[(Long, Long, Int, Double)].collect().toSet
+    }
+    val frozenAnswers = probeNow()
+    // kill the retrain after BOTH artifacts staged, before the commit
+    val boom = intercept[RuntimeException] {
+      IvfIndex.retrain(spark, emb, cells = 16, iters = 3, root,
+        hook = s => if (s == "staged") throw new RuntimeException("power cut"))
+    }
+    assert(boom.getMessage.contains("power cut"))
+    // readers still resolve gen-1: quantizer and assignment CONSISTENT
+    // (a torn pair — new centroids over the old cell layout — must be
+    // unreachable at every crash instant)
+    assert(IvfIndex.currentGenDir(spark, root).get.endsWith("gen-1"))
+    assert(probeNow() == frozenAnswers,
+      "a crashed retrain must be invisible to probes")
+    // the retry commits — numbering allocates PAST the crashed
+    // attempt's orphan dir (gen-2), so the retry lands as gen-3 and GC
+    // removes the orphan (keeping the orphan by number instead would
+    // risk GC'ing the live predecessor — the StagedRefresh discipline)
+    IvfIndex.retrain(spark, emb, cells = 16, iters = 3, root)
+    assert(IvfIndex.currentGenDir(spark, root).get.endsWith("gen-3"))
+    val retrained = probeNow()
+    val inline = Similarity.ivfTopKWith(
+      Similarity.ivfCentroidsIter(emb, cells = 16, iters = 3), emb, q,
+      k = 5, nprobe = 4)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(retrained == inline,
+      "retrained generation diverges from a from-scratch union build")
+    // GC keeps exactly the live generation and its predecessor — the
+    // crashed attempt's orphan is gone
+    val gens = new java.io.File(root).listFiles()
+      .map(_.getName).filter(_.startsWith("gen-")).toSet
+    assert(gens == Set("gen-1", "gen-3"),
+      s"GC must keep live + predecessor and drop the orphan, found $gens")
+  }
 }
