@@ -78,7 +78,12 @@ object Explains {
     "q41l_dedup_incremental_neardup_indexed", "q88d_similarity_pq_kmeans",
     "q41m_dedup_incremental_neardup_bucketed",
     "q41n_dedup_incremental_neardup_delta",
-    "q42g_similarity_ivf_delta")
+    "q42g_similarity_ivf_delta",
+    // round 19: LSM bucketed artifact, IVF retrain cadence,
+    // perceptual-hash image near-dup
+    "q41o_dedup_incremental_neardup_lsm",
+    "q42h_similarity_ivf_retrain",
+    "q44e_multimodal_phash_neardup")
 
   /** Prose above a query's plan — the one- paragraph reading guide for
     * the plan properties SCALING.md leans on. Keyed by query name so a
@@ -125,6 +130,41 @@ object Explains {
         |partitioned append run once before this plan). PartitionFilters
         |still prune to the probed cells; delta vectors surface exactly
         |as a from-scratch union assignment would.""".stripMargin,
+    "q41o_dedup_incremental_neardup_lsm" ->
+      """q41n's lifecycle over the BUCKETED artifact: the corpus arrives
+        |as LSM segments — immutable bucketed (sh, doc) table pairs plus
+        |one generation df — and the probe runs PER SEGMENT
+        |(incrementalNearDupSegmented) under the same MERGE hints as
+        |q41m, because a segment UNION would erase the bucketed
+        |partitioning and re-shuffle the corpus per batch. The dump below
+        |is the final verdict segment (stage barriers split the pipeline
+        |into separate jobs); the per-segment probe fragments are
+        |plan-pinned in LsmShingleSpec — `Bucketed: true` scans on BOTH
+        |copies of BOTH segments with only the batch side shuffling. The
+        |append that produced segment 2 committed shingles AND df with
+        |one atomic pointer swap; its cost is delta-sized
+        |(ShingleBucketProbe: flat 0.05 MiB shuffle at 10x corpus).""".stripMargin,
+    "q42h_similarity_ivf_retrain" ->
+      """The post-retrain probe: identical plan family to q42e/q42g
+        |(centroid literals + cell-partition-pruned assignment scan) —
+        |what changed is WHICH GENERATION the scan reads: the pointer
+        |now names gen-2, whose quantizer was retrained over the grown
+        |union (q42f's deterministic k-means) and whose assignment was
+        |rebuilt under it, both committed by one atomic pointer swap
+        |(IvfIndex.commitGeneration — a torn (quantizer, assignment)
+        |pair is unreachable at every crash instant). PartitionFilters
+        |prune to the probed cells of the NEW cell layout.""".stripMargin,
+    "q44e_multimodal_phash_neardup" ->
+      """Perceptual-hash image near-dup: the decode+dHash stage is the
+        |justified mapPartitions (binary P6 parse + luma grid — per-row
+        |imperative byte work, as q44c), everything after is q41c's
+        |relational machinery on the (doc, simhash) relation: a
+        |4-rows-per-image chunk explode, the chunk-equality self-join
+        |(candidates bounded by bucket occupancy — no pairwise image
+        |comparison anywhere), and the bit_count Hamming verify on
+        |candidates only. At 100 TB the hash pass is a pure map over
+        |the image bytes and only 16-byte (id, hash) rows ever
+        |shuffle.""".stripMargin,
     "q88d_similarity_pq_kmeans" ->
       """Identical query-time plan to q88 (encode map + broadcast ADC +
         |shortlist window + rerank) — only the codebook LITERALS differ

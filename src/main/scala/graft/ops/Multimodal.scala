@@ -123,10 +123,10 @@ object Multimodal {
     out
   }
 
-  /** Real P6 parser: whitespace-tokenized header (magic, dims,
-    * maxval), then the raw RGB raster. Throws on malformed input —
-    * it is a decoder, not a fingerprint. */
-  def decodePpm(id: Long, bytes: Array[Byte]): PixelFeatures = {
+  /** Parse a P6 header: whitespace-tokenized (magic, dims, maxval).
+    * Returns (width, height, raster offset). Throws on malformed
+    * input — a parser, not a fingerprint. */
+  private def parsePpmHeader(bytes: Array[Byte]): (Int, Int, Int) = {
     var pos = 0
     def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\r' || b == '\t'
     def token(): String = {
@@ -143,6 +143,12 @@ object Multimodal {
     pos += 1 // exactly one whitespace byte separates header from raster
     require(bytes.length - pos == w * h * 3,
       s"truncated raster: ${bytes.length - pos} bytes for ${w}x$h")
+    (w, h, pos)
+  }
+
+  /** Real P6 parser: header + raster walk into per-channel sums. */
+  def decodePpm(id: Long, bytes: Array[Byte]): PixelFeatures = {
+    val (w, h, pos) = parsePpmHeader(bytes)
     var r = 0L; var g = 0L; var b = 0L
     var i = pos
     while (i < bytes.length) {
@@ -272,5 +278,111 @@ object Multimodal {
   def extractAudioFeatures(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions(rows => rows.map(r => decodeWav(r.media_id, r.payload)))
+  }
+
+  // ── Perceptual-hash image near-dup (q44e): the multimodal twin of
+  // q41c's SimHash. dHash over the DECODED raster — integer luma,
+  // nearest-neighbor 9×8 downsample, 64 horizontal neighbor
+  // comparisons packed into an int64 — then the exact q41c machinery:
+  // 16-bit-chunk Hamming blocking + bit_count verify. Every step is
+  // integer-exact, so the whole pipeline duck-hash-checks like q41c.
+  //
+  // The q44e fixture uses a QUADRATIC texture (squared linear form mod
+  // 256) instead of q44c's linear ramps: a dHash bit is the sign of a
+  // local luma gradient, and under q44c's arithmetic that gradient is
+  // constant almost everywhere (adjacent-pixel deltas are fixed
+  // residues mod 256), which would collapse every image to nearly the
+  // same hash. The squared form's deltas vary with (id, x, y), giving
+  // distinct images independent-looking hashes while a re-encoded /
+  // brightness-shifted variant stays within a few bits.
+
+  /** Deterministic textured P6 encoder — the q44e fixture's camera.
+    * Channel values are squared linear forms mod 256 (see above). */
+  def encodePpmTextured(id: Long, w: Int, h: Int): Array[Byte] = {
+    val header = s"P6\n$w $h\n255\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = new Array[Byte](header.length + w * h * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    def sq(v: Long): Byte = ((v * v) % 256).toByte
+    var i = header.length
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        out(i) = sq(id + 31L * x + 17L * y)
+        out(i + 1) = sq(id * 3L + 29L * x + 19L * y)
+        out(i + 2) = sq(id * 5L + 23L * x + 37L * y)
+        i += 3; x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Media table with textured payloads: one P6 per document,
+    * dimensions 16–32 × 12–24 (big enough that the 9×8 downsample
+    * actually downsamples). */
+  def fromDocumentsPpmTextured(spark: SparkSession,
+      docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      MediaRow(id, "img_ppm_tex",
+        encodePpmTextured(id, (16 + id % 17).toInt, (12 + id % 13).toInt))
+    }
+  }
+
+  /** REAL image transform over the binary payload: parse the P6
+    * header, clamp-add `delta` to every raster byte, re-emit the
+    * stream — the brightness shift a re-encode pipeline applies. The
+    * near-dup fixture's variants are produced by THIS transform on the
+    * actual bytes, not re-synthesized. */
+  def brightenPpm(bytes: Array[Byte], delta: Int): Array[Byte] = {
+    val (_, _, off) = parsePpmHeader(bytes)
+    val out = java.util.Arrays.copyOf(bytes, bytes.length)
+    var i = off
+    while (i < out.length) {
+      out(i) = math.min((out(i) & 0xFF) + delta, 255).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** dHash: decode, integer luma (299r+587g+114b)/1000, sample a 9×8
+    * grid nearest-neighbor (px = gx·(w−1)/8, py = gy·(h−1)/7 in
+    * integer division), set bit gy·8+gx when luma rises left→right.
+    * Brightness shifts cancel exactly in the comparison except where a
+    * channel clamps at 255 — a near-identical variant lands within a
+    * few bits, so the q41c chunk blocking finds it (pigeonhole). */
+  def dHash64(bytes: Array[Byte]): Long = {
+    val (w, h, off) = parsePpmHeader(bytes)
+    def luma(px: Int, py: Int): Int = {
+      val i = off + (py * w + px) * 3
+      (299 * (bytes(i) & 0xFF) + 587 * (bytes(i + 1) & 0xFF) +
+        114 * (bytes(i + 2) & 0xFF)) / 1000
+    }
+    var hash = 0L
+    var gy = 0
+    while (gy < 8) {
+      val py = gy * (h - 1) / 7
+      var gx = 0
+      while (gx < 8) {
+        if (luma(gx * (w - 1) / 8, py) < luma((gx + 1) * (w - 1) / 8, py))
+          hash |= 1L << (gy * 8 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    hash
+  }
+
+  /** Partition-wise dHash extraction → the (doc, simhash) relation
+    * [[Dedup.simHashNearDups]] blocks and verifies — the decode is the
+    * per-row hot spot (the justified mapPartitions, as q44c), the
+    * candidate/verify stages are the shared relational machinery. */
+  def perceptualHashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(rows =>
+        rows.map(r => (r.media_id, dHash64(r.payload))))
+      .toDF("doc", "simhash")
   }
 }

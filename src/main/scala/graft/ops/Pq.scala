@@ -122,6 +122,21 @@ object Pq {
     (1 to iters).foldLeft(codebooks(corpus))((c, _) => pqLloydStep(corpus, c))
   }
 
+  /** Default Lloyd depth for [[codebooksIter]] — the `nprobeFor`/
+    * `depth()` discipline applied to the TRAINING dial (round-18
+    * verdict item 5: the old pinned iters=1 left measured recall on
+    * the table). Derivation is the PqKmeansProbe sweep (SCALING.md
+    * round 18): recall@5 at equal M is 0.920/0.800 across the
+    * 1×/10× decade at iters=1 and 0.960/0.850 at iters=2, so 2 is the
+    * smallest depth whose recall clears the ≥0.85 band at BOTH ends —
+    * and the qerr descent is already inside the diminishing-returns
+    * knee there (0.454 → 0.375 → 0.356: −17.4% then −5.1%; a third
+    * step buys <5% error and no measured recall). Training cost is
+    * linear in iters and BUILD-time only; callers with a measured
+    * recall target pass `iters` explicitly, exactly like `shortlist`
+    * and `nprobe`. */
+  val LloydIters = 2
+
   private def pqLloydStep(corpus: DataFrame,
       cb: Seq[(Int, Int, Array[Double], Double)])
       : Seq[(Int, Int, Array[Double], Double)] = {
@@ -209,7 +224,7 @@ object Pq {
     * BUILD time; query cost is unchanged. Measured recall gain at
     * equal M in SCALING.md (PqKmeansProbe). */
   def pqTopKKmeans(corpus: DataFrame, queries: DataFrame, k: Int,
-      iters: Int = 1, shortlist: Int = 0): DataFrame = {
+      iters: Int = LloydIters, shortlist: Int = 0): DataFrame = {
     val cb = codebooksIter(corpus, iters)
     val codes = encode(corpus, cb)
     val pairs = codes.join(broadcast(withQdTables(queries, cb)),
@@ -610,8 +625,17 @@ object Pq {
          |  FROM codes_$r c JOIN $src e ON e.vec_id = c.vid,
          |       generate_series(1, $subDim) AS t(j)
          |  GROUP BY c.m, c.code, t.j),
-         |cbt_$r AS (SELECT m, code, list(mu ORDER BY j) AS se
+         |cbt_$r AS MATERIALIZED (SELECT m, code, list(mu ORDER BY j) AS se
          |           FROM csum_$r GROUP BY m, code)""".stripMargin
+      // MATERIALIZED is load-bearing, not a hint: every round's encode
+      // fans out 16 UNION branches referencing the previous round's
+      // books, and DuckDB's default CTE inlining would duplicate the
+      // whole prior-round subtree at each site — 16^iters scans of the
+      // base table (measured: fd exhaustion at iters=2). Materializing
+      // the K×M-row codebook at each round boundary caps the plan at
+      // one prior-round evaluation; the relation is literal-sized, so
+      // the barrier costs nothing. (DuckDB-only text — the Spark side
+      // trains via codebooksIter, never parses this.)
     }.mkString
     val fin = s"cbt_$iters"
     val codeBranches = (0 until M).map { m =>
@@ -626,7 +650,7 @@ object Pq {
          |  FROM q JOIN $fin s ON s.m = $m""".stripMargin
     }.mkString("\n  UNION ALL\n")
     s"""WITH st AS (SELECT CAST(GREATEST(COUNT(*) // $K, 1) AS BIGINT) AS stride FROM $src),
-       |cb AS (SELECT CAST(vec_id // (SELECT stride FROM st) AS INTEGER) AS code,
+       |cb AS MATERIALIZED (SELECT CAST(vec_id // (SELECT stride FROM st) AS INTEGER) AS code,
        |              embedding AS se
        |       FROM $src
        |       WHERE vec_id % (SELECT stride FROM st) = 0

@@ -860,17 +860,22 @@ object NorthStar {
   }
 
   /** q88d: PQ/ADC with K-MEANS-trained subspace codebooks (round-17
-    * verdict item 7) — the strided seed books refined by one fixed
-    * exact-arithmetic Lloyd step per subspace
+    * verdict item 7) — the strided seed books refined by fixed
+    * exact-arithmetic Lloyd steps per subspace
     * ([[graft.ops.Pq.codebooksIter]]); the whole training loop unrolls
     * into oracle CTEs exactly like q42f's quantizer, so the trained
     * pipeline hash-checks end-to-end. Query-time cost identical to
-    * q88; recall gain at equal M measured in SCALING.md. */
+    * q88. The depth is the DERIVED operating point
+    * ([[graft.ops.Pq.LloydIters]] = 2 — the smallest depth whose
+    * measured recall clears the ≥0.85 band at both ends of the 1×/10×
+    * decade, with qerr descent inside the diminishing-returns knee;
+    * the `nprobeFor` discipline applied to the training dial,
+    * round-18 verdict item 5). */
   val q88d = QueryDef("q88d_similarity_pq_kmeans",
-    Pq.pqKmeansSql(k = 5, iters = 1)) { (s, dir) =>
+    Pq.pqKmeansSql(k = 5, iters = Pq.LloydIters)) { (s, dir) =>
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
-    Pq.pqTopKKmeans(emb, emb.filter($"vec_id" % 100 === 0), k = 5, iters = 1)
+    Pq.pqTopKKmeans(emb, emb.filter($"vec_id" % 100 === 0), k = 5)
       .orderBy("qid", "rk")
   }
 
@@ -1646,6 +1651,70 @@ object NorthStar {
       .orderBy("media_id")
   }
 
+  /** q44e: perceptual-hash IMAGE near-dup — the multimodal twin of
+    * q41c, composing the two mature families (round-18 verdict item
+    * 4): dHash over [[graft.ops.Multimodal.dHash64]]'s decoded-raster
+    * luma grid, then q41c's exact machinery —
+    * [[graft.ops.Dedup.simHashNearDups]]' 16-bit-chunk Hamming
+    * blocking + bit_count verify. The fixture pairs each
+    * doc_id%4==0 image with a variant produced by a REAL binary
+    * transform ([[graft.ops.Multimodal.brightenPpm]] — parse, clamp-add
+    * +40 to every raster byte, re-emit): brightness shifts cancel in
+    * dHash's neighbor comparisons except at clamp sites, so variants
+    * land a few bits from their base (matched) while distinct images'
+    * quadratic textures give independent hashes (unmatched) — the spec
+    * pins both. Every step is integer-exact; the oracle re-derives the
+    * sampled-grid lumas from the texture arithmetic and replays
+    * hash→block→verify, so the whole pipeline hash-checks like q41c.
+    * Scale shape: decode+hash is a pure map (the justified
+    * mapPartitions, as q44c); blocking fans out 4 rows/image; verify
+    * is candidate-bounded — no pairwise image comparison anywhere. */
+  val q44e = QueryDef("q44e_multimodal_phash_neardup",
+    """WITH m AS (
+      |  SELECT doc_id AS mid, doc_id AS id, 0 AS delta,
+      |         16 + doc_id % 17 AS w, 12 + doc_id % 13 AS h FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, doc_id, 40, 16 + doc_id % 17, 12 + doc_id % 13
+      |  FROM documents WHERE doc_id % 4 = 0),
+      |g AS (SELECT mid, id, delta, gx, gy,
+      |        gx * (w - 1) // 8 AS px, gy * (h - 1) // 7 AS py
+      |      FROM m, UNNEST(generate_series(0, 8)) AS t1(gx),
+      |              UNNEST(generate_series(0, 7)) AS t2(gy)),
+      |lum AS (SELECT mid, gx, gy,
+      |    (299 * LEAST(((id + 31 * px + 17 * py) * (id + 31 * px + 17 * py)) % 256 + delta, 255)
+      |   + 587 * LEAST(((id * 3 + 29 * px + 19 * py) * (id * 3 + 29 * px + 19 * py)) % 256 + delta, 255)
+      |   + 114 * LEAST(((id * 5 + 23 * px + 37 * py) * (id * 5 + 23 * px + 37 * py)) % 256 + delta, 255)) // 1000 AS l
+      |  FROM g),
+      |bits AS (SELECT a.mid, a.gy * 8 + a.gx AS b,
+      |           CASE WHEN a.l < c.l THEN 1 ELSE 0 END AS v
+      |         FROM lum a JOIN lum c ON c.mid = a.mid AND c.gy = a.gy
+      |           AND c.gx = a.gx + 1
+      |         WHERE a.gx < 8),
+      |ph AS (SELECT mid, CAST(SUM(CASE WHEN v = 0 THEN 0
+      |          WHEN b = 63 THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+      |          ELSE (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) END) AS BIGINT) AS phash
+      |       FROM bits GROUP BY mid),
+      |chunks AS (SELECT mid, phash, c.chunk,
+      |             (phash >> (c.chunk * 16)) & 65535 AS ckey
+      |           FROM ph, (SELECT UNNEST([0, 1, 2, 3]) AS chunk) c),
+      |cand AS (SELECT DISTINCT a.mid AS doc_a, b.mid AS doc_b,
+      |            a.phash AS ha, b.phash AS hb
+      |         FROM chunks a JOIN chunks b
+      |           ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.mid < b.mid)
+      |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS dist
+      |FROM cand WHERE bit_count(xor(ha, hb)) <= 12
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val base = Multimodal.fromDocumentsPpmTextured(s, Tables.documents(s, dir))
+    val variants = base.filter(col("media_id") % 4 === 0)
+      .map(r => Multimodal.MediaRow(r.media_id + 1000000L, r.kind,
+        Multimodal.brightenPpm(r.payload, 40)))
+    Dedup.simHashNearDups(
+      Multimodal.perceptualHashes(base.unionByName(variants)),
+      maxHamming = 12)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Hard-negative mining (q100): per query, the 3 most-similar
     * WRONG-label vectors — the contrastive-training data op (DPR/
     * SBERT triplet mining; random negatives teach nothing, the
@@ -1738,6 +1807,6 @@ object NorthStar {
 
   val defs: Seq[QueryDef] = Seq(q41a, q41h, q41i, q41b, q41c, q41d, q41e, q41f, q41g,
     q41j, q41k, q41l, q41m, q41n, q41o, q42, q42b, q42c, q42d, q42e, q42f, q42g, q42h, q74, q43a, q43b, q43c, q43d, q43e, q43f,
-    q43g, q43h, q43i, q43j, q44, q44b, q44c, q44d, q81, q83, q88, q88b, q88c, q88d,
+    q43g, q43h, q43i, q43j, q44, q44b, q44c, q44d, q44e, q81, q83, q88, q88b, q88c, q88d,
     q91, q92, q97, q97b, q100, q100b)
 }

@@ -86,4 +86,54 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.decodeWav(9L, base.dropRight(6))
     }
   }
+  test("brightenPpm is a real raster transform: header preserved, bytes clamp-added") {
+    val img = Multimodal.encodePpmTextured(5L, 20, 15)
+    val bright = Multimodal.brightenPpm(img, 40)
+    val f0 = Multimodal.decodePpm(5L, img)
+    val f1 = Multimodal.decodePpm(5L, bright)
+    assert(f1.width == f0.width && f1.height == f0.height)
+    // every channel sum rises by ≤ 40·pixels, with equality only if no
+    // byte clamped; this fixture clamps some (values near 255 exist)
+    val px = f0.width.toLong * f0.height
+    assert(f1.r_sum > f0.r_sum && f1.r_sum <= f0.r_sum + 40 * px)
+    assert(f1.g_sum > f0.g_sum && f1.g_sum <= f0.g_sum + 40 * px)
+    // byte-level law on the raster: out = min(in + 40, 255)
+    val header = s"P6\n20 15\n255\n".length
+    (header until img.length).foreach { i =>
+      assert((bright(i) & 0xFF) == math.min((img(i) & 0xFF) + 40, 255))
+    }
+  }
+
+  test("dHash: brightness shift stays within a few bits; distinct images are far") {
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val a = Multimodal.dHash64(Multimodal.encodePpmTextured(12L, 24, 18))
+    val aBright = Multimodal.dHash64(
+      Multimodal.brightenPpm(Multimodal.encodePpmTextured(12L, 24, 18), 40))
+    assert(ham(a, aBright) <= 6,
+      s"brightness variant drifted ${ham(a, aBright)} bits")
+    // distinct ids under the quadratic texture: independent-looking
+    // hashes — far outside the match threshold for this pinned pair
+    val b = Multimodal.dHash64(Multimodal.encodePpmTextured(13L, 24, 18))
+    assert(ham(a, b) > 12, s"distinct images only ${ham(a, b)} bits apart")
+  }
+
+  test("perceptual near-dup pipeline: variant matched to its base, distinct pair unmatched") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id").limit(40)
+    val base = Multimodal.fromDocumentsPpmTextured(spark, docs)
+    val variants = base.filter($"media_id" % 4 === 0)
+      .map(r => MediaRow(r.media_id + 1000000L, r.kind,
+        Multimodal.brightenPpm(r.payload, 40)))
+    val pairs = graft.ops.Dedup.simHashNearDups(
+      Multimodal.perceptualHashes(base.unionByName(variants)), maxHamming = 12)
+      .as[(Long, Long, Int)].collect()
+    val expected = variants.select("media_id").as[Long].collect()
+      .map(v => (v - 1000000L, v)).toSet
+    assert(expected.nonEmpty)
+    val got = pairs.map(p => (p._1, p._2)).toSet
+    assert(expected.subsetOf(got),
+      s"missing variant-base pairs: ${expected.diff(got)}")
+    assert(got == expected,
+      s"unexpected cross-image matches: ${got.diff(expected)}")
+  }
 }
