@@ -31,9 +31,15 @@ import org.apache.spark.sql.functions._
   */
 object ShingleIndex {
 
-  /** Build the artifact from `corpus` and write it under `path`. */
+  /** Build the artifact from `corpus` and write it under `path`.
+    * Completion is recorded by an artifact-OWNED `_BUILT` marker, not
+    * the committer's optional `_SUCCESS` files (round-18 advice: with
+    * `mapreduce.fileoutputcommitter.marksuccessfuljobs=false` — common
+    * on object stores — `_SUCCESS` never appears and a gate keyed on
+    * it would rebuild on every call). */
   def save(corpus: DataFrame, idCol: String, textCol: String, k: Int,
       path: String): Unit = {
+    val spark = corpus.sparkSession
     val shE = Dedup.wordShingles(Dedup.spreadToCores(corpus), idCol,
         textCol, k)
       .select(col("doc"), xxhash64(col("shingle")).as("sh"))
@@ -42,93 +48,178 @@ object ShingleIndex {
     shE.groupBy("sh").agg(count(lit(1)).as("ce"))
       .write.mode("overwrite").parquet(s"$path/df")
     graft.CheckpointJanitor.dropNow(shE)
+    touch(spark, s"$path/_BUILT")
   }
 
-  /** Lazy readers over a saved artifact. Heals an interrupted
-    * [[append]] df swap first: if the rollup dir is missing but a
-    * committed `df_next` exists, the crash happened between the swap's
-    * delete and rename — `df_next` is complete by construction (it
-    * commits BEFORE the delete), so finishing the rename restores the
-    * artifact instead of failing on a missing path. */
+  private def touch(spark: SparkSession, p: String): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hadoopFs(spark, hp).create(hp, true).close()
+  }
+
+  /** Lazy readers over a saved artifact. Heals a crashed [[append]]
+    * first — from the append's own staged delta and markers, so a
+    * reader never sees the shingle relation ahead of the df rollup
+    * (stale-low df is NOT merely conservative: it reorders the
+    * fallback generator's (df, shingle) ranking and can MISS matches,
+    * not only admit extra candidates — round-18 advice). */
   def load(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
-    healDfSwap(spark, path)
+    healPending(spark, path)
     (spark.read.parquet(s"$path/shingles"),
       spark.read.parquet(s"$path/df"))
   }
 
-  private def healDfSwap(spark: SparkSession, path: String): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val df = new org.apache.hadoop.fs.Path(s"$path/df")
-    val next = new org.apache.hadoop.fs.Path(s"$path/df_next")
-    if (!fs.exists(new org.apache.hadoop.fs.Path(df, "_SUCCESS")) &&
-        fs.exists(new org.apache.hadoop.fs.Path(next, "_SUCCESS"))) {
-      fs.delete(df, true) // clear any uncommitted debris
-      require(fs.rename(next, df), s"df rollup swap recovery failed under $path")
-    }
-  }
-
   /** Delta maintenance — fold `newDocs` (e.g. the docs a probe just
     * ACCEPTED into the corpus) into a saved artifact: their (doc, sh)
-    * rows append to the shingle relation, and the df rollup merges by
-    * sum (counts are additive — df counts distinct (doc, sh) rows and
-    * the new doc ids are new). One shingling pass over the DELTA, a
+    * rows join the shingle relation, and the df rollup merges by sum
+    * (counts are additive — df counts distinct (doc, sh) rows and the
+    * new doc ids are new). One shingling pass over the DELTA, a
     * rollup-sized merge, zero corpus re-reads of text: the maintenance
     * cost a 100 TB deployment pays per accepted batch.
     *
-    * The df merge lands via write-new + directory swap (the rollup is
-    * read while being replaced, so in-place overwrite would corrupt
-    * it); a crash inside the swap's delete→rename window is healed on
-    * the next [[load]] (`df_next` commits before the delete, so
-    * finishing the rename restores it). The two RELATIONS still do not
-    * update atomically: a crash between the shingle append and the df
-    * swap leaves counts behind the shingle rows (blocking then sees
-    * slightly-low df — conservative, more candidates, same verdicts'
-    * correctness envelope — and the gap persists until a rebuild). A
-    * production deployment wraps both writes in the q46 stage-and-swap
-    * generation pattern or a transactional table format;
-    * ShingleIndexSpec pins append ≡ rebuild-from-union on the happy
-    * path and the swap-crash recovery.
+    * Crash protocol (round-18 advice closed — the old two-commit form
+    * was un-retryable and could leave df behind the shingle rows until
+    * a rebuild). The delta commits to `delta_<T>` FIRST (T = a hash of
+    * the delta's doc-id set, so a retry of the same accept derives the
+    * same token), then a `pending_<T>` marker makes the append
+    * resumable; from that point [[finishAppend]] is deterministic and
+    * idempotent — token-prefixed FILE MOVES splice the staged delta
+    * into the shingle relation (a re-run skips moves already made),
+    * the merged df writes to `df_next` with an `_APPLIED_<T>` sentinel
+    * riding INSIDE the directory and an artifact-owned
+    * `df_next_COMMITTED` marker, and the swap finishes delete→rename.
+    * A crash at ANY instant heals on the next [[load]] or [[append]]
+    * ([[healPending]] re-drives `finishAppend` from the staged delta;
+    * the sentinel inside df tells a healed swap from an un-merged df,
+    * so the merge never double-applies). The two relations can still
+    * be observed mid-append by a CONCURRENT reader (single-writer,
+    * non-snapshot — the price of the flat layout); readers that need
+    * old-XOR-new isolation use the LSM layout (q41o), whose pointer
+    * swap is the q46 generation pattern.
     *
     * `newDocs` ids must be NEW — re-appending a doc would silently
     * double its (doc, sh) rows and df counts, corrupting Jaccard
     * verdicts — so overlap fails fast. The guard costs one doc-column
-    * pass over the artifact (column-pruned parquet read); a deployment
-    * that tracks accepted ids elsewhere can pre-screen instead. */
+    * pass over the artifact (column-pruned parquet read) and runs
+    * AFTER healing, so a crashed self-append can never masquerade as a
+    * double-append. */
   def append(spark: SparkSession, newDocs: DataFrame, idCol: String,
       textCol: String, k: Int, path: String): Unit = {
+    healPending(spark, path) // finish any crashed append first
     val shA = Dedup.wordShingles(Dedup.spreadToCores(newDocs), idCol,
         textCol, k)
       .select(col("doc"), xxhash64(col("shingle")).as("sh"))
       .transform(graft.Staging.stage)
+    val ids = shA.select("doc").distinct()
     val dup = spark.read.parquet(s"$path/shingles").select("doc")
-      .join(shA.select("doc").distinct(), Seq("doc"), "left_semi")
+      .join(ids, Seq("doc"), "left_semi")
       .limit(1).count()
     require(dup == 0L,
       s"append would double-count: newDocs contains doc ids already in $path")
-    shA.write.mode("append").parquet(s"$path/shingles")
-    val merged = spark.read.parquet(s"$path/df")
-      .join(shA.groupBy("sh").agg(count(lit(1)).as("ca")),
-        Seq("sh"), "full_outer")
-      .select(col("sh"),
-        (coalesce(col("ce"), lit(0L)) + coalesce(col("ca"), lit(0L))).as("ce"))
-    merged.write.mode("overwrite").parquet(s"$path/df_next")
+    // deterministic token from the delta's id set (order-independent
+    // XOR fold — a plain sum overflows int64 under ANSI): a retried
+    // accept of the same batch stages to the same dirs and heals as
+    // itself
+    val idFold = ids.agg(bit_xor(xxhash64(col("doc")))).head()
+    if (idFold.isNullAt(0)) { // empty delta — nothing to fold in
+      graft.CheckpointJanitor.dropNow(shA)
+      return
+    }
+    val token = java.lang.Long.toHexString(idFold.getLong(0))
+    shA.write.mode("overwrite").parquet(s"$path/delta_$token")
     graft.CheckpointJanitor.dropNow(shA)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/df"), true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/df_next"),
-      new org.apache.hadoop.fs.Path(s"$path/df")),
-      s"df rollup swap failed under $path")
+    touch(spark, s"$path/pending_$token")
+    finishAppend(spark, path, token)
+  }
+
+  /** The resumable tail of [[append]] — every step idempotent, driven
+    * from the committed `delta_<token>` dir alone. */
+  private def finishAppend(spark: SparkSession, path: String,
+      token: String): Unit = {
+    val fs = hadoopFs(spark, new org.apache.hadoop.fs.Path(path))
+    val applied = new org.apache.hadoop.fs.Path(s"$path/df/_APPLIED_$token")
+    if (!fs.exists(applied)) {
+      // 1. splice the staged delta into the shingle relation by FILE
+      // MOVE under token-prefixed names — re-runs skip moved files
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/delta_$token"))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .foreach { st =>
+          val dst = new org.apache.hadoop.fs.Path(
+            s"$path/shingles/$token-${st.getPath.getName}")
+          if (!fs.exists(dst))
+            require(fs.rename(st.getPath, dst),
+              s"delta splice failed: ${st.getPath} -> $dst")
+        }
+      // 2. merged rollup → df_next (+ the applied sentinel riding
+      // inside, so a completed swap is self-describing), then the
+      // committed marker gating the swap
+      val committed = new org.apache.hadoop.fs.Path(
+        s"$path/df_next_COMMITTED")
+      if (!fs.exists(committed)) {
+        val delta = spark.read.parquet(s"$path/shingles/$token-*.parquet")
+        spark.read.parquet(s"$path/df")
+          .join(delta.groupBy("sh").agg(count(lit(1)).as("ca")),
+            Seq("sh"), "full_outer")
+          .select(col("sh"),
+            (coalesce(col("ce"), lit(0L)) + coalesce(col("ca"), lit(0L))).as("ce"))
+          .write.mode("overwrite").parquet(s"$path/df_next")
+        touch(spark, s"$path/df_next/_APPLIED_$token")
+        touch(spark, s"$path/df_next_COMMITTED")
+      }
+      // 3. swap: delete old, rename — healable because df_next is
+      // complete (the marker precedes the delete)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/df"), true)
+      require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/df_next"),
+        new org.apache.hadoop.fs.Path(s"$path/df")),
+        s"df rollup swap failed under $path")
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/df_next_COMMITTED"), false)
+    }
+    // 4. cleanup — marker first, so a crash here leaves only an
+    // unreferenced delta dir (GC'd by the next heal). The committed
+    // marker may survive a crash after the rename — sweep it too.
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/df_next_COMMITTED"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/pending_$token"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/delta_$token"), true)
+  }
+
+  /** Finish a crashed [[append]], whatever instant it died at. Keyed
+    * entirely on artifact-owned markers (never the committer's
+    * `_SUCCESS`). Also sweeps unreferenced `delta_*` staging debris. */
+  private def healPending(spark: SparkSession, path: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopFs(spark, root)
+    if (!fs.exists(root)) return
+    val names = fs.listStatus(root).map(_.getPath.getName)
+    val pending = names.filter(_.startsWith("pending_"))
+      .map(_.stripPrefix("pending_"))
+    pending.foreach { token =>
+      // a committed-but-unrenamed df_next may hold the only complete
+      // rollup (the crash window between delete and rename): restore it
+      // before re-driving the tail
+      val committed = new org.apache.hadoop.fs.Path(s"$path/df_next_COMMITTED")
+      val df = new org.apache.hadoop.fs.Path(s"$path/df")
+      if (fs.exists(committed) && !fs.exists(df)) {
+        require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/df_next"), df),
+          s"df rollup swap recovery failed under $path")
+        fs.delete(committed, false)
+      }
+      finishAppend(spark, path, token)
+    }
+    // staging dirs whose pending marker is gone are completed appends
+    // that crashed mid-cleanup — plain debris
+    names.filter(_.startsWith("delta_"))
+      .map(_.stripPrefix("delta_"))
+      .filterNot(pending.contains)
+      .foreach(t => fs.delete(new org.apache.hadoop.fs.Path(s"$path/delta_$t"), true))
   }
 
   /** Load `path` when it already holds the artifact, else build from
-    * `corpus` and save. The check reads only the path listing. */
+    * `corpus` and save. Gated on the artifact-owned `_BUILT` marker
+    * (see [[save]]), never the committer's `_SUCCESS`. */
   def buildOrLoad(spark: SparkSession, corpus: DataFrame, idCol: String,
       textCol: String, k: Int, path: String): (DataFrame, DataFrame) = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/df")
+    val p = new org.apache.hadoop.fs.Path(s"$path/_BUILT")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+    if (!fs.exists(p))
       save(corpus, idCol, textCol, k, path)
     load(spark, path)
   }

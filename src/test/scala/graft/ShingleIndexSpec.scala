@@ -77,22 +77,67 @@ class ShingleIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("double-count"))
   }
 
-  test("load heals a df swap interrupted between delete and rename") {
+  test("load heals an append crashed right after staging (delta + pending only)") {
+    // the EARLIEST resumable crash point: delta_<T> committed,
+    // pending_<T> marker down, nothing spliced or merged yet — load
+    // must finish the whole append from the staged delta alone
     val dir = java.nio.file.Files.createTempDirectory("graft_shheal").toString
     ShingleIndex.save(corpus, "doc_id", "text", 2, s"$dir/index")
-    val (_, dfBefore) = ShingleIndex.load(spark, s"$dir/index")
-    val expect = dfBefore.collect().toSet
-    // simulate the crash window: a COMMITTED df_next exists, df deleted
+    val delta = batch.limit(40)
+    // stage exactly what append() stages, then "crash"
+    val shA = graft.ops.Dedup.wordShingles(delta, "doc_id", "text", 2)
+      .select(col("doc"), xxhash64(col("shingle")).as("sh"))
+    val token = java.lang.Long.toHexString(
+      shA.select("doc").distinct()
+        .agg(bit_xor(xxhash64(col("doc")))).head().getLong(0))
+    shA.write.mode("overwrite").parquet(s"$dir/index/delta_$token")
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    spark.read.parquet(s"$dir/index/df")
-      .write.mode("overwrite").parquet(s"$dir/index/df_next")
-    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/index/df"), true)
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/index/pending_$token"), true).close()
+    // load heals: shingles spliced, df merged + swapped, markers gone
+    val (shH, dfH) = ShingleIndex.load(spark, s"$dir/index")
+    ShingleIndex.save(corpus.unionByName(delta), "doc_id", "text", 2,
+      s"$dir/rebuilt")
+    val (shR, dfR) = ShingleIndex.load(spark, s"$dir/rebuilt")
+    assert(shH.exceptAll(shR).isEmpty && shR.exceptAll(shH).isEmpty,
+      "healed shingle relation diverges from a rebuild")
+    assert(dfH.select("sh", "ce").exceptAll(dfR).isEmpty &&
+      dfR.exceptAll(dfH.select("sh", "ce")).isEmpty,
+      "healed df rollup diverges from a rebuild")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/index/pending_$token")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$dir/index/delta_$token")),
+      "heal must clear the append markers")
+  }
+
+  test("a crashed swap window heals, and a healed append never double-applies") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shheal2").toString
+    ShingleIndex.save(corpus, "doc_id", "text", 2, s"$dir/index")
+    val delta = batch.limit(40)
+    ShingleIndex.append(spark, delta, "doc_id", "text", 2, s"$dir/index")
+    val expect = ShingleIndex.load(spark, s"$dir/index")._2.collect().toSet
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a crash BEFORE the cleanup step: re-create the pending
+    // marker + a stale staged delta for the same token — the heal must
+    // see the _APPLIED sentinel in df and only clean up, NOT re-merge
+    val token = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/index/df"))
+      .map(_.getPath.getName).find(_.startsWith("_APPLIED_")).get
+      .stripPrefix("_APPLIED_")
+    spark.read.parquet(s"$dir/index/shingles/$token-*.parquet")
+      .write.mode("overwrite").parquet(s"$dir/index/delta_$token")
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/index/pending_$token"), true).close()
     val (_, dfHealed) = ShingleIndex.load(spark, s"$dir/index")
     assert(dfHealed.collect().toSet === expect,
-      "healed rollup must hold the committed df_next rows")
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/index/df_next")),
-      "recovery must complete the rename, not copy")
+      "a healed already-applied append must not merge the delta twice")
+    // and the RETRY path through append() itself is also a no-op heal:
+    // same delta again → heal clears the marker, then the dup guard
+    // correctly rejects it as a genuine double-append
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/index/pending_$token"), true).close()
+    val e = intercept[IllegalArgumentException] {
+      ShingleIndex.append(spark, delta, "doc_id", "text", 2, s"$dir/index")
+    }
+    assert(e.getMessage.contains("double-count"))
+    assert(ShingleIndex.load(spark, s"$dir/index")._2.collect().toSet === expect)
   }
 
   test("lifecycle: a copy of an ACCEPTED doc matches only after the append") {
