@@ -82,6 +82,7 @@ object Explains {
     // round 19: LSM bucketed artifact, IVF retrain cadence,
     // perceptual-hash image near-dup
     "q41o_dedup_incremental_neardup_lsm",
+    "q41p_dedup_incremental_neardup_compacted",
     "q42h_similarity_ivf_retrain",
     "q44e_multimodal_phash_neardup")
 
@@ -144,6 +145,16 @@ object Explains {
         |append that produced segment 2 committed shingles AND df with
         |one atomic pointer swap; its cost is delta-sized
         |(ShingleBucketProbe: flat 0.05 MiB shuffle at 10x corpus).""".stripMargin,
+    "q41p_dedup_incremental_neardup_compacted" ->
+      """The post-compaction probe: q41o's plan family collapsed back to
+        |ONE segment — compactLsm folded the base+delta segment pairs
+        |into a single bucketed pair (one corpus-sized rewrite, committed
+        |by the same atomic pointer swap) so the per-segment probe loop
+        |degenerates to q41m's single-artifact shape. Identical verdicts
+        |to the 2-segment probe (LsmShingleSpec pins invariance; the
+        |oracle is q41n's text unchanged) — what compaction buys is the
+        |PLAN: half the probe joins, half the candidate-fetch scans,
+        |after arbitrarily many appends.""".stripMargin,
     "q42h_similarity_ivf_retrain" ->
       """The post-retrain probe: identical plan family to q42e/q42g
         |(centroid literals + cell-partition-pruned assignment scan) —

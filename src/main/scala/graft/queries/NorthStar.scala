@@ -1342,6 +1342,49 @@ object NorthStar {
         .orderBy("batch_id"))
   }
 
+  /** q41p: the LSM lifecycle's COMPACTION step as a first-class entry —
+    * q41o's probe → accept → append, then [[graft.ops.ShingleIndex
+    * .compactLsm]] folds the segments back into one (the LSM trade: one
+    * corpus-sized rewrite on the deployment's cadence buys back
+    * single-segment probe plans after many delta appends), committed by
+    * the same atomic pointer swap, and batch2 probes the COMPACTED
+    * generation. Compaction changes the at-rest layout, never the
+    * verdicts (LsmShingleSpec pins probe invariance), so the oracle is
+    * q41n's text unchanged — the strongest pin that the rewrite loses
+    * nothing. */
+  private val lsmCompactScratch =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  val q41p = QueryDef("q41p_dedup_incremental_neardup_compacted",
+    q41nSql) { (s, dir) =>
+    import graft.ops.ShingleIndex
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    val base = ShingleIndex.tableFor("shlsmc", dir)
+    def hinted(root: String) = {
+      val (segs, dfE) = ShingleIndex.loadLsm(s, root)
+      (segs.map { case (sh, doc) => (sh.hint("merge"), doc.hint("merge")) },
+        dfE.hint("merge"))
+    }
+    val scratch = buildOnceScratch(lsmCompactScratch, dir, "graft_shlsmc") { p =>
+      ShingleIndex.saveLsm(s, d, "doc_id", "text", 2, p, base)
+      val (segs1, dfE1) = hinted(p)
+      val b1 = nearDupBatch(s, dir)
+      val v1 = Dedup.incrementalNearDupSegmented(segs1, dfE1, b1,
+        "doc_id", "text", k = 2, maxDf = 20, threshold = 0.2)
+      val accepted = b1.join(
+        v1.filter(col("matched") === 0)
+          .select(col("batch_id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      ShingleIndex.appendLsm(s, accepted, "doc_id", "text", 2, p, base)
+      graft.CheckpointJanitor.dropNow(v1)
+      ShingleIndex.compactLsm(s, p, base)
+    }
+    val (segs2, dfE2) = hinted(scratch)
+    graft.CheckpointJanitor.evictAfterConsumption(
+      Dedup.incrementalNearDupSegmented(segs2, dfE2, nearDupBatch2(s, dir),
+        "doc_id", "text", k = 2, maxDf = 20, threshold = 0.2)
+        .orderBy("batch_id"))
+  }
+
   /** Corpus-trained unigram-LM quality scoring (q43h): P(w) from one
     * token pass, each doc scored by mean token log-prob + per-token
     * perplexity — the cheap stand-in for an LM quality filter, trained
@@ -1806,7 +1849,7 @@ object NorthStar {
   }
 
   val defs: Seq[QueryDef] = Seq(q41a, q41h, q41i, q41b, q41c, q41d, q41e, q41f, q41g,
-    q41j, q41k, q41l, q41m, q41n, q41o, q42, q42b, q42c, q42d, q42e, q42f, q42g, q42h, q74, q43a, q43b, q43c, q43d, q43e, q43f,
+    q41j, q41k, q41l, q41m, q41n, q41o, q41p, q42, q42b, q42c, q42d, q42e, q42f, q42g, q42h, q74, q43a, q43b, q43c, q43d, q43e, q43f,
     q43g, q43h, q43i, q43j, q44, q44b, q44c, q44d, q44e, q81, q83, q88, q88b, q88c, q88d,
     q91, q92, q97, q97b, q100, q100b)
 }
