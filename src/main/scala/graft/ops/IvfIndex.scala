@@ -20,7 +20,12 @@ import org.apache.spark.sql.{Row, SparkSession}
 object IvfIndex {
 
   /** Write centroids (the [[Similarity.ivfCentroids]] result shape) as
-    * one small parquet file. Overwrites `path`. */
+    * one small parquet file. Overwrites `path`. Completion is recorded
+    * by an artifact-owned `_BUILT` marker (the ShingleIndex discipline,
+    * round-18 advice): the committer's `_SUCCESS` files are OPTIONAL —
+    * `mapreduce.fileoutputcommitter.marksuccessfuljobs=false` is common
+    * on object stores, and a load gate keyed on them would rebuild the
+    * index on every call there. */
   def save(spark: SparkSession, cents: Seq[(Int, Array[Double], Double)],
       path: String): Unit = {
     import spark.implicits._
@@ -28,6 +33,18 @@ object IvfIndex {
     cents.map { case (cell, v, n) => (cell, v.toSeq, n) }
       .toDF("cell", "centroid", "norm_sq")
       .coalesce(1).write.mode("overwrite").parquet(path)
+    touch(spark, s"$path/_BUILT")
+  }
+
+  private def touch(spark: SparkSession, p: String): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(hp, true).close()
+  }
+
+  private def marked(spark: SparkSession, p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
   }
 
   /** Load a saved index. Bounded driver collect — `cells` rows, the
@@ -44,13 +61,11 @@ object IvfIndex {
     * path listing, not the data. */
   def buildOrLoad(spark: SparkSession, corpus: org.apache.spark.sql.DataFrame,
       cells: Int, path: String): Seq[(Int, Array[Double], Double)] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // gate on the commit marker too (same reasoning as the assignment
-    // load below — a torn single-file write is unlikely but free to
-    // exclude)
-    if (fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) &&
-        fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
+    // gate on the artifact-owned marker ([[save]] writes it AFTER the
+    // parquet job returns, so it is completion evidence even where the
+    // committer's _SUCCESS files are disabled); a torn/partial write
+    // never carries the marker and rebuilds (mode=overwrite clears it)
+    if (marked(spark, s"$path/_BUILT"))
       load(spark, path)
     else {
       val cents = Similarity.ivfCentroids(corpus, cells)
@@ -71,9 +86,16 @@ object IvfIndex {
     * byte-identical to the inline build — IvfIndexSpec). */
   def saveAssignments(spark: SparkSession,
       corpus: org.apache.spark.sql.DataFrame,
-      cents: Seq[(Int, Array[Double], Double)], path: String): Unit =
+      cents: Seq[(Int, Array[Double], Double)], path: String): Unit = {
     Similarity.assignedCorpus(corpus, cents)
       .write.mode("overwrite").partitionBy("cell").parquet(path)
+    // artifact-owned completion marker, written after the job returns:
+    // a crash mid-commit leaves a SUBSET of cell partitions (the
+    // round-13 torn-write hazard) with NO marker, so the load gate
+    // rebuilds — and unlike _SUCCESS the marker appears even under
+    // marksuccessfuljobs=false
+    touch(spark, s"$path/_BUILT")
+  }
 
   /** Read a persisted assignment back — lazy; filters on `cell` prune
     * to the matching partition directories. */
@@ -102,9 +124,7 @@ object IvfIndex {
     // occupy multiple ranks in ivfTopKProbed results, displacing
     // genuine neighbors — round-18 advice). The check is delta-sized:
     // a column-pruned vid read of only the cells the delta lands in.
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))) {
+    if (marked(spark, s"$path/_BUILT")) {
       val hitCells = a.select("cell").distinct().collect().map(_.getInt(0))
       val dup = loadAssignments(spark, path)
         .filter(col("cell").isin(hitCells.map(Int.box): _*))
@@ -126,16 +146,14 @@ object IvfIndex {
       corpus: org.apache.spark.sql.DataFrame, cells: Int, path: String)
       : (Seq[(Int, Array[Double], Double)], org.apache.spark.sql.DataFrame) = {
     val assignPath = s"$path.assign"
-    val p = new org.apache.hadoop.fs.Path(assignPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cents = buildOrLoad(spark, corpus, cells, path)
-    // the load gate is the JOB COMMIT MARKER, not "some cell= dir
-    // exists" (round-13 review): a crash mid-commit leaves a SUBSET of
-    // cell partitions that would load as a complete index forever —
-    // _SUCCESS only appears after every partition committed, so a
-    // partial write rebuilds (mode=overwrite clears the debris)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) ||
-        !fs.listStatus(p).exists(_.getPath.getName.startsWith("cell=")))
+    // the load gate is a COMPLETION marker, not "some cell= dir exists"
+    // (round-13 review): a crash mid-commit leaves a SUBSET of cell
+    // partitions that would load as a complete index forever — the
+    // artifact-owned _BUILT marker only appears after saveAssignments'
+    // job returned, so a partial write rebuilds (mode=overwrite clears
+    // the debris)
+    if (!marked(spark, s"$assignPath/_BUILT"))
       saveAssignments(spark, corpus, cents, assignPath)
     (cents, loadAssignments(spark, assignPath))
   }

@@ -102,12 +102,40 @@ object ShingleBucketProbe {
     val wallA = (System.nanoTime() - tA) / 1e9
     Thread.sleep(1000)
     println(f"[shbp] lsm-append         wall=$wallA%6.2fs shuffleWrite=${listener.bytes.get / 1048576.0}%8.2f MiB (fixed delta — corpus-size-independent by construction)")
-    val (segs, dfLsm) = graft.ops.ShingleIndex.loadLsm(spark, lsmRoot)
-    measure(s"lsm+smj seg=${segs.size}")(
-      graft.ops.Dedup.incrementalNearDupSegmented(
-        segs.map { case (sh, doc) => (sh.hint("merge"), doc.hint("merge")) },
-        dfLsm.hint("merge"), batch, "doc_id", "text",
-        k = 2, maxDf = 20, threshold = 0.2))
+    def probeLsm(): Unit = {
+      val (segs, dfLsm) = graft.ops.ShingleIndex.loadLsm(spark, lsmRoot)
+      measure(s"lsm+smj seg=${segs.size}")(
+        graft.ops.Dedup.incrementalNearDupSegmented(
+          segs.map { case (sh, doc) => (sh.hint("merge"), doc.hint("merge")) },
+          dfLsm.hint("merge"), batch, "doc_id", "text",
+          k = 2, maxDf = 20, threshold = 0.2))
+    }
+    probeLsm()
+
+    // segment-count law: probe cost grows with segment count (one
+    // probe-join pair per segment — the LSM read tax), and compaction
+    // resets it. Append three more disjoint novel deltas → 5 segments,
+    // probe, compact → 1 segment, probe again.
+    val moreDeltas = Seq(
+      ("aeiou", "eioua", 6000000L), ("aeiou", "iouae", 7000000L),
+      ("aeiou", "ouaei", 8000000L))
+    moreDeltas.foreach { case (from, to, off) =>
+      val d = graft.Tables.documents(spark, batchDir)
+        .filter($"doc_id" % 10 === 4)
+        .select(($"doc_id" + off).as("doc_id"),
+          translate($"text", from, to).as("text"))
+      graft.ops.ShingleIndex.appendLsm(spark, d, "doc_id", "text", 2,
+        lsmRoot, lsmBase)
+    }
+    probeLsm()
+    System.gc(); Thread.sleep(1000)
+    listener.bytes.set(0L)
+    val tC = System.nanoTime()
+    graft.ops.ShingleIndex.compactLsm(spark, lsmRoot, lsmBase)
+    val wallC = (System.nanoTime() - tC) / 1e9
+    Thread.sleep(1000)
+    println(f"[shbp] lsm-compact        wall=$wallC%6.2fs shuffleWrite=${listener.bytes.get / 1048576.0}%8.2f MiB (corpus-sized rewrite, paid once per cadence)")
+    probeLsm()
     spark.stop()
   }
 }
