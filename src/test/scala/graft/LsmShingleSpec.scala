@@ -110,6 +110,30 @@ class LsmShingleSpec extends SparkSpec {
       "compaction changed probe verdicts")
   }
 
+  test("a crash during compaction leaves the multi-segment generation intact — and the retry lands") {
+    val root = freshRoot("graft_lsm_cpcr")
+    ShingleIndex.saveLsm(spark, corpus, "doc_id", "text", 2, root, "lsmspec_cc")
+    val delta = batch.filter($"doc_id" >= 3000000L)
+    ShingleIndex.appendLsm(spark, delta, "doc_id", "text", 2, root, "lsmspec_cc")
+    val b2 = delta.select(($"doc_id" + 1000000L).as("doc_id"),
+      concat(lit("copy "), $"text").as("text"))
+    val before = probe(root, b2).collect().toSeq.sortBy(_.getLong(0))
+    val boom = intercept[RuntimeException] {
+      ShingleIndex.compactLsm(spark, root, "lsmspec_cc", hook = stage =>
+        if (stage == "staged") throw new RuntimeException("tripped breaker"))
+    }
+    assert(boom.getMessage.contains("tripped"))
+    val m = ShingleIndex.currentManifest(spark, root).get
+    assert(m.gen === 2L && m.segments.size === 2,
+      "a crashed compaction must leave the live multi-segment generation")
+    assert(probe(root, b2).collect().toSeq.sortBy(_.getLong(0)) === before)
+    ShingleIndex.compactLsm(spark, root, "lsmspec_cc")
+    val m2 = ShingleIndex.currentManifest(spark, root).get
+    assert(m2.segments.size === 1, "the retried compaction must land")
+    assert(probe(root, b2).collect().toSeq.sortBy(_.getLong(0)) === before,
+      "retried compaction changed verdicts")
+  }
+
   test("every LSM segment's corpus sides probe without a corpus-side exchange") {
     val root = freshRoot("graft_lsm_plan")
     ShingleIndex.saveLsm(spark, corpus, "doc_id", "text", 2, root, "lsmspec_pl")
