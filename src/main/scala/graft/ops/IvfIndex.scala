@@ -98,27 +98,85 @@ object IvfIndex {
   }
 
   /** Read a persisted assignment back — lazy; filters on `cell` prune
-    * to the matching partition directories. */
-  def loadAssignments(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame =
+    * to the matching partition directories. Heals a crashed
+    * [[appendAssignments]] first, so a reader never serves a partial
+    * delta as complete (round-19 advice — the append-mode write under
+    * the pre-existing `_BUILT` marker reopened the torn-write hazard
+    * the marker closed for saves). */
+  def loadAssignments(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
+    healAppends(spark, path)
     spark.read.parquet(path)
+  }
+
+  /** The staged delta's sibling dir for one append token — OUTSIDE
+    * `path`, so a reader of the assignment never lists it. */
+  private def deltaDir(path: String, token: String): String =
+    s"$path.delta_$token"
 
   /** Delta maintenance (the Faiss `add` semantic): assign `delta`
     * under the FROZEN quantizer `cents` — per-vector argmax over the
-    * centroid literals, a pure map over the delta — and APPEND its
-    * rows to the cell-partitioned assignment. Per-arrival cost is
-    * delta-sized (one assignment map + a partitioned append); the
-    * corpus is never re-read and the quantizer never retrained, so
-    * recall drifts only as the data distribution does — a production
-    * deployment re-trains on its rebuild cadence and re-checks the
-    * recall SLA then (q42g exercises the grow-then-probe lifecycle;
-    * IvfIndexSpec pins appended state ≡ a from-scratch assignment of
-    * the union under the same centroids). */
+    * centroid literals, a pure map over the delta — and fold its rows
+    * into the cell-partitioned assignment. Per-arrival cost is
+    * delta-sized (one assignment map + a partitioned staged write +
+    * file moves); the corpus is never re-read and the quantizer never
+    * retrained, so recall drifts only as the data distribution does —
+    * [[needsRetrain]] watches the drift signal and the deployment
+    * runs [[retrain]] when it fires (q42g exercises the
+    * grow-then-probe lifecycle; IvfIndexSpec pins appended state ≡ a
+    * from-scratch assignment of the union under the same centroids).
+    *
+    * Crash protocol (round-19 advice closed — the old direct
+    * append-mode write landed under the save's pre-existing `_BUILT`
+    * marker, so a crash mid-commit left a torn delta that
+    * [[loadAssignments]] served as complete, and the vid guard then
+    * made every retry fail permanently). The ShingleIndex.append
+    * discipline, adapted to the cell-partitioned layout: the delta
+    * commits to a SIBLING dir first (token = XOR fold of the delta's
+    * vid set, so a retry derives the same token), an underscore-hidden
+    * `_PENDING_<token>` marker makes the append resumable, and
+    * [[finishAppend]] splices by idempotent token-prefixed FILE MOVES
+    * into the matching `cell=` dirs, ending with an
+    * `_APPLIED_<token>` marker. A crash at any instant either leaves
+    * the delta invisible (pre-marker — the retry re-stages) or heals
+    * deterministically on the next load/append. A retried append of a
+    * batch that already landed returns as a NO-OP (sentinel +
+    * all-vids-present cross-check, which also closes the 2^-64
+    * token-collision loss window); a genuinely overlapping batch
+    * still fails fast. Mid-splice states are visible to CONCURRENT
+    * readers (single-writer, non-snapshot — the flat ShingleIndex
+    * contract); generational readers get old-XOR-new isolation from
+    * [[commitGeneration]]'s pointer swap. `hook` is the
+    * crash-injection seam ("staged" = delta written, pending marker
+    * not yet down; "pending" = resumable, splice not yet run). */
   def appendAssignments(spark: SparkSession,
       delta: org.apache.spark.sql.DataFrame,
-      cents: Seq[(Int, Array[Double], Double)], path: String): Unit = {
-    import org.apache.spark.sql.functions.col
+      cents: Seq[(Int, Array[Double], Double)], path: String,
+      hook: String => Unit = _ => ()): Unit = {
+    import org.apache.spark.sql.functions.{bit_xor, col, xxhash64}
+    healAppends(spark, path) // finish any crashed append first
     val a = Similarity.assignedCorpus(delta, cents)
       .transform(graft.Staging.stage) // guard + write share one pass
+    val vids = a.select("vid").distinct()
+    val idFold = vids.agg(bit_xor(xxhash64(col("vid")))).head()
+    if (idFold.isNullAt(0)) { // empty delta
+      graft.CheckpointJanitor.dropNow(a)
+      return
+    }
+    val token = java.lang.Long.toHexString(idFold.getLong(0))
+    val fs = hadoopFs(spark, new org.apache.hadoop.fs.Path(path))
+    val applied = new org.apache.hadoop.fs.Path(s"$path/_APPLIED_$token")
+    if (fs.exists(applied)) {
+      // trust the sentinel only if every delta vid actually landed —
+      // a colliding token from an OLDER batch has absent vids
+      val missing = vids.join(
+          spark.read.parquet(path).select("vid"), Seq("vid"), "left_anti")
+        .limit(1).count()
+      if (missing == 0L) { // retried append — already landed, no-op
+        graft.CheckpointJanitor.dropNow(a)
+        return
+      }
+      fs.delete(applied, false) // token collision: stale sentinel, clear
+    }
     // fail fast on re-appended vids (a retried q42g-style build step
     // would otherwise silently duplicate them, and duplicated vids then
     // occupy multiple ranks in ivfTopKProbed results, displacing
@@ -126,17 +184,79 @@ object IvfIndex {
     // a column-pruned vid read of only the cells the delta lands in.
     if (marked(spark, s"$path/_BUILT")) {
       val hitCells = a.select("cell").distinct().collect().map(_.getInt(0))
-      val dup = loadAssignments(spark, path)
+      val dup = spark.read.parquet(path)
         .filter(col("cell").isin(hitCells.map(Int.box): _*))
         .select("vid")
-        .join(a.select("vid").distinct(), Seq("vid"), "left_semi")
+        .join(vids, Seq("vid"), "left_semi")
         .limit(1).count()
       require(dup == 0L,
         s"appendAssignments would duplicate vids already assigned under $path")
     }
-    a.write.mode("append").partitionBy("cell").parquet(path)
+    a.write.mode("overwrite").partitionBy("cell")
+      .parquet(deltaDir(path, token))
     graft.CheckpointJanitor.dropNow(a)
+    hook("staged")
+    touch(spark, s"$path/_PENDING_$token")
+    hook("pending")
+    finishAppend(spark, path, token)
   }
+
+  /** The resumable tail of [[appendAssignments]] — idempotent, driven
+    * from the committed delta dir alone: each staged `cell=` file
+    * MOVES under a token-prefixed name (re-runs skip files already
+    * moved), then the applied sentinel lands and the staging debris
+    * goes. */
+  private def finishAppend(spark: SparkSession, path: String,
+      token: String): Unit = {
+    val fs = hadoopFs(spark, new org.apache.hadoop.fs.Path(path))
+    val staged = new org.apache.hadoop.fs.Path(deltaDir(path, token))
+    if (fs.exists(staged)) {
+      fs.listStatus(staged)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+        .foreach { cd =>
+          val dstDir = new org.apache.hadoop.fs.Path(path, cd.getPath.getName)
+          fs.mkdirs(dstDir)
+          fs.listStatus(cd.getPath)
+            .filter(_.getPath.getName.endsWith(".parquet"))
+            .foreach { st =>
+              val dst = new org.apache.hadoop.fs.Path(dstDir,
+                s"$token-${st.getPath.getName}")
+              if (!fs.exists(dst))
+                require(fs.rename(st.getPath, dst),
+                  s"assignment delta splice failed: ${st.getPath} -> $dst")
+            }
+        }
+    }
+    touch(spark, s"$path/_APPLIED_$token")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_PENDING_$token"), false)
+    fs.delete(staged, true)
+  }
+
+  /** Finish a crashed [[appendAssignments]], whatever instant it died
+    * at, and sweep unreferenced staging debris. Keyed entirely on the
+    * artifact-owned `_PENDING_*` markers. */
+  private def healAppends(spark: SparkSession, path: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopFs(spark, root)
+    if (!fs.exists(root)) return
+    val pending = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("_PENDING_")).map(_.stripPrefix("_PENDING_"))
+    pending.foreach(token => finishAppend(spark, path, token))
+    // staged delta dirs whose pending marker never landed (crash
+    // before the marker) or is gone (crash mid-cleanup) are invisible
+    // debris — the retry re-stages from scratch
+    val parent = root.getParent
+    if (parent != null && fs.exists(parent)) {
+      val prefix = s"${root.getName}.delta_"
+      fs.listStatus(parent).map(_.getPath)
+        .filter(_.getName.startsWith(prefix))
+        .filterNot(p => pending.contains(p.getName.stripPrefix(prefix)))
+        .foreach(p => fs.delete(p, true))
+    }
+  }
+
+  private def hadoopFs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Build-if-absent for the full index pair (centroids + cell-
     * partitioned assignment): one corpus pass for the quantizer, one

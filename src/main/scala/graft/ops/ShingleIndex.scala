@@ -98,10 +98,20 @@ object ShingleIndex {
     *
     * `newDocs` ids must be NEW — re-appending a doc would silently
     * double its (doc, sh) rows and df counts, corrupting Jaccard
-    * verdicts — so overlap fails fast. The guard costs one doc-column
-    * pass over the artifact (column-pruned parquet read) and runs
-    * AFTER healing, so a crashed self-append can never masquerade as a
-    * double-append. */
+    * verdicts — so overlap fails fast, EXCEPT when the batch is a
+    * retry of an append that already landed: the token is computed
+    * BEFORE the guard, and a batch whose `_APPLIED_<token>` sentinel
+    * rides inside df AND whose docs are all present returns as a
+    * no-op (round-19 advice — callers can now retry an accept
+    * blindly; the old contract threw on a retried success and the
+    * caller could not tell it from corruption). The presence
+    * cross-check also closes the 2^-64 silent-loss window the bare
+    * sentinel had: a NEW batch whose token collides with the previous
+    * append's surviving sentinel has absent docs, so the stale
+    * sentinel is cleared and the append proceeds instead of being
+    * silently dropped. The guard costs one doc-column pass over the
+    * artifact (column-pruned parquet read) and runs AFTER healing, so
+    * a crashed self-append can never masquerade as a double-append. */
   def append(spark: SparkSession, newDocs: DataFrame, idCol: String,
       textCol: String, k: Int, path: String): Unit = {
     healPending(spark, path) // finish any crashed append first
@@ -110,21 +120,39 @@ object ShingleIndex {
       .select(col("doc"), xxhash64(col("shingle")).as("sh"))
       .transform(graft.Staging.stage)
     val ids = shA.select("doc").distinct()
-    val dup = spark.read.parquet(s"$path/shingles").select("doc")
-      .join(ids, Seq("doc"), "left_semi")
-      .limit(1).count()
-    require(dup == 0L,
-      s"append would double-count: newDocs contains doc ids already in $path")
     // deterministic token from the delta's id set (order-independent
     // XOR fold — a plain sum overflows int64 under ANSI): a retried
     // accept of the same batch stages to the same dirs and heals as
-    // itself
+    // itself. Computed BEFORE the dup guard so a retried success is
+    // recognized as such, not rejected as a double-append.
     val idFold = ids.agg(bit_xor(xxhash64(col("doc")))).head()
     if (idFold.isNullAt(0)) { // empty delta — nothing to fold in
       graft.CheckpointJanitor.dropNow(shA)
       return
     }
     val token = java.lang.Long.toHexString(idFold.getLong(0))
+    val fs = hadoopFs(spark, new org.apache.hadoop.fs.Path(path))
+    val applied = new org.apache.hadoop.fs.Path(s"$path/df/_APPLIED_$token")
+    if (fs.exists(applied)) {
+      // the sentinel names this batch as already applied — but a
+      // 64-bit token can collide with the previous append's sentinel
+      // (it survives inside df until the NEXT swap), so trust it only
+      // when every batch doc is actually present in the artifact
+      val missing = ids.join(
+          spark.read.parquet(s"$path/shingles").select("doc"),
+          Seq("doc"), "left_anti")
+        .limit(1).count()
+      if (missing == 0L) { // retried accept — the append already landed
+        graft.CheckpointJanitor.dropNow(shA)
+        return
+      }
+      fs.delete(applied, false) // token collision: stale sentinel, clear
+    }
+    val dup = spark.read.parquet(s"$path/shingles").select("doc")
+      .join(ids, Seq("doc"), "left_semi")
+      .limit(1).count()
+    require(dup == 0L,
+      s"append would double-count: newDocs contains doc ids already in $path")
     shA.write.mode("overwrite").parquet(s"$path/delta_$token")
     graft.CheckpointJanitor.dropNow(shA)
     touch(spark, s"$path/pending_$token")

@@ -134,7 +134,7 @@ class IvfIndexSpec extends SparkSpec {
       "fixture must surface at least one delta vector post-append")
   }
 
-  test("appendAssignments refuses vids already assigned (retry guard)") {
+  test("appendAssignments: a retried append is a no-op; a genuinely overlapping batch is refused") {
     val emb = Tables.embeddings(spark, sf)
     val corpus0 = emb.filter($"vec_id" % 10 =!= 7)
     val delta = emb.filter($"vec_id" % 10 === 7)
@@ -142,10 +142,70 @@ class IvfIndexSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfdg").toString
     IvfIndex.saveAssignments(spark, corpus0, cents, s"$dir/idx")
     IvfIndex.appendAssignments(spark, delta, cents, s"$dir/idx")
+    val expect = IvfIndex.loadAssignments(spark, s"$dir/idx")
+      .select("vid", "cell").as[(Long, Int)].collect().sorted.toSeq
+    // a blind retry of the SAME accept (the caller could not observe
+    // whether the first attempt landed) must be a no-op, not an error
+    IvfIndex.appendAssignments(spark, delta, cents, s"$dir/idx")
+    assert(IvfIndex.loadAssignments(spark, s"$dir/idx")
+      .select("vid", "cell").as[(Long, Int)].collect().sorted.toSeq == expect,
+      "a retried append must leave the assignment unchanged")
+    // a DIFFERENT batch that overlaps the artifact is real corruption
+    // (some vids already assigned, some genuinely new)
+    val slice = emb.filter($"vec_id" % 100 === 7)
+    val overlapping = slice.unionByName(
+      slice.select(($"vec_id" + 9000000L).as("vec_id"), $"embedding", $"label"))
     val e = intercept[IllegalArgumentException] {
-      IvfIndex.appendAssignments(spark, delta, cents, s"$dir/idx")
+      IvfIndex.appendAssignments(spark, overlapping, cents, s"$dir/idx")
     }
     assert(e.getMessage.contains("duplicate"))
+  }
+
+  test("appendAssignments crash protocol: a torn append heals on load; the retry is a no-op") {
+    val emb = Tables.embeddings(spark, sf)
+    val corpus0 = emb.filter($"vec_id" % 10 =!= 7)
+    val delta = emb.filter($"vec_id" % 10 === 7)
+    val cents = Similarity.ivfCentroids(corpus0, cells = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfcr").toString
+    IvfIndex.saveAssignments(spark, corpus0, cents, s"$dir/idx")
+    val before = IvfIndex.loadAssignments(spark, s"$dir/idx")
+      .select("vid", "cell").as[(Long, Int)].collect().sorted.toSeq
+    // crash BEFORE the pending marker: the staged delta must stay
+    // invisible (old state serves), and the retry lands cleanly
+    val boom1 = intercept[RuntimeException] {
+      IvfIndex.appendAssignments(spark, delta, cents, s"$dir/idx",
+        hook = s => if (s == "staged") throw new RuntimeException("power cut"))
+    }
+    assert(boom1.getMessage.contains("power cut"))
+    assert(IvfIndex.loadAssignments(spark, s"$dir/idx")
+      .select("vid", "cell").as[(Long, Int)].collect().sorted.toSeq == before,
+      "a pre-marker crash must leave the staged delta invisible")
+    // crash AFTER the pending marker, before the splice: the next
+    // load must heal the append to completion — never serve a torn
+    // subset of the delta
+    val boom2 = intercept[RuntimeException] {
+      IvfIndex.appendAssignments(spark, delta, cents, s"$dir/idx",
+        hook = s => if (s == "pending") throw new RuntimeException("power cut 2"))
+    }
+    assert(boom2.getMessage.contains("power cut 2"))
+    val healed = IvfIndex.loadAssignments(spark, s"$dir/idx")
+      .select("vid", "cell").as[(Long, Int)].collect().sorted.toSeq
+    IvfIndex.saveAssignments(spark, emb, cents, s"$dir/union")
+    val union = IvfIndex.loadAssignments(spark, s"$dir/union")
+      .select("vid", "cell").as[(Long, Int)].collect().sorted.toSeq
+    assert(healed == union,
+      "healing a crashed append must complete it to the union state")
+    // and a blind retry after the heal is a no-op (the round-19
+    // wedge: the old guard made the retry fail permanently)
+    IvfIndex.appendAssignments(spark, delta, cents, s"$dir/idx")
+    assert(IvfIndex.loadAssignments(spark, s"$dir/idx")
+      .select("vid", "cell").as[(Long, Int)].collect().sorted.toSeq == union)
+    // no staging debris or pending markers survive
+    val leftovers = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("idx.delta_"))
+    assert(leftovers.isEmpty, s"staging debris survived: ${leftovers.toSeq}")
+    assert(!new java.io.File(s"$dir/idx").listFiles().map(_.getName)
+      .exists(_.startsWith("_PENDING_")), "pending marker survived the heal")
   }
 
   test("retrain: atomic pair swap — a crash before the pointer swap leaves the old generation; the retry lands") {

@@ -66,15 +66,53 @@ class ShingleIndexSpec extends SparkSpec {
       "merged df rollup diverges from a rebuild")
   }
 
-  test("append refuses a delta whose doc ids are already in the artifact") {
+  test("append: a retried accept of the same batch is a no-op; an overlapping batch is refused") {
     val dir = java.nio.file.Files.createTempDirectory("graft_shdup").toString
     ShingleIndex.save(corpus, "doc_id", "text", 2, s"$dir/index")
     val delta = batch.limit(10)
     ShingleIndex.append(spark, delta, "doc_id", "text", 2, s"$dir/index")
+    val expect = ShingleIndex.load(spark, s"$dir/index")._2.collect().toSet
+    // a blind retry of the same accept must return as a no-op (the
+    // caller cannot observe whether the first attempt landed) — the
+    // round-19 advice contract, keyed on the _APPLIED sentinel plus
+    // an all-docs-present cross-check
+    ShingleIndex.append(spark, delta, "doc_id", "text", 2, s"$dir/index")
+    assert(ShingleIndex.load(spark, s"$dir/index")._2.collect().toSet === expect,
+      "a retried append must leave the artifact unchanged")
+    // a DIFFERENT batch that overlaps the artifact is real corruption
+    val overlapping = delta.unionByName(delta
+      .select(($"doc_id" + 7000000L).as("doc_id"), $"text"))
     val e = intercept[IllegalArgumentException] {
-      ShingleIndex.append(spark, delta, "doc_id", "text", 2, s"$dir/index")
+      ShingleIndex.append(spark, overlapping, "doc_id", "text", 2, s"$dir/index")
     }
     assert(e.getMessage.contains("double-count"))
+  }
+
+  test("a stale _APPLIED sentinel from a colliding token cannot swallow a new batch") {
+    // the 2^-64 silent-loss window (round-19 advice): if a NEW batch's
+    // token equals a sentinel surviving inside df, the old code
+    // skipped the splice and deleted the staged delta. The fix
+    // cross-checks doc presence: absent docs → stale sentinel, the
+    // append proceeds. Simulated by planting the new batch's sentinel.
+    val dir = java.nio.file.Files.createTempDirectory("graft_shcol").toString
+    ShingleIndex.save(corpus, "doc_id", "text", 2, s"$dir/index")
+    val delta = batch.limit(10)
+    val token = java.lang.Long.toHexString(
+      delta.select(xxhash64(col("doc_id")).as("h"))
+        .agg(bit_xor(col("h"))).head().getLong(0))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$dir/index/df/_APPLIED_$token"), true).close()
+    ShingleIndex.append(spark, delta, "doc_id", "text", 2, s"$dir/index")
+    ShingleIndex.save(corpus.unionByName(delta), "doc_id", "text", 2,
+      s"$dir/rebuilt")
+    val (shG, dfG) = ShingleIndex.load(spark, s"$dir/index")
+    val (shR, dfR) = ShingleIndex.load(spark, s"$dir/rebuilt")
+    assert(shG.exceptAll(shR).isEmpty && shR.exceptAll(shG).isEmpty,
+      "the batch behind a stale sentinel must still land (silent-loss window)")
+    assert(dfG.select("sh", "ce").exceptAll(dfR).isEmpty &&
+      dfR.exceptAll(dfG.select("sh", "ce")).isEmpty)
   }
 
   test("load heals an append crashed right after staging (delta + pending only)") {
@@ -129,14 +167,11 @@ class ShingleIndexSpec extends SparkSpec {
     val (_, dfHealed) = ShingleIndex.load(spark, s"$dir/index")
     assert(dfHealed.collect().toSet === expect,
       "a healed already-applied append must not merge the delta twice")
-    // and the RETRY path through append() itself is also a no-op heal:
-    // same delta again → heal clears the marker, then the dup guard
-    // correctly rejects it as a genuine double-append
+    // and the RETRY path through append() itself: heal finishes the
+    // pending no-op, then the sentinel + all-docs-present cross-check
+    // recognizes the retried accept and returns without re-merging
     fs.create(new org.apache.hadoop.fs.Path(s"$dir/index/pending_$token"), true).close()
-    val e = intercept[IllegalArgumentException] {
-      ShingleIndex.append(spark, delta, "doc_id", "text", 2, s"$dir/index")
-    }
-    assert(e.getMessage.contains("double-count"))
+    ShingleIndex.append(spark, delta, "doc_id", "text", 2, s"$dir/index")
     assert(ShingleIndex.load(spark, s"$dir/index")._2.collect().toSet === expect)
   }
 
