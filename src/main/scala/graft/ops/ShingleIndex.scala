@@ -379,10 +379,26 @@ object ShingleIndex {
   // metastore so both survive the JVM (in-repo, entries rebuild per
   // JVM like every buildOrLoadBucketed caller).
 
+  /** One immutable LSM segment: the table prefix (names `<p>_sh` /
+    * `<p>_doc`) plus its doc-id SUMMARY — distinct-doc count and id
+    * range — carried in the manifest so [[appendLsm]]'s overlap guard
+    * can skip whole segments without reading them (round-19 verdict:
+    * the guard's column-pruned doc scan was the last
+    * corpus-proportional read in the append path; with monotone
+    * accept ids — the crawl shape — every segment is range-disjoint
+    * from a new batch and the guard reads only the manifest).
+    * `docs < 0` marks a summary-less segment (a pre-summary manifest):
+    * the guard falls back to scanning it. */
+  final case class LsmSegment(prefix: String, docs: Long, minDoc: Long,
+      maxDoc: Long) {
+    def overlaps(lo: Long, hi: Long): Boolean =
+      docs < 0L || (docs > 0L && minDoc <= hi && lo <= maxDoc)
+  }
+
   /** One LSM generation: bucket count, the df rollup table, and the
-    * immutable segment table PREFIXES (each names `<p>_sh`/`<p>_doc`). */
+    * immutable segments. */
   final case class LsmManifest(gen: Long, buckets: Int, dfTable: String,
-      segments: Seq[String])
+      segments: Seq[LsmSegment])
 
   private val LsmPointer = "CURRENT"
 
@@ -396,7 +412,8 @@ object ShingleIndex {
     fs.delete(dir, true) // clear a crashed prior attempt at this gen
     fs.mkdirs(dir)
     val text = (s"buckets=${m.buckets}" +: s"df=${m.dfTable}" +:
-      m.segments.map(s => s"seg=$s")).mkString("\n")
+      m.segments.map(s =>
+        s"seg=${s.prefix}:${s.docs}:${s.minDoc}:${s.maxDoc}")).mkString("\n")
     val out = fs.create(new org.apache.hadoop.fs.Path(dir, "MANIFEST"), true)
     try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -413,7 +430,21 @@ object ShingleIndex {
       case l if l.startsWith(k + "=") => l.stripPrefix(k + "=") }.get
     LsmManifest(gen.stripPrefix("gen-").toLong, one("buckets").toInt,
       one("df"), lines.collect { case l if l.startsWith("seg=") =>
-        l.stripPrefix("seg=") })
+        l.stripPrefix("seg=").split(':') match {
+          case Array(p, d, lo, hi) =>
+            LsmSegment(p, d.toLong, lo.toLong, hi.toLong)
+          // pre-summary manifest line: no stats — guard scans it
+          case Array(p) => LsmSegment(p, -1L, Long.MinValue, Long.MaxValue)
+        } })
+  }
+
+  /** Distinct-doc count + id range of a staged (doc, sh) relation —
+    * the summary [[appendLsm]] records per segment. One delta-sized
+    * aggregate. */
+  private def docSummary(sh: DataFrame): (Long, Long, Long) = {
+    val r = sh.agg(count_distinct(col("doc")), min("doc"), max("doc")).head()
+    if (r.isNullAt(1)) (0L, 0L, -1L) // empty relation: range below any id
+    else (r.getLong(0), r.getLong(1), r.getLong(2))
   }
 
   /** The live generation's manifest, if a build ever committed. */
@@ -430,8 +461,9 @@ object ShingleIndex {
     val m = currentManifest(spark, root).getOrElse(
       throw new IllegalStateException(
         s"no committed LSM generation under $root (pointer absent)"))
-    (m.segments.map(p =>
-        (spark.table(s"graft.${p}_sh"), spark.table(s"graft.${p}_doc"))),
+    (m.segments.map(sg =>
+        (spark.table(s"graft.${sg.prefix}_sh"),
+          spark.table(s"graft.${sg.prefix}_doc"))),
       spark.table(s"graft.${m.dfTable}"))
   }
 
@@ -449,8 +481,10 @@ object ShingleIndex {
     materialize(spark, s"${prefix}_doc", shE, "doc", buckets)
     materialize(spark, s"${base}_g1_df",
       shE.groupBy("sh").agg(count(lit(1)).as("ce")), "sh", buckets)
+    val (nDocs, lo, hi) = docSummary(shE)
     graft.CheckpointJanitor.dropNow(shE)
-    val m = LsmManifest(1L, buckets, s"${base}_g1_df", Seq(prefix))
+    val m = LsmManifest(1L, buckets, s"${base}_g1_df",
+      Seq(LsmSegment(prefix, nDocs, lo, hi)))
     writeManifest(spark, root, m)
     StagedRefresh.swapPointer(spark,
       new org.apache.hadoop.fs.Path(root), LsmPointer, "gen-1")
@@ -479,17 +513,33 @@ object ShingleIndex {
       .select(col("doc"), xxhash64(col("shingle")).as("sh"))
       .transform(graft.Staging.stage)
     // fail fast on re-appended ids (they would double df counts and
-    // corrupt Jaccard verdicts) — a column-pruned doc scan of the LIVE
+    // corrupt Jaccard verdicts). The guard consults the manifest's
+    // per-segment doc-id summaries FIRST: segments whose id range is
+    // disjoint from the batch's cannot hold a duplicate and are
+    // skipped without a read — with monotone accept ids (the crawl
+    // shape) that is EVERY segment, so the guard costs one manifest
+    // read + a delta-sized aggregate (round-19 verdict item 4: the
+    // column-pruned doc scan of every live segment was the append's
+    // last corpus-proportional term). Range-overlapping segments keep
+    // the column-pruned scan as the exact fallback. Runs over LIVE
     // segments only, so a crashed self-append's orphan rows can never
-    // make the retry look like a double-append
-    val dup = m.segments.map(p =>
-        spark.table(s"graft.${p}_doc").select("doc"))
-      .reduce(_ unionByName _)
-      .join(shA.select("doc").distinct(), Seq("doc"), "left_semi")
-      .limit(1).count()
-    require(dup == 0L,
-      s"appendLsm would double-count: newDocs contains doc ids already live under $root")
-    val segId = m.segments.map(_.stripPrefix(s"${base}_s").toLong).max + 1
+    // make the retry look like a double-append.
+    val (nDocs, bLo, bHi) = docSummary(shA)
+    if (nDocs == 0L) { // empty delta — nothing to fold in
+      graft.CheckpointJanitor.dropNow(shA)
+      return
+    }
+    val suspect = m.segments.filter(_.overlaps(bLo, bHi))
+    if (suspect.nonEmpty) {
+      val dup = suspect.map(sg =>
+          spark.table(s"graft.${sg.prefix}_doc").select("doc"))
+        .reduce(_ unionByName _)
+        .join(shA.select("doc").distinct(), Seq("doc"), "left_semi")
+        .limit(1).count()
+      require(dup == 0L,
+        s"appendLsm would double-count: newDocs contains doc ids already live under $root")
+    }
+    val segId = m.segments.map(_.prefix.stripPrefix(s"${base}_s").toLong).max + 1
     val prefix = s"${base}_s$segId"
     materialize(spark, s"${prefix}_sh", shA, "sh", m.buckets)
     materialize(spark, s"${prefix}_doc", shA, "doc", m.buckets)
@@ -502,7 +552,8 @@ object ShingleIndex {
         (coalesce(col("ce"), lit(0L)) + coalesce(col("ca"), lit(0L))).as("ce"))
     materialize(spark, dfTable, merged, "sh", m.buckets)
     graft.CheckpointJanitor.dropNow(shA)
-    val m2 = LsmManifest(gen, m.buckets, dfTable, m.segments :+ prefix)
+    val m2 = LsmManifest(gen, m.buckets, dfTable,
+      m.segments :+ LsmSegment(prefix, nDocs, bLo, bHi))
     writeManifest(spark, root, m2)
     hook("staged")
     StagedRefresh.swapPointer(spark,
@@ -512,25 +563,65 @@ object ShingleIndex {
       keepGens = Set(s"gen-$gen", s"gen-${m.gen}"))
   }
 
-  /** Fold ALL live segments into one (the LSM compaction step, run on
-    * the deployment's cadence): one corpus-sized rewrite buys back
-    * single-segment probe plans after many appends. The df rollup is
-    * already generation-merged, so the new manifest reuses it
-    * unchanged; commit is the same old-XOR-new pointer swap. */
+  /** DERIVED compaction trigger (round-19 verdict item 2 — the
+    * `Pq.nprobeFor`/`Pq.LloydIters` discipline applied to the last
+    * prose dial in the dedup lifecycle). For a compact-at-S policy
+    * with one probe per accepted batch (the probe→accept→append
+    * lifecycle's floor), the amortized per-append maintenance cost is
+    * R/(S−1) + τ·S/2 — one corpus-sized rewrite R per S−1 appends,
+    * plus the probe tax that accumulates as segments do (the probe at
+    * s segments pays (s−1)·τ; averaged over the cycle that is
+    * ~τ·S/2). Minimizing gives the standard LSM amortization optimum
+    * (S−1)² = 2R/τ → **S* = 1 + √(2R/τ)**. Measured operating point
+    * (ShingleBucketProbe, both corpus scales, round-20 clean epoch —
+    * SCALING.md): R ∈ [4.2, 4.9] s (compaction wall), τ ∈
+    * [0.68, 1.08] s per extra segment (probe wall deltas between the
+    * 1-, 2- and 5-segment states) → S* ∈ [3.8, 4.7] → the integer
+    * threshold **S* = 4**. At 100 TB the fixed per-segment plan
+    * machinery that dominates toy-scale τ shrinks relative to W while
+    * delta scans stay delta-sized, so real τ/R is SMALLER and the toy
+    * S* is a floor — compacting at 4 is the aggressive end of
+    * correct. [[compactLsm]] stays directly callable for deployments
+    * that batch maintenance on a coarser schedule; `shouldCompact` is
+    * the measured rule, and q41p compacts exactly when it fires. */
+  val CompactAtSegments = 4
+
+  /** True when the live generation's probe tax has reached the point
+    * where one corpus-sized rewrite amortizes within a single probe —
+    * see [[CompactAtSegments]] for the measured derivation. */
+  def shouldCompact(m: LsmManifest): Boolean =
+    m.segments.size >= CompactAtSegments
+
+  /** Fold ALL live segments into one (the LSM compaction step, run
+    * when [[shouldCompact]] fires — or on a coarser schedule for
+    * deployments that batch maintenance): one corpus-sized rewrite
+    * buys back single-segment probe plans after many appends. The df
+    * rollup is already generation-merged, so the new manifest reuses
+    * it unchanged; commit is the same old-XOR-new pointer swap. */
   def compactLsm(spark: SparkSession, root: String, base: String,
       hook: String => Unit = _ => ()): Unit = {
     val m = currentManifest(spark, root).getOrElse(
       throw new IllegalStateException(
         s"compactLsm needs a committed generation under $root"))
-    val all = m.segments.map(p => spark.table(s"graft.${p}_sh"))
+    val all = m.segments.map(sg => spark.table(s"graft.${sg.prefix}_sh"))
       .reduce(_ unionByName _)
-    val segId = m.segments.map(_.stripPrefix(s"${base}_s").toLong).max + 1
+    val segId = m.segments.map(_.prefix.stripPrefix(s"${base}_s").toLong).max + 1
     val prefix = s"${base}_s$segId"
     materialize(spark, s"${prefix}_sh", all, "sh", m.buckets)
     materialize(spark, s"${prefix}_doc",
       spark.table(s"graft.${prefix}_sh"), "doc", m.buckets)
+    // folded summary: segments hold disjoint doc sets, so the merge is
+    // exact arithmetic when every input carries stats; a pre-summary
+    // segment forces one recount over the folded table
+    val folded =
+      if (m.segments.forall(_.docs >= 0L))
+        (m.segments.map(_.docs).sum,
+          m.segments.filter(_.docs > 0L).map(_.minDoc).minOption.getOrElse(0L),
+          m.segments.filter(_.docs > 0L).map(_.maxDoc).maxOption.getOrElse(-1L))
+      else docSummary(spark.table(s"graft.${prefix}_doc"))
     val gen = m.gen + 1
-    val m2 = LsmManifest(gen, m.buckets, m.dfTable, Seq(prefix))
+    val m2 = LsmManifest(gen, m.buckets, m.dfTable,
+      Seq(LsmSegment(prefix, folded._1, folded._2, folded._3)))
     writeManifest(spark, root, m2)
     hook("staged")
     StagedRefresh.swapPointer(spark,
@@ -541,7 +632,8 @@ object ShingleIndex {
   }
 
   private def lsmTables(m: LsmManifest): Set[String] =
-    m.segments.flatMap(p => Seq(s"${p}_sh", s"${p}_doc")).toSet + m.dfTable
+    m.segments.flatMap(sg =>
+      Seq(s"${sg.prefix}_sh", s"${sg.prefix}_doc")).toSet + m.dfTable
 
   /** Drop catalog tables under `base` that neither the new nor the
     * previous generation references (the predecessor survives one

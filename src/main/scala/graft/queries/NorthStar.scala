@@ -426,44 +426,76 @@ object NorthStar {
 
   /** q42h: the RETRAIN CADENCE — the step q42g's op doc promises
     * ("re-train on the rebuild cadence, re-check the recall SLA
-    * then"), made real. The lifecycle replays q42g's grow phase —
-    * quantizer trained and frozen on the original slice, the delta
-    * assigned under it and appended ([[graft.ops.IvfIndex
-    * .appendAssignments]], now guarded against re-appended vids) —
-    * and then RETRAINS: deterministic k-means over the grown union
-    * (q42f's 3 exact-decimal Lloyd rounds), a full re-assignment, and
-    * an ATOMIC generation swap of the (quantizer, assignment) PAIR
+    * then"), made real AND TRIGGERED (round-19 verdict item 3): the
+    * lifecycle's corpus is the DRIFTED fixture — 30% of the table
+    * arrives shifted by a constant direction the original quantizer
+    * never saw (IvfRetrainProbe's production failure, a deterministic
+    * `+3.0f` on dimension `vec_id % 3`, replayed verbatim by the
+    * oracle's `corpus2` CTE) — so the frozen-quantizer grow phase
+    * (train on the undrifted 70%, append the drifted 30% under it via
+    * [[graft.ops.IvfIndex.appendAssignments]]) actually CROWDS cells,
+    * and the retrain runs exactly when the DERIVED occupancy trigger
+    * fires ([[graft.ops.IvfIndex.needsRetrain]] — live max-cell
+    * occupancy ≥ 1.5× the committed baseline; the entry REQUIRES
+    * fires-before / quiet-after, so the driver run itself pins the
+    * operating point, like q41p's compaction threshold). The retrain
+    * is deterministic k-means over the grown corpus (q42f's 3
+    * exact-decimal Lloyd rounds), a full re-assignment, and an ATOMIC
+    * generation swap of the (quantizer, assignment) PAIR
     * ([[graft.ops.IvfIndex.commitGeneration]] — cell ids mean
     * different regions under different centroids, so a torn pair
-    * would probe the wrong vectors; the pointer swap makes that state
-    * unreachable, IvfIndexSpec pins it with a crash injection). The
-    * probe reads the live generation; because the union here is the
-    * whole table and the retrain depth matches q42f, the oracle is
-    * q42f's text verbatim — the retrained index must answer exactly
-    * as an index built from scratch over everything. Recall recovery
-    * under the retrain (frozen 1-step/slice quantizer vs retrained
-    * 3-iter/union) is measured in SCALING.md's round-19 rung
-    * (IvfRetrainProbe). */
+    * would probe the wrong vectors; IvfIndexSpec crash-injects the
+    * swap). The oracle is q42f's full k-means IVF pipeline over the
+    * drifted corpus: the retrained index must answer exactly as an
+    * index built from scratch over everything it now holds. Recall /
+    * occupancy / candidate-volume laws in SCALING.md (IvfRetrainProbe,
+    * rounds 19-20). */
   private val ivfRetrainScratch =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  val q42h = QueryDef("q42h_similarity_ivf_retrain",
-    Similarity.ivfIterSql(cells = 16, nprobe = 4, k = 5, iters = 3)) { (s, dir) =>
+  private val q42hSql: String = {
+    // float addition replayed exactly: x + 3.0f == round-to-float of
+    // the exact double sum, which is what the CAST chain computes
+    val drift =
+      """WITH corpus2 AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    CASE WHEN vec_id % 10 >= 7 THEN
+        |      list_transform(generate_series(1, len(embedding)),
+        |        i -> CASE WHEN (i - 1) = vec_id % 3
+        |             THEN CAST(CAST(embedding[i] AS DOUBLE) + 3.0 AS REAL)
+        |             ELSE embedding[i] END)
+        |    ELSE embedding END AS embedding
+        |  FROM embeddings),
+        |""".stripMargin
+    drift + Similarity.ivfIterSql(cells = 16, nprobe = 4, k = 5,
+      iters = 3, src = "corpus2").stripPrefix("WITH ")
+  }
+  val q42h = QueryDef("q42h_similarity_ivf_retrain", q42hSql) { (s, dir) =>
     import s.implicits._
-    val emb = Tables.embeddings(s, dir)
+    val corpus2 = Tables.embeddings(s, dir).select($"vec_id",
+      when($"vec_id" % 10 >= 7,
+        transform($"embedding", (x, i) =>
+          when(i === pmod($"vec_id", lit(3)).cast("int"), x + lit(3.0f))
+            .otherwise(x)))
+        .otherwise($"embedding").as("embedding"))
     val scratch = buildOnceScratch(ivfRetrainScratch, dir, "graft_ivfr") { p =>
-      // gen-1: the frozen-quantizer grow lifecycle (q42g's shape)
-      val corpus0 = emb.filter($"vec_id" % 10 =!= 7)
+      // gen-1: the frozen-quantizer grow lifecycle (q42g's shape) over
+      // the drifted arrival stream
+      val corpus0 = corpus2.filter($"vec_id" % 10 < 7)
       val c0 = Similarity.ivfCentroids(corpus0, cells = 16)
       graft.ops.IvfIndex.commitGeneration(s, corpus0, c0, p)
       graft.ops.IvfIndex.appendAssignments(s,
-        emb.filter($"vec_id" % 10 === 7), c0,
+        corpus2.filter($"vec_id" % 10 >= 7), c0,
         graft.ops.IvfIndex.currentGenDir(s, p).get + "/assign")
-      // gen-2: the retrain cadence over the union, atomic pair swap
-      graft.ops.IvfIndex.retrain(s, emb, cells = 16, iters = 3, p)
+      // gen-2: the retrain runs AT the derived trigger, not on faith
+      require(graft.ops.IvfIndex.needsRetrain(s, p),
+        "q42h's drift fixture must fire the derived occupancy trigger")
+      graft.ops.IvfIndex.retrain(s, corpus2, cells = 16, iters = 3, p)
+      require(!graft.ops.IvfIndex.needsRetrain(s, p),
+        "the retrain must quiesce the trigger")
     }
     val (cents, assigned) = graft.ops.IvfIndex.loadCurrent(s, scratch)
     Similarity.ivfTopKProbed(cents, assigned,
-      emb.filter($"vec_id" % 100 === 0), k = 5, nprobe = 4)
+      corpus2.filter($"vec_id" % 100 === 0), k = 5, nprobe = 4)
       .orderBy("qid", "rk")
   }
 
@@ -1343,14 +1375,21 @@ object NorthStar {
   }
 
   /** q41p: the LSM lifecycle's COMPACTION step as a first-class entry —
-    * q41o's probe → accept → append, then [[graft.ops.ShingleIndex
-    * .compactLsm]] folds the segments back into one (the LSM trade: one
-    * corpus-sized rewrite on the deployment's cadence buys back
-    * single-segment probe plans after many delta appends), committed by
-    * the same atomic pointer swap, and batch2 probes the COMPACTED
-    * generation. Compaction changes the at-rest layout, never the
-    * verdicts (LsmShingleSpec pins probe invariance), so the oracle is
-    * q41n's text unchanged — the strongest pin that the rewrite loses
+    * q41o's probe → accept, the accepted docs folded in as THREE delta
+    * appends (splitting the accept batch drives the artifact to the
+    * 4-segment state), and then compaction runs exactly when
+    * [[graft.ops.ShingleIndex.shouldCompact]] fires — the DERIVED
+    * trigger (S* = 4 from the measured amortization optimum
+    * S* = 1 + √(2R/τ); see [[graft.ops.ShingleIndex
+    * .CompactAtSegments]] + SCALING.md). The entry REQUIRES the
+    * trigger quiet at 3 segments and fired at 4 before compacting, so
+    * the derived operating point is pinned by the driver run itself,
+    * like q88b's derived nprobe and q88d's derived Lloyd depth.
+    * Compaction folds the segments into one behind the same atomic
+    * pointer swap, and batch2 probes the COMPACTED generation.
+    * Compaction changes the at-rest layout, never the verdicts
+    * (LsmShingleSpec pins probe invariance), so the oracle is q41n's
+    * text unchanged — the strongest pin that the rewrite loses
     * nothing. */
   private val lsmCompactScratch =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -1374,8 +1413,23 @@ object NorthStar {
         v1.filter(col("matched") === 0)
           .select(col("batch_id").as("doc_id")),
         Seq("doc_id"), "left_semi")
-      ShingleIndex.appendLsm(s, accepted, "doc_id", "text", 2, p, base)
+      // three delta appends (tens-digit-mod-3 split keeps every slice
+      // populated at all SFs) drive the artifact to 4 segments — the
+      // derived compaction point; the trigger must stay quiet at 3
+      val third = pmod(floor(col("doc_id") / 10), lit(3))
+      ShingleIndex.appendLsm(s,
+        accepted.filter(third === 0), "doc_id", "text", 2, p, base)
+      ShingleIndex.appendLsm(s,
+        accepted.filter(third === 1), "doc_id", "text", 2, p, base)
+      require(!ShingleIndex.shouldCompact(
+          ShingleIndex.currentManifest(s, p).get),
+        "the derived trigger must not fire below S* = 4")
+      ShingleIndex.appendLsm(s,
+        accepted.filter(third === 2), "doc_id", "text", 2, p, base)
       graft.CheckpointJanitor.dropNow(v1)
+      val m = ShingleIndex.currentManifest(s, p).get
+      require(ShingleIndex.shouldCompact(m),
+        s"q41p must compact AT the derived trigger; segments=${m.segments.size}")
       ShingleIndex.compactLsm(s, p, base)
     }
     val (segs2, dfE2) = hinted(scratch)

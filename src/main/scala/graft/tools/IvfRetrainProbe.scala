@@ -93,12 +93,19 @@ object IvfRetrainProbe {
           .agg(max("count")).as[Long].head().toDouble / n
         (hits.toDouble / (nQ * 5), cand.toDouble / nQ, maxCell)
       }
+      // the DERIVED trigger's reading: live max-cell occupancy vs the
+      // committed baseline — the separation between the two fixtures
+      // is what sets IvfIndex.RetrainOccupancyFactor
+      println(f"[ivfretrain] fixture=$tag%-8s trigger: driftRatio=${IvfIndex.driftRatio(spark, root)}%.3f " +
+        f"needsRetrain=${IvfIndex.needsRetrain(spark, root)}")
       val wide = graft.ops.Pq.nprobeFor(16)
       val (fr4, fc4, fMax) = measure(4)
       val (frW, _, _) = measure(wide)
       val (_, retrainWall) = timed {
         IvfIndex.retrain(spark, union, cells = 16, iters = 3, root)
       }
+      println(f"[ivfretrain] fixture=$tag%-8s post-retrain: driftRatio=${IvfIndex.driftRatio(spark, root)}%.3f " +
+        f"needsRetrain=${IvfIndex.needsRetrain(spark, root)}")
       val (rr4, rc4, rMax) = measure(4)
       val (rrW, _, _) = measure(wide)
       println(f"[ivfretrain] fixture=$tag%-8s n=$n queries=$nQ " +

@@ -23,8 +23,12 @@ object ShingleBucketProbe {
 
   private final class ShuffleBytes extends SparkListener {
     val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
-    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+    val read = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
       bytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      read.addAndGet(sc.stageInfo.taskMetrics.inputMetrics.bytesRead)
+    }
+    def reset(): Unit = { bytes.set(0L); read.set(0L) }
   }
 
   def main(args: Array[String]): Unit = {
@@ -61,7 +65,7 @@ object ShingleBucketProbe {
       verdicts.count()
       System.gc()
       Thread.sleep(1000) // let straggling stage events from the warmup drain
-      listener.bytes.set(0L)
+      listener.reset()
       val t0 = System.nanoTime()
       val n = verdicts.filter($"matched" === 1).count()
       val wall = (System.nanoTime() - t0) / 1e9
@@ -95,13 +99,13 @@ object ShingleBucketProbe {
     val delta = graft.queries.NorthStar.nearDupBatch(spark, batchDir)
       .filter($"doc_id" >= 3000000L) // the novel (vowel-swapped) half
     System.gc(); Thread.sleep(1000)
-    listener.bytes.set(0L)
+    listener.reset()
     val tA = System.nanoTime()
     graft.ops.ShingleIndex.appendLsm(spark, delta, "doc_id", "text", 2,
       lsmRoot, lsmBase)
     val wallA = (System.nanoTime() - tA) / 1e9
     Thread.sleep(1000)
-    println(f"[shbp] lsm-append         wall=$wallA%6.2fs shuffleWrite=${listener.bytes.get / 1048576.0}%8.2f MiB (fixed delta — corpus-size-independent by construction)")
+    println(f"[shbp] lsm-append         wall=$wallA%6.2fs shuffleWrite=${listener.bytes.get / 1048576.0}%8.2f MiB read=${listener.read.get / 1048576.0}%8.2f MiB (fixed delta; the manifest-summary guard makes READ delta-sized too — round-19 verdict item 4)")
     def probeLsm(): Unit = {
       val (segs, dfLsm) = graft.ops.ShingleIndex.loadLsm(spark, lsmRoot)
       measure(s"lsm+smj seg=${segs.size}")(
@@ -129,7 +133,7 @@ object ShingleBucketProbe {
     }
     probeLsm()
     System.gc(); Thread.sleep(1000)
-    listener.bytes.set(0L)
+    listener.reset()
     val tC = System.nanoTime()
     graft.ops.ShingleIndex.compactLsm(spark, lsmRoot, lsmBase)
     val wallC = (System.nanoTime() - tC) / 1e9

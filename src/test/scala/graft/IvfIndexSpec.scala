@@ -208,6 +208,45 @@ class IvfIndexSpec extends SparkSpec {
       .exists(_.startsWith("_PENDING_")), "pending marker survived the heal")
   }
 
+  test("needsRetrain: quiet under a natural append, fires under drift, quiesces after the retrain") {
+    import org.apache.spark.sql.functions.{lit, pmod, transform => arrTransform, when}
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    // natural fixture: 90/10 undrifted split (IvfRetrainProbe's null
+    // result — retraining buys nothing, so the trigger must stay quiet)
+    val natRoot = java.nio.file.Files
+      .createTempDirectory("graft_ivftr_nat").toString + "/lifecycle"
+    val nCorpus = emb.filter($"vec_id" % 10 =!= 7)
+    val cN = Similarity.ivfCentroids(nCorpus, cells = 16)
+    IvfIndex.commitGeneration(spark, nCorpus, cN, natRoot)
+    IvfIndex.appendAssignments(spark, emb.filter($"vec_id" % 10 === 7), cN,
+      IvfIndex.currentGenDir(spark, natRoot).get + "/assign")
+    assert(!IvfIndex.needsRetrain(spark, natRoot),
+      "an undrifted append must not fire the retrain trigger")
+    // drifted fixture: 70/30 split, the delta shifted by a constant
+    // direction the frozen quantizer never saw (the probe's production
+    // failure) — the crowding signal must fire
+    val drRoot = java.nio.file.Files
+      .createTempDirectory("graft_ivftr_dr").toString + "/lifecycle"
+    val corpus0 = emb.filter($"vec_id" % 10 < 7)
+    val delta = emb.filter($"vec_id" % 10 >= 7).select($"vec_id",
+      arrTransform($"embedding",
+        (x, i) => when(i === pmod($"vec_id", lit(3)).cast("int"),
+          x + lit(3.0f)).otherwise(x)).as("embedding"))
+    val c0 = Similarity.ivfCentroids(corpus0, cells = 16)
+    IvfIndex.commitGeneration(spark, corpus0, c0, drRoot)
+    IvfIndex.appendAssignments(spark, delta, c0,
+      IvfIndex.currentGenDir(spark, drRoot).get + "/assign")
+    assert(IvfIndex.needsRetrain(spark, drRoot),
+      "the drifted append must fire the derived occupancy trigger")
+    // the retrain re-partitions the grown distribution and commits its
+    // own occupancy baseline — the trigger must quiesce even though
+    // the retrained data is genuinely lumpier than gen-1's
+    IvfIndex.retrain(spark, corpus0.unionByName(delta), cells = 16,
+      iters = 3, drRoot)
+    assert(!IvfIndex.needsRetrain(spark, drRoot),
+      "a fresh retrain must quiesce the trigger")
+  }
+
   test("retrain: atomic pair swap — a crash before the pointer swap leaves the old generation; the retry lands") {
     val emb = Tables.embeddings(spark, sf)
     val corpus0 = emb.filter($"vec_id" % 10 =!= 7)

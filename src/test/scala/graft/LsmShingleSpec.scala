@@ -92,6 +92,71 @@ class LsmShingleSpec extends SparkSpec {
     assert(e.getMessage.contains("double-count"))
   }
 
+  test("manifest doc-id summaries: recorded on save/append, exact, and the overlap fallback still catches dups") {
+    val root = freshRoot("graft_lsm_sum")
+    // base = even ids only, so odd ids INSIDE the base range are new
+    val even = corpus.filter($"doc_id" % 2 === 0)
+    ShingleIndex.saveLsm(spark, even, "doc_id", "text", 2, root, "lsmspec_sm")
+    val m1 = ShingleIndex.currentManifest(spark, root).get
+    val evStats = even.agg(count(lit(1)), min("doc_id"), max("doc_id")).head()
+    assert(m1.segments.head.docs === evStats.getLong(0) &&
+      m1.segments.head.minDoc === evStats.getLong(1) &&
+      m1.segments.head.maxDoc === evStats.getLong(2),
+      s"base segment summary wrong: ${m1.segments.head}")
+    // a batch whose id range OVERLAPS the base but whose ids are all
+    // new must pass through the fallback scan — the summary can only
+    // SKIP segments, never produce a false reject
+    val odd = corpus.filter($"doc_id" % 2 === 1)
+    ShingleIndex.appendLsm(spark, odd, "doc_id", "text", 2, root, "lsmspec_sm")
+    val m2 = ShingleIndex.currentManifest(spark, root).get
+    assert(m2.segments.size === 2)
+    // and a REAL duplicate inside the overlapping range still throws
+    val e = intercept[IllegalArgumentException] {
+      ShingleIndex.appendLsm(spark, odd.limit(3), "doc_id", "text", 2,
+        root, "lsmspec_sm")
+    }
+    assert(e.getMessage.contains("double-count"))
+    // a range-DISJOINT batch appends fine (the fast path every
+    // monotone-id deployment takes; read-volume law in
+    // ShingleBucketProbe/SCALING.md)
+    val far = batch.filter($"doc_id" >= 3000000L)
+    ShingleIndex.appendLsm(spark, far, "doc_id", "text", 2, root, "lsmspec_sm")
+    val m3 = ShingleIndex.currentManifest(spark, root).get
+    assert(m3.segments.size === 3)
+    assert(m3.segments.last.minDoc >= 3000000L,
+      "delta segment summary must carry the batch's id range")
+    // compaction folds the summaries exactly (disjoint doc sets)
+    ShingleIndex.compactLsm(spark, root, "lsmspec_sm")
+    val mc = ShingleIndex.currentManifest(spark, root).get
+    assert(mc.segments.size === 1)
+    assert(mc.segments.head.docs === m3.segments.map(_.docs).sum &&
+      mc.segments.head.minDoc === m3.segments.map(_.minDoc).min &&
+      mc.segments.head.maxDoc === m3.segments.map(_.maxDoc).max,
+      s"compacted summary must be the exact fold: ${mc.segments.head}")
+  }
+
+  test("shouldCompact fires exactly at the derived 4-segment threshold") {
+    val root = freshRoot("graft_lsm_trig")
+    ShingleIndex.saveLsm(spark, corpus, "doc_id", "text", 2, root, "lsmspec_tg")
+    def m = ShingleIndex.currentManifest(spark, root).get
+    assert(!ShingleIndex.shouldCompact(m), "1 segment must not trigger")
+    val novel = batch.filter($"doc_id" >= 3000000L)
+    val third = pmod(floor($"doc_id" / 10), lit(3))
+    ShingleIndex.appendLsm(spark, novel.filter(third === 0),
+      "doc_id", "text", 2, root, "lsmspec_tg")
+    assert(!ShingleIndex.shouldCompact(m), "2 segments sit below S*")
+    ShingleIndex.appendLsm(spark, novel.filter(third === 1),
+      "doc_id", "text", 2, root, "lsmspec_tg")
+    assert(!ShingleIndex.shouldCompact(m),
+      "3 segments still sit below the amortization optimum S* = 1 + sqrt(2R/tau) = 4")
+    ShingleIndex.appendLsm(spark, novel.filter(third === 2),
+      "doc_id", "text", 2, root, "lsmspec_tg")
+    assert(ShingleIndex.shouldCompact(m),
+      "4 segments must fire the derived trigger")
+    ShingleIndex.compactLsm(spark, root, "lsmspec_tg")
+    assert(!ShingleIndex.shouldCompact(m), "compaction resets the trigger")
+  }
+
   test("compaction folds segments into one without changing verdicts") {
     val root = freshRoot("graft_lsm_cp")
     ShingleIndex.saveLsm(spark, corpus, "doc_id", "text", 2, root, "lsmspec_cp")
