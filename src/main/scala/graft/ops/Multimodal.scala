@@ -187,7 +187,14 @@ object Multimodal {
     * "microphone". Interleaved sample i (frame·2 + channel) takes the
     * int16 value ((id·31 + i·7) mod 65536) − 32768, restated verbatim
     * by the oracle. Standard 44-byte RIFF/WAVE/fmt/data layout. */
-  def encodeWav(id: Long, nFrames: Int, sampleRate: Int = 8000): Array[Byte] = {
+  def encodeWav(id: Long, nFrames: Int, sampleRate: Int = 8000): Array[Byte] =
+    buildWav(nFrames, sampleRate)(i =>
+      (((id * 31L + i * 7L) % 65536L) - 32768L).toInt)
+
+  /** Standard 44-byte RIFF/WAVE/fmt/data layout around an interleaved
+    * int16 sample generator — shared by both fixture encoders. */
+  private def buildWav(nFrames: Int, sampleRate: Int)(
+      sample: Int => Int): Array[Byte] = {
     val n = nFrames * 2
     val dataLen = n * 2
     val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
@@ -205,19 +212,20 @@ object Multimodal {
     bb.put("data".getBytes(ascii)).putInt(dataLen)
     var i = 0
     while (i < n) {
-      bb.putShort((((id * 31L + i * 7L) % 65536L) - 32768L).toShort)
+      bb.putShort(sample(i).toShort)
       i += 1
     }
     bb.array()
   }
 
-  /** Real RIFF parser: validates RIFF/WAVE, then WALKS THE CHUNK LIST
-    * (fmt then data, skipping unknown chunks — the part naive offset-44
-    * readers get wrong on files with LIST/INFO chunks), checks the PCM
-    * format fields, then folds the interleaved int16 samples into
-    * per-channel stats. Throws on malformed input — a decoder, not a
-    * fingerprint. */
-  def decodeWav(id: Long, bytes: Array[Byte]): AudioFeatures = {
+  /** The shared RIFF chunk walk: validates RIFF/WAVE, walks the chunk
+    * list (fmt then data, skipping unknown chunks — the part naive
+    * offset-44 readers get wrong on files with LIST/INFO chunks),
+    * checks the PCM layout, and returns (sampleRate, channels,
+    * dataStart, dataLen). Throws on malformed input — a parser, not a
+    * fingerprint. Backs [[decodeWav]], [[gainWav]] and
+    * [[audioFingerprint64]]. */
+  private def walkWav(bytes: Array[Byte]): (Int, Int, Int, Int) = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def fourcc(): String = {
@@ -250,6 +258,15 @@ object Multimodal {
     require(bits == 16 && channels == 2, "unsupported PCM layout")
     require(dataLen % 4 == 0 && dataStart + dataLen <= bytes.length,
       s"truncated data chunk: $dataLen bytes from $dataStart")
+    (sampleRate, channels, dataStart, dataLen)
+  }
+
+  /** Real RIFF decode ([[walkWav]]) folding the interleaved int16
+    * samples into per-channel |sample| sums and the global peak. */
+  def decodeWav(id: Long, bytes: Array[Byte]): AudioFeatures = {
+    val (sampleRate, channels, dataStart, dataLen) = walkWav(bytes)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     var l = 0L; var r = 0L; var peak = 0
     var i = 0
     val n = dataLen / 2
@@ -383,6 +400,109 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions(rows =>
         rows.map(r => (r.media_id, dHash64(r.payload))))
+      .toDF("doc", "simhash")
+  }
+
+  // ── Audio near-dup (q44f): the q44e pattern on q44d's decoder. A
+  // per-window ENERGY-SIGN fingerprint over decoded PCM — 65 equal
+  // frame windows, window energy = Σ|sample| over both channels, bit
+  // b set when energy rises window b → b+1 — packed into an int64 and
+  // fed to the exact q41c machinery (16-bit-chunk Hamming blocking +
+  // bit_count verify). A GAIN transform scales every window energy by
+  // the same monotone map, so adjacent-energy comparisons survive it
+  // except where int16 clamping bites — a re-mastered variant lands a
+  // few bits from its base while distinct streams' quadratic textures
+  // give independent energy walks (the q44e lesson: q44d's LINEAR
+  // sample ramp has near-constant window-energy deltas and would
+  // collapse the fingerprint, so the q44f fixture squares the form).
+  // Integer-exact end-to-end; the oracle replays sample → window →
+  // sign → pack → block → verify from the texture arithmetic.
+
+  /** Deterministic TEXTURED stereo WAV — q44f's microphone.
+    * Interleaved sample i = ((id·31 + i·7)² mod 33000) − 16500, range
+    * ±16500 so a ×2 gain clamps only the ~0.7% loudest samples (the
+    * few-bit perturbation the near-dup must absorb). Frame count is
+    * 65·wlen — exactly 65 fingerprint windows, no tail. */
+  def encodeWavTextured(id: Long, wlen: Int,
+      sampleRate: Int = 8000): Array[Byte] =
+    buildWav(65 * wlen, sampleRate) { i =>
+      val q = id * 31L + i * 7L
+      (((q * q) % 33000L) - 16500L).toInt
+    }
+
+  /** Media table with textured audio payloads: one stereo WAV per
+    * document, window length 4–8 frames derived from the id
+    * (oracle-mirrorable). */
+  def fromDocumentsWavTextured(spark: SparkSession,
+      docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      MediaRow(id, "audio_wav_tex",
+        encodeWavTextured(id, (4 + id % 5).toInt))
+    }
+  }
+
+  /** REAL audio transform over the binary payload: walk the RIFF
+    * chunks, multiply every int16 sample by `gain` with int16
+    * clamping, re-emit the stream — the re-master/normalization step
+    * an audio pipeline applies. The near-dup fixture's variants are
+    * produced by THIS transform on the actual bytes. */
+  def gainWav(bytes: Array[Byte], gain: Int): Array[Byte] = {
+    val (_, _, dataStart, dataLen) = walkWav(bytes)
+    val out = java.util.Arrays.copyOf(bytes, bytes.length)
+    val bb = java.nio.ByteBuffer.wrap(out)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var p = dataStart
+    val end = dataStart + dataLen
+    while (p < end) {
+      val s = math.min(math.max(gain * bb.getShort(p).toInt, -32768), 32767)
+      bb.putShort(p, s.toShort)
+      p += 2
+    }
+    out
+  }
+
+  /** The 64-bit energy-sign fingerprint: decode ([[walkWav]]), split
+    * the frame sequence into 65 equal windows (tail beyond 65·wlen
+    * ignored; the fixture has none), window energy = Σ|sample| over
+    * both channels, bit gy set when energy rises into the next
+    * window. Gain shifts scale all energies monotonically, so the
+    * comparisons survive re-mastering except at clamp sites. */
+  def audioFingerprint64(bytes: Array[Byte]): Long = {
+    val (_, _, dataStart, dataLen) = walkWav(bytes)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val wlen = (dataLen / 4) / 65 // frames per window
+    require(wlen > 0, "too few frames for a 65-window fingerprint")
+    val energies = new Array[Long](65)
+    var j = 0
+    while (j < 65) {
+      var acc = 0L
+      val base = dataStart + j * wlen * 4 // 2 samples/frame × 2 bytes
+      var k = 0
+      while (k < 2 * wlen) {
+        acc += math.abs(bb.getShort(base + 2 * k).toInt)
+        k += 1
+      }
+      energies(j) = acc
+      j += 1
+    }
+    var hash = 0L
+    var b = 0
+    while (b < 64) {
+      if (energies(b) < energies(b + 1)) hash |= 1L << b
+      b += 1
+    }
+    hash
+  }
+
+  /** Partition-wise fingerprint extraction → the (doc, simhash)
+    * relation [[Dedup.simHashNearDups]] blocks and verifies —
+    * [[perceptualHashes]]' audio twin. */
+  def audioFingerprints(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(rows =>
+        rows.map(r => (r.media_id, audioFingerprint64(r.payload))))
       .toDF("doc", "simhash")
   }
 }

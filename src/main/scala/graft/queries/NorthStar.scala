@@ -1812,6 +1812,70 @@ object NorthStar {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** q44f: AUDIO near-dup — the q44e pattern on q44d's decoder,
+    * completing the multimodal dedup story (round-19 verdict item 5).
+    * [[graft.ops.Multimodal.audioFingerprint64]] folds decoded PCM
+    * into a 64-bit per-window energy-sign fingerprint (65 equal frame
+    * windows, bit = does energy rise into the next window), then
+    * q41c's exact machinery — 16-bit-chunk Hamming blocking +
+    * bit_count verify ([[graft.ops.Dedup.simHashNearDups]]). The
+    * fixture pairs each doc_id%4==0 stream with a variant produced by
+    * a REAL binary transform ([[graft.ops.Multimodal.gainWav]] —
+    * chunk-walk, clamp-double every int16 sample, re-emit): gain
+    * scales every window energy monotonically so the sign comparisons
+    * survive except at the ~0.7% clamp sites, landing variants a few
+    * bits from base (matched), while distinct streams' quadratic
+    * sample textures give independent energy walks (unmatched) — the
+    * spec pins both plus the byte-level transform law. Every step is
+    * integer-exact; the oracle re-derives the samples from the
+    * texture arithmetic and replays window → sign → pack → block →
+    * verify, so the whole pipeline hash-checks like q44e. Scale
+    * shape: decode+fingerprint is a pure map (the justified
+    * mapPartitions, as q44d); blocking fans out 4 rows/stream; verify
+    * is candidate-bounded — no pairwise audio comparison anywhere. */
+  val q44f = QueryDef("q44f_multimodal_audio_neardup",
+    """WITH m AS (
+      |  SELECT doc_id AS mid, doc_id AS id, 1 AS g,
+      |         4 + doc_id % 5 AS wlen FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, doc_id, 2, 4 + doc_id % 5
+      |  FROM documents WHERE doc_id % 4 = 0),
+      |en AS (SELECT mid, j,
+      |    SUM(ABS(LEAST(GREATEST(g * (((id * 31 + i * 7) * (id * 31 + i * 7)) % 33000 - 16500),
+      |                           -32768), 32767))) AS e
+      |  FROM (SELECT mid, id, g, j, 2 * j * wlen + k AS i
+      |        FROM m, UNNEST(generate_series(0, 64)) AS t1(j),
+      |                UNNEST(generate_series(0, 2 * wlen - 1)) AS t2(k))
+      |  GROUP BY mid, j),
+      |bits AS (SELECT a.mid, a.j AS b,
+      |           CASE WHEN a.e < c.e THEN 1 ELSE 0 END AS v
+      |         FROM en a JOIN en c ON c.mid = a.mid AND c.j = a.j + 1
+      |         WHERE a.j < 64),
+      |ph AS (SELECT mid, CAST(SUM(CASE WHEN v = 0 THEN 0
+      |          WHEN b = 63 THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+      |          ELSE (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) END) AS BIGINT) AS phash
+      |       FROM bits GROUP BY mid),
+      |chunks AS (SELECT mid, phash, c.chunk,
+      |             (phash >> (c.chunk * 16)) & 65535 AS ckey
+      |           FROM ph, (SELECT UNNEST([0, 1, 2, 3]) AS chunk) c),
+      |cand AS (SELECT DISTINCT a.mid AS doc_a, b.mid AS doc_b,
+      |            a.phash AS ha, b.phash AS hb
+      |         FROM chunks a JOIN chunks b
+      |           ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.mid < b.mid)
+      |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS dist
+      |FROM cand WHERE bit_count(xor(ha, hb)) <= 12
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val base = Multimodal.fromDocumentsWavTextured(s, Tables.documents(s, dir))
+    val variants = base.filter(col("media_id") % 4 === 0)
+      .map(r => Multimodal.MediaRow(r.media_id + 1000000L, r.kind,
+        Multimodal.gainWav(r.payload, 2)))
+    Dedup.simHashNearDups(
+      Multimodal.audioFingerprints(base.unionByName(variants)),
+      maxHamming = 12)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Hard-negative mining (q100): per query, the 3 most-similar
     * WRONG-label vectors — the contrastive-training data op (DPR/
     * SBERT triplet mining; random negatives teach nothing, the
@@ -1904,6 +1968,6 @@ object NorthStar {
 
   val defs: Seq[QueryDef] = Seq(q41a, q41h, q41i, q41b, q41c, q41d, q41e, q41f, q41g,
     q41j, q41k, q41l, q41m, q41n, q41o, q41p, q42, q42b, q42c, q42d, q42e, q42f, q42g, q42h, q74, q43a, q43b, q43c, q43d, q43e, q43f,
-    q43g, q43h, q43i, q43j, q44, q44b, q44c, q44d, q44e, q81, q83, q88, q88b, q88c, q88d,
+    q43g, q43h, q43i, q43j, q44, q44b, q44c, q44d, q44e, q44f, q81, q83, q88, q88b, q88c, q88d,
     q91, q92, q97, q97b, q100, q100b)
 }

@@ -136,4 +136,52 @@ class MultimodalSpec extends SparkSpec {
     assert(got == expected,
       s"unexpected cross-image matches: ${got.diff(expected)}")
   }
+
+  test("gainWav is a real PCM transform: header preserved, samples clamp-doubled") {
+    val wav = Multimodal.encodeWavTextured(12L, 6)
+    val loud = Multimodal.gainWav(wav, 2)
+    assert(loud.length == wav.length)
+    // header bytes untouched (44-byte canonical layout here)
+    assert(java.util.Arrays.equals(loud.slice(0, 44), wav.slice(0, 44)))
+    // sample-level law: out = clamp(2·in) over the int16 range
+    val in = java.nio.ByteBuffer.wrap(wav)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val out = java.nio.ByteBuffer.wrap(loud)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (44 until wav.length by 2).foreach { p =>
+      val expect = math.min(math.max(2 * in.getShort(p).toInt, -32768), 32767)
+      assert(out.getShort(p).toInt == expect, s"sample at $p")
+    }
+  }
+
+  test("audio fingerprint: gain variant stays within a few bits; distinct streams are far") {
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val a = Multimodal.audioFingerprint64(Multimodal.encodeWavTextured(12L, 6))
+    val aLoud = Multimodal.audioFingerprint64(
+      Multimodal.gainWav(Multimodal.encodeWavTextured(12L, 6), 2))
+    assert(ham(a, aLoud) <= 6,
+      s"gain variant drifted ${ham(a, aLoud)} bits")
+    val b = Multimodal.audioFingerprint64(Multimodal.encodeWavTextured(13L, 6))
+    assert(ham(a, b) > 12, s"distinct streams only ${ham(a, b)} bits apart")
+  }
+
+  test("audio near-dup pipeline: gain variant matched to its base, distinct pair unmatched") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id").limit(40)
+    val base = Multimodal.fromDocumentsWavTextured(spark, docs)
+    val variants = base.filter($"media_id" % 4 === 0)
+      .map(r => MediaRow(r.media_id + 1000000L, r.kind,
+        Multimodal.gainWav(r.payload, 2)))
+    val pairs = graft.ops.Dedup.simHashNearDups(
+      Multimodal.audioFingerprints(base.unionByName(variants)), maxHamming = 12)
+      .as[(Long, Long, Int)].collect()
+    val expected = variants.select("media_id").as[Long].collect()
+      .map(v => (v - 1000000L, v)).toSet
+    assert(expected.nonEmpty)
+    val got = pairs.map(p => (p._1, p._2)).toSet
+    assert(expected.subsetOf(got),
+      s"missing variant-base pairs: ${expected.diff(got)}")
+    assert(got == expected,
+      s"unexpected cross-stream matches: ${got.diff(expected)}")
+  }
 }
