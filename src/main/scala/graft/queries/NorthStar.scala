@@ -1876,6 +1876,201 @@ object NorthStar {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** q101: the CAPSTONE — one composed end-to-end LLM-corpus pipeline
+    * entry (round-19 verdict item 6), every stage an already-oracled
+    * operator, the COMPOSITION hash-pinned: ingest a mixed-quality
+    * crawl batch (prefix copies, vowel-swapped novels, exact corpus
+    * dups, within-batch dups) → model-based quality filter (q98's
+    * hashed linear classifier, fused map-only kernel) → within-batch
+    * exact dedup (keyed window, no global window) → exact-vs-corpus
+    * anti join → near-dup probe against the corpus's LSM shingle
+    * artifact (q41o machinery, per-segment bucketed probes) → ACCEPT:
+    * the survivors append to the artifact behind its atomic pointer
+    * swap (manifest-summary dup guard takes the range-disjoint fast
+    * path — batch ids sit above every corpus id) → the curated slice
+    * commits via stage-and-swap and reads back with one-step time
+    * travel (q80's readCurrent/readPrevious). The declared result is
+    * the per-lang audit row a curation run ends with: batch/stage
+    * survivor counts, previous vs current corpus size, added chars,
+    * and the post-append re-probe (copies of every accepted doc MUST
+    * match through the appended segment — the q41n proof that the
+    * accept actually landed, here per language). Mutations run once
+    * per (JVM, dataset) inside the memoized build (the q41o
+    * discipline: a re-run probes read-only artifacts, so the append
+    * can never double-fire); the persisted accepted/stats relations
+    * make re-runs artifact-reads, not recomputes. The oracle replays
+    * the ENTIRE pipeline — quality CTEs, both dedup stages, two
+    * near-dup rounds, the rollup delta — in one statement. */
+  private val capScratch =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def capstoneBatch(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir).select("doc_id", "lang", "text")
+    d.filter($"doc_id" % 10 === 3)
+      .select(($"doc_id" + 2000000L).as("doc_id"), $"lang",
+        concat(lit("copy "), $"text").as("text"))
+      .unionByName(d.filter($"doc_id" % 10 === 4)
+        .select(($"doc_id" + 3000000L).as("doc_id"), $"lang",
+          translate($"text", "aeiou", "xyzwv").as("text")))
+      .unionByName(d.filter($"doc_id" % 10 === 7)
+        .select(($"doc_id" + 6000000L).as("doc_id"), $"lang", $"text"))
+      .unionByName(d.filter($"doc_id" % 10 === 4)
+        .select(($"doc_id" + 9000000L).as("doc_id"), $"lang",
+          translate($"text", "aeiou", "xyzwv").as("text")))
+  }
+  private val q101Sql: String = {
+    val hashDim = graft.ops.Curation.HashDim
+    s"""WITH corpus AS (SELECT doc_id AS doc, lang, text FROM documents),
+       |batchq AS (
+       |  SELECT doc_id + 2000000 AS doc, lang, 'copy ' || text AS text
+       |  FROM documents WHERE doc_id % 10 = 3
+       |  UNION ALL
+       |  SELECT doc_id + 3000000, lang, translate(text, 'aeiou', 'xyzwv')
+       |  FROM documents WHERE doc_id % 10 = 4
+       |  UNION ALL
+       |  SELECT doc_id + 6000000, lang, text
+       |  FROM documents WHERE doc_id % 10 = 7
+       |  UNION ALL
+       |  SELECT doc_id + 9000000, lang, translate(text, 'aeiou', 'xyzwv')
+       |  FROM documents WHERE doc_id % 10 = 4),
+       |toksq AS (SELECT doc, UNNEST(string_split_regex(lower(text), '\\s+')) AS t
+       |          FROM batchq),
+       |t2q AS (SELECT doc, t FROM toksq WHERE t <> ''),
+       |bhq AS (SELECT doc, ${Dedup.baseHashSql("t")} % $hashDim AS b FROM t2q),
+       |contribq AS (SELECT doc, (1664525 * b + 1013904223) % 2001 AS wpos FROM bhq),
+       |dq AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |         CAST(SUM(wpos) AS BIGINT) AS sw
+       |       FROM contribq GROUP BY 1),
+       |qual AS (SELECT doc FROM dq WHERE (sw * 1000) // n_tokens - 1000000 > 0),
+       |qdocs AS (SELECT b.doc, b.lang, b.text FROM batchq b JOIN qual USING (doc)),
+       |wdocs AS (SELECT doc, lang, text FROM (
+       |    SELECT doc, lang, text,
+       |      ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc) AS rn
+       |    FROM qdocs) WHERE rn = 1),
+       |ndocs AS (SELECT w.doc, w.lang, w.text FROM wdocs w
+       |          ANTI JOIN corpus c ON c.text = w.text),
+       |${nearDupCtes("1", "corpus", "ndocs")},
+       |accepted AS (SELECT n.doc, n.lang, n.text FROM ndocs n
+       |             LEFT JOIN verd1 v ON v.da = n.doc WHERE v.da IS NULL),
+       |curated AS (SELECT doc, lang, text FROM corpus
+       |            UNION ALL SELECT doc, lang, text FROM accepted),
+       |badocs2 AS (SELECT doc + 1000000 AS doc, lang, 'copy ' || text AS text
+       |            FROM accepted),
+       |${nearDupCtes("2", "curated", "badocs2")},
+       |postm AS (SELECT b.lang, CAST(COUNT(v.da) AS BIGINT) AS post_matched
+       |          FROM badocs2 b LEFT JOIN verd2 v ON v.da = b.doc GROUP BY 1),
+       |prev AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_previous,
+       |           CAST(SUM(length(text)) AS BIGINT) AS chars_prev
+       |         FROM corpus GROUP BY 1),
+       |cur AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_current,
+       |          CAST(SUM(length(text)) AS BIGINT) AS chars_cur
+       |        FROM curated GROUP BY 1),
+       |sb AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_batch FROM batchq GROUP BY 1),
+       |sq AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_quality FROM qdocs GROUP BY 1),
+       |sn AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_new FROM ndocs GROUP BY 1),
+       |sa AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_accepted FROM accepted GROUP BY 1)
+       |SELECT cur.lang,
+       |  COALESCE(sb.n_batch, 0) AS n_batch,
+       |  COALESCE(sq.n_quality, 0) AS n_quality,
+       |  COALESCE(sn.n_new, 0) AS n_new,
+       |  COALESCE(sa.n_accepted, 0) AS n_accepted,
+       |  prev.n_previous, cur.n_current,
+       |  cur.chars_cur - prev.chars_prev AS added_chars,
+       |  COALESCE(postm.post_matched, 0) AS post_matched
+       |FROM cur JOIN prev USING (lang)
+       |LEFT JOIN sb USING (lang) LEFT JOIN sq USING (lang)
+       |LEFT JOIN sn USING (lang) LEFT JOIN sa USING (lang)
+       |LEFT JOIN postm USING (lang)
+       |ORDER BY lang""".stripMargin
+  }
+  val q101 = QueryDef("q101_corpus_pipeline", q101Sql) { (s, dir) =>
+    import graft.ops.ShingleIndex
+    import s.implicits._
+    val corpus = Tables.documents(s, dir).select("doc_id", "lang", "text")
+    val base = ShingleIndex.tableFor("shcap", dir)
+    def hinted(root: String) = {
+      val (segs, dfE) = ShingleIndex.loadLsm(s, root)
+      (segs.map { case (sh, doc) => (sh.hint("merge"), doc.hint("merge")) },
+        dfE.hint("merge"))
+    }
+    val scratch = buildOnceScratch(capScratch, dir, "graft_cap") { p =>
+      val batch = capstoneBatch(s, dir)
+      // 1. quality filter (q98's fused hashed-classifier kernel)
+      val qdocs = batch.join(
+        graft.ops.Curation.hashedLinearScore(batch, "doc_id", "text")
+          .filter($"keep").select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      // 2. within-batch exact dedup — keyed window, never a global one
+      val wdocs = qdocs.withColumn("rn",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy("text").orderBy("doc_id")))
+        .filter($"rn" === 1).drop("rn")
+      // 3. exact-vs-corpus anti join (the q41a shape across relations)
+      val ndocs = wdocs.join(corpus.select("text"), Seq("text"), "left_anti")
+        .select("doc_id", "lang", "text")
+      // 4. near-dup probe against the corpus LSM artifact
+      ShingleIndex.saveLsm(s, corpus.select("doc_id", "text"),
+        "doc_id", "text", 2, s"$p/lsm", base)
+      val (segs, dfE) = hinted(s"$p/lsm")
+      val v1 = Dedup.incrementalNearDupSegmented(segs, dfE,
+        ndocs.select("doc_id", "text"), "doc_id", "text",
+        k = 2, maxDf = 20, threshold = 0.2)
+      ndocs.join(v1.filter($"matched" === 0)
+          .select($"batch_id".as("doc_id")), Seq("doc_id"), "left_semi")
+        .write.mode("overwrite").parquet(s"$p/accepted")
+      graft.CheckpointJanitor.dropNow(v1)
+      val acc = s.read.parquet(s"$p/accepted")
+      // 5. accept: append behind the atomic pointer swap (the
+      // manifest-summary guard takes the range-disjoint fast path)
+      ShingleIndex.appendLsm(s, acc.select("doc_id", "text"),
+        "doc_id", "text", 2, s"$p/lsm", base)
+      // persisted per-lang stage stats — re-runs read, never re-mutate
+      def cnt(df: DataFrame, name: String) =
+        df.groupBy("lang").agg(count(lit(1)).as(name))
+      cnt(batch, "n_batch")
+        .join(cnt(qdocs, "n_quality"), Seq("lang"), "full_outer")
+        .join(cnt(ndocs, "n_new"), Seq("lang"), "full_outer")
+        .join(cnt(acc, "n_accepted"), Seq("lang"), "full_outer")
+        .write.mode("overwrite").parquet(s"$p/stats")
+      // 6. curated slice: two stage-and-swap refreshes (pre/post
+      // accept) make the pipeline's delta time-travel-readable
+      def rollup(docs: DataFrame) = docs.groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(length($"text")).as("chars"))
+      graft.ops.StagedRefresh.refresh(rollup(corpus), s"$p/curated")
+      graft.ops.StagedRefresh.refresh(
+        rollup(corpus.unionByName(acc)), s"$p/curated")
+    }
+    // read-only per run: artifacts + the post-append re-probe
+    val acc = s.read.parquet(s"$scratch/accepted")
+    val batch2 = acc.select(($"doc_id" + 1000000L).as("doc_id"), $"lang",
+      concat(lit("copy "), $"text").as("text"))
+    val (segs2, dfE2) = hinted(s"$scratch/lsm")
+    val v2 = Dedup.incrementalNearDupSegmented(segs2, dfE2,
+      batch2.select("doc_id", "text"), "doc_id", "text",
+      k = 2, maxDf = 20, threshold = 0.2)
+    val postm = batch2.join(v2.filter($"matched" === 1)
+        .select($"batch_id".as("doc_id")), Seq("doc_id"), "left_semi")
+      .groupBy("lang").agg(count(lit(1)).as("post_matched"))
+    val cur = graft.ops.StagedRefresh.readCurrent(s, s"$scratch/curated")
+      .select($"lang", $"n".as("n_current"), $"chars".as("chars_cur"))
+    val prev = graft.ops.StagedRefresh.readPrevious(s, s"$scratch/curated")
+      .select($"lang", $"n".as("n_previous"), $"chars".as("chars_prev"))
+    graft.CheckpointJanitor.evictAfterConsumption(
+      cur.join(prev, Seq("lang"))
+        .join(s.read.parquet(s"$scratch/stats"), Seq("lang"), "left_outer")
+        .join(postm, Seq("lang"), "left_outer")
+        .select($"lang",
+          coalesce($"n_batch", lit(0L)).as("n_batch"),
+          coalesce($"n_quality", lit(0L)).as("n_quality"),
+          coalesce($"n_new", lit(0L)).as("n_new"),
+          coalesce($"n_accepted", lit(0L)).as("n_accepted"),
+          $"n_previous", $"n_current",
+          ($"chars_cur" - $"chars_prev").cast("long").as("added_chars"),
+          coalesce($"post_matched", lit(0L)).as("post_matched"))
+        .orderBy("lang"))
+  }
+
   /** Hard-negative mining (q100): per query, the 3 most-similar
     * WRONG-label vectors — the contrastive-training data op (DPR/
     * SBERT triplet mining; random negatives teach nothing, the
@@ -1968,6 +2163,6 @@ object NorthStar {
 
   val defs: Seq[QueryDef] = Seq(q41a, q41h, q41i, q41b, q41c, q41d, q41e, q41f, q41g,
     q41j, q41k, q41l, q41m, q41n, q41o, q41p, q42, q42b, q42c, q42d, q42e, q42f, q42g, q42h, q74, q43a, q43b, q43c, q43d, q43e, q43f,
-    q43g, q43h, q43i, q43j, q44, q44b, q44c, q44d, q44e, q44f, q81, q83, q88, q88b, q88c, q88d,
+    q43g, q43h, q43i, q43j, q44, q44b, q44c, q44d, q44e, q44f, q101, q81, q83, q88, q88b, q88c, q88d,
     q91, q92, q97, q97b, q100, q100b)
 }
