@@ -84,7 +84,10 @@ object Explains {
     "q41o_dedup_incremental_neardup_lsm",
     "q41p_dedup_incremental_neardup_compacted",
     "q42h_similarity_ivf_retrain",
-    "q44e_multimodal_phash_neardup")
+    "q44e_multimodal_phash_neardup",
+    // round 20: audio near-dup + the composed curation capstone
+    "q44f_multimodal_audio_neardup",
+    "q101_corpus_pipeline")
 
   /** Prose above a query's plan — the one- paragraph reading guide for
     * the plan properties SCALING.md leans on. Keyed by query name so a
@@ -176,6 +179,31 @@ object Explains {
         |candidates only. At 100 TB the hash pass is a pure map over
         |the image bytes and only 16-byte (id, hash) rows ever
         |shuffle.""".stripMargin,
+    "q44f_multimodal_audio_neardup" ->
+      """Audio near-dup — q44e's shape on the RIFF decoder: the
+        |decode+fingerprint stage is the justified mapPartitions (chunk
+        |walk + 65-window |sample| energy fold — per-row imperative
+        |byte work, as q44d), everything after is the shared relational
+        |machinery on the (doc, simhash) relation: 4-rows-per-stream
+        |chunk explode, chunk-equality self-join, bit_count Hamming
+        |verify on candidates only. A gain re-master scales window
+        |energies monotonically so the sign bits survive it except at
+        |int16 clamp sites. At 100 TB the fingerprint pass is a pure
+        |map over the audio bytes and only 16-byte (id, hash) rows
+        |ever shuffle.""".stripMargin,
+    "q101_corpus_pipeline" ->
+      """The capstone's declared plan is the READ side of the pipeline:
+        |per-lang audit joins over the persisted stage stats, the
+        |stage-and-swap rollup generations (readCurrent/readPrevious
+        |FileScans through the pointer), and the post-append re-probe —
+        |the q41o per-segment bucketed probe family over the
+        |base+accepted LSM generation, batch2-sized relations shuffling
+        |only. The WRITE side (quality filter -> exact dedup -> near-dup
+        |probe -> appendLsm -> two refreshes) runs once per (JVM,
+        |dataset) in the memoized build; every mutation commits behind
+        |an atomic pointer swap, and the append's dup guard takes the
+        |manifest-summary fast path (batch ids sit above every corpus
+        |id — zero segment reads).""".stripMargin,
     "q88d_similarity_pq_kmeans" ->
       """Identical query-time plan to q88 (encode map + broadcast ADC +
         |shortlist window + rerank) — only the codebook LITERALS differ
