@@ -30,7 +30,9 @@ def main():
         if max(old, new) < floor:
             continue
         if new > factor * old:
-            violations.append((q, old, new, new / old))
+            # a zero/failed baseline med still reports, with an inf ratio
+            ratio = new / old if old > 0 else float("inf")
+            violations.append((q, old, new, ratio))
     for q, o, n, r in sorted(violations, key=lambda t: -t[3]):
         print(f"REGRESSION {q}: {o:.2f} -> {n:.2f} ({r:.1f}x)")
     new_qs = sorted(set(cand["queries"]) - set(base["queries"]))

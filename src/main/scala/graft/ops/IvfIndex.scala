@@ -154,6 +154,7 @@ object IvfIndex {
       hook: String => Unit = _ => ()): Unit = {
     import org.apache.spark.sql.functions.{bit_xor, col, xxhash64}
     healAppends(spark, path) // finish any crashed append first
+    sweepOrphans(spark, path) // writer-side only — see healAppends doc
     val a = Similarity.assignedCorpus(delta, cents)
       .transform(graft.Staging.stage) // guard + write share one pass
     val vids = a.select("vid").distinct()
@@ -221,30 +222,58 @@ object IvfIndex {
             .foreach { st =>
               val dst = new org.apache.hadoop.fs.Path(dstDir,
                 s"$token-${st.getPath.getName}")
-              if (!fs.exists(dst))
-                require(fs.rename(st.getPath, dst),
+              // tolerate a concurrent healer winning the same move (a
+              // reader healing the pending append we are finishing)
+              if (!fs.exists(dst) && !fs.rename(st.getPath, dst))
+                require(fs.exists(dst),
                   s"assignment delta splice failed: ${st.getPath} -> $dst")
             }
         }
     }
+    // keep ONLY this append's sentinel: the no-op retry window is
+    // "until the next append lands" (the ShingleIndex df-swap
+    // semantics) — unbounded sentinel accumulation would grow the
+    // root listing forever and multiply 2^-64 collision targets
+    // (round-20 review); a later retry of an older accept hits the
+    // dup guard instead, loudly
+    fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith("_APPLIED_") &&
+        p.getName != s"_APPLIED_$token")
+      .foreach(p => fs.delete(p, false))
     touch(spark, s"$path/_APPLIED_$token")
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/_PENDING_$token"), false)
     fs.delete(staged, true)
   }
 
   /** Finish a crashed [[appendAssignments]], whatever instant it died
-    * at, and sweep unreferenced staging debris. Keyed entirely on the
-    * artifact-owned `_PENDING_*` markers. */
+    * at. Keyed entirely on the artifact-owned `_PENDING_*` markers.
+    * NON-DESTRUCTIVE — safe from the read path: a pending marker
+    * guarantees its delta is complete, so completing the splice can
+    * never lose data. Debris sweeping is the WRITER's job
+    * ([[sweepOrphans]]): a reader deleting an unmarked delta dir
+    * would race the single writer in its window between the delta
+    * write and the pending touch, silently discarding an in-flight
+    * append (round-20 review). */
   private def healAppends(spark: SparkSession, path: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopFs(spark, root)
+    if (!fs.exists(root)) return
+    fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("_PENDING_")).map(_.stripPrefix("_PENDING_"))
+      .foreach(token => finishAppend(spark, path, token))
+  }
+
+  /** Sweep staged delta dirs whose pending marker never landed (crash
+    * before the marker) or is gone (crash mid-cleanup). Run ONLY from
+    * [[appendAssignments]] — single-writer means no sibling append is
+    * in its pre-marker window when this runs. */
+  private def sweepOrphans(spark: SparkSession, path: String): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = hadoopFs(spark, root)
     if (!fs.exists(root)) return
     val pending = fs.listStatus(root).map(_.getPath.getName)
       .filter(_.startsWith("_PENDING_")).map(_.stripPrefix("_PENDING_"))
-    pending.foreach(token => finishAppend(spark, path, token))
-    // staged delta dirs whose pending marker never landed (crash
-    // before the marker) or is gone (crash mid-cleanup) are invisible
-    // debris — the retry re-stages from scratch
     val parent = root.getParent
     if (parent != null && fs.exists(parent)) {
       val prefix = s"${root.getName}.delta_"
@@ -356,9 +385,12 @@ object IvfIndex {
   /** (max cell row count, total rows) of a cell-partitioned
     * assignment — ONE aggregate over the column-pruned `cell` column
     * (partition-value metadata; no embedding bytes move), the cheap
-    * live read behind [[needsRetrain]]. */
+    * live read behind [[needsRetrain]]. Heals a crashed append first
+    * (the [[loadAssignments]] invariant — a half-spliced delta would
+    * otherwise skew the occupancy signal, round-20 review). */
   def occupancy(spark: SparkSession, assignPath: String): (Long, Long) = {
     import org.apache.spark.sql.functions.{count, lit, max, sum}
+    healAppends(spark, assignPath)
     val r = spark.read.parquet(assignPath)
       .groupBy("cell").agg(count(lit(1)).as("n"))
       .agg(max("n"), sum("n")).head()

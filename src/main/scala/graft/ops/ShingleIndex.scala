@@ -99,54 +99,73 @@ object ShingleIndex {
     * `newDocs` ids must be NEW — re-appending a doc would silently
     * double its (doc, sh) rows and df counts, corrupting Jaccard
     * verdicts — so overlap fails fast, EXCEPT when the batch is a
-    * retry of an append that already landed: the token is computed
+    * retry of an append that already landed: the token is derived
     * BEFORE the guard, and a batch whose `_APPLIED_<token>` sentinel
     * rides inside df AND whose docs are all present returns as a
     * no-op (round-19 advice — callers can now retry an accept
     * blindly; the old contract threw on a retried success and the
-    * caller could not tell it from corruption). The presence
-    * cross-check also closes the 2^-64 silent-loss window the bare
-    * sentinel had: a NEW batch whose token collides with the previous
-    * append's surviving sentinel has absent docs, so the stale
-    * sentinel is cleared and the append proceeds instead of being
-    * silently dropped. The guard costs one doc-column pass over the
+    * caller could not tell it from corruption; the window closes at
+    * the NEXT append's df swap, after which a very late retry hits
+    * the dup guard instead).
+    *
+    * Token derivation walks a DETERMINISTIC sequence seeded by the
+    * delta's id-set XOR fold and uses the first token no OTHER append
+    * owns — "owns" meaning token-prefixed files already spliced into
+    * the shingle relation, or a sentinel whose docs are not this
+    * batch's. A colliding token is therefore never REUSED: the old
+    * protocol deleted the colliding sentinel and proceeded under the
+    * same token, and the df merge's `<token>-*` glob then re-counted
+    * the OLD batch's spliced files — a 2^-64 silent-corruption
+    * window (round-20 review). The walk is retry-stable: a retry sees
+    * the same ownership state, skips the same tokens, and lands on
+    * its own sentinel. The guard costs one doc-column pass over the
     * artifact (column-pruned parquet read) and runs AFTER healing, so
     * a crashed self-append can never masquerade as a double-append. */
   def append(spark: SparkSession, newDocs: DataFrame, idCol: String,
       textCol: String, k: Int, path: String): Unit = {
     healPending(spark, path) // finish any crashed append first
+    sweepOrphans(spark, path) // writer-side only — see healPending doc
     val shA = Dedup.wordShingles(Dedup.spreadToCores(newDocs), idCol,
         textCol, k)
       .select(col("doc"), xxhash64(col("shingle")).as("sh"))
       .transform(graft.Staging.stage)
     val ids = shA.select("doc").distinct()
-    // deterministic token from the delta's id set (order-independent
-    // XOR fold — a plain sum overflows int64 under ANSI): a retried
-    // accept of the same batch stages to the same dirs and heals as
-    // itself. Computed BEFORE the dup guard so a retried success is
-    // recognized as such, not rejected as a double-append.
+    // deterministic token seed from the delta's id set
+    // (order-independent XOR fold — a plain sum overflows int64 under
+    // ANSI): a retried accept of the same batch derives the same
+    // sequence and heals as itself
     val idFold = ids.agg(bit_xor(xxhash64(col("doc")))).head()
     if (idFold.isNullAt(0)) { // empty delta — nothing to fold in
       graft.CheckpointJanitor.dropNow(shA)
       return
     }
-    val token = java.lang.Long.toHexString(idFold.getLong(0))
     val fs = hadoopFs(spark, new org.apache.hadoop.fs.Path(path))
-    val applied = new org.apache.hadoop.fs.Path(s"$path/df/_APPLIED_$token")
-    if (fs.exists(applied)) {
-      // the sentinel names this batch as already applied — but a
-      // 64-bit token can collide with the previous append's sentinel
-      // (it survives inside df until the NEXT swap), so trust it only
-      // when every batch doc is actually present in the artifact
-      val missing = ids.join(
-          spark.read.parquet(s"$path/shingles").select("doc"),
-          Seq("doc"), "left_anti")
-        .limit(1).count()
-      if (missing == 0L) { // retried accept — the append already landed
+    val shinglesDir = new org.apache.hadoop.fs.Path(s"$path/shingles")
+    val splicedNames = fs.listStatus(shinglesDir).map(_.getPath.getName)
+    // lazily evaluated at most once: are ALL batch docs already in the
+    // artifact (the retried-success signature)?
+    lazy val allPresent = ids.join(
+        spark.read.parquet(s"$path/shingles").select("doc"),
+        Seq("doc"), "left_anti")
+      .limit(1).count() == 0L
+    var fold = idFold.getLong(0)
+    var token: String = null
+    var attempts = 0
+    while (token == null) {
+      require(attempts < 64, s"token walk did not terminate under $path")
+      val t = java.lang.Long.toHexString(fold)
+      val sentinel = fs.exists(
+        new org.apache.hadoop.fs.Path(s"$path/df/_APPLIED_$t"))
+      if (sentinel && allPresent) { // retried accept — already landed
         graft.CheckpointJanitor.dropNow(shA)
         return
       }
-      fs.delete(applied, false) // token collision: stale sentinel, clear
+      if (!sentinel && !splicedNames.exists(_.startsWith(t + "-")))
+        token = t // unowned — ours
+      else { // owned by an earlier append: deterministic remix
+        fold = java.lang.Long.rotateLeft(fold, 31) * 0x9E3779B97F4A7C15L + 1L
+        attempts += 1
+      }
     }
     val dup = spark.read.parquet(s"$path/shingles").select("doc")
       .join(ids, Seq("doc"), "left_semi")
@@ -173,8 +192,11 @@ object ShingleIndex {
         .foreach { st =>
           val dst = new org.apache.hadoop.fs.Path(
             s"$path/shingles/$token-${st.getPath.getName}")
-          if (!fs.exists(dst))
-            require(fs.rename(st.getPath, dst),
+          // tolerate a concurrent healer winning the same move (a
+          // reader healing the pending append we are finishing): a
+          // failed rename is fine iff the destination exists
+          if (!fs.exists(dst) && !fs.rename(st.getPath, dst))
+            require(fs.exists(dst),
               s"delta splice failed: ${st.getPath} -> $dst")
         }
       // 2. merged rollup → df_next (+ the applied sentinel riding
@@ -211,7 +233,13 @@ object ShingleIndex {
 
   /** Finish a crashed [[append]], whatever instant it died at. Keyed
     * entirely on artifact-owned markers (never the committer's
-    * `_SUCCESS`). Also sweeps unreferenced `delta_*` staging debris. */
+    * `_SUCCESS`). NON-DESTRUCTIVE — safe from the read path: a
+    * pending marker guarantees its delta is complete, so completing
+    * the splice can never lose data. Debris sweeping is the WRITER's
+    * job ([[sweepOrphans]]): a reader deleting an unmarked delta dir
+    * would race the single writer in its window between the delta
+    * write and the pending touch, silently discarding an in-flight
+    * append (round-20 review). */
   private def healPending(spark: SparkSession, path: String): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = hadoopFs(spark, root)
@@ -232,8 +260,19 @@ object ShingleIndex {
       }
       finishAppend(spark, path, token)
     }
-    // staging dirs whose pending marker is gone are completed appends
-    // that crashed mid-cleanup — plain debris
+  }
+
+  /** Sweep staging dirs whose pending marker never landed (crash
+    * before the marker) or is gone (crash mid-cleanup). Run ONLY from
+    * [[append]] — single-writer means no sibling append is in its
+    * pre-marker window when this runs. */
+  private def sweepOrphans(spark: SparkSession, path: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopFs(spark, root)
+    if (!fs.exists(root)) return
+    val names = fs.listStatus(root).map(_.getPath.getName)
+    val pending = names.filter(_.startsWith("pending_"))
+      .map(_.stripPrefix("pending_"))
     names.filter(_.startsWith("delta_"))
       .map(_.stripPrefix("delta_"))
       .filterNot(pending.contains)
@@ -465,6 +504,17 @@ object ShingleIndex {
         (spark.table(s"graft.${sg.prefix}_sh"),
           spark.table(s"graft.${sg.prefix}_doc"))),
       spark.table(s"graft.${m.dfTable}"))
+  }
+
+  /** [[loadLsm]] with MERGE hints on every corpus relation — the
+    * too-big-to-broadcast planner state the q41o/q41p/q101 entries
+    * model (one shared helper so the three LSM entries cannot
+    * silently diverge in join strategy). */
+  def loadLsmHinted(spark: SparkSession, root: String)
+      : (Seq[(DataFrame, DataFrame)], DataFrame) = {
+    val (segs, dfE) = loadLsm(spark, root)
+    (segs.map { case (sh, doc) => (sh.hint("merge"), doc.hint("merge")) },
+      dfE.hint("merge"))
   }
 
   /** Build generation 1 from `corpus`: one base segment + its df. */

@@ -436,7 +436,8 @@ object NorthStar {
     * [[graft.ops.IvfIndex.appendAssignments]]) actually CROWDS cells,
     * and the retrain runs exactly when the DERIVED occupancy trigger
     * fires ([[graft.ops.IvfIndex.needsRetrain]] — live max-cell
-    * occupancy ≥ 1.5× the committed baseline; the entry REQUIRES
+    * occupancy ≥ [[graft.ops.IvfIndex.RetrainOccupancyFactor]] = 1.25×
+    * the committed baseline; the entry REQUIRES
     * fires-before / quiet-after, so the driver run itself pins the
     * operating point, like q41p's compaction threshold). The retrain
     * is deterministic k-means over the grown corpus (q42f's 3
@@ -1349,14 +1350,9 @@ object NorthStar {
     import graft.ops.ShingleIndex
     val d = Tables.documents(s, dir).select("doc_id", "text")
     val base = ShingleIndex.tableFor("shlsm", dir)
-    def hinted(root: String) = {
-      val (segs, dfE) = ShingleIndex.loadLsm(s, root)
-      (segs.map { case (sh, doc) => (sh.hint("merge"), doc.hint("merge")) },
-        dfE.hint("merge"))
-    }
     val scratch = buildOnceScratch(lsmScratch, dir, "graft_shlsm") { p =>
       ShingleIndex.saveLsm(s, d, "doc_id", "text", 2, p, base)
-      val (segs1, dfE1) = hinted(p)
+      val (segs1, dfE1) = ShingleIndex.loadLsmHinted(s, p)
       val b1 = nearDupBatch(s, dir)
       val v1 = Dedup.incrementalNearDupSegmented(segs1, dfE1, b1,
         "doc_id", "text", k = 2, maxDf = 20, threshold = 0.2)
@@ -1367,7 +1363,7 @@ object NorthStar {
       ShingleIndex.appendLsm(s, accepted, "doc_id", "text", 2, p, base)
       graft.CheckpointJanitor.dropNow(v1)
     }
-    val (segs2, dfE2) = hinted(scratch)
+    val (segs2, dfE2) = ShingleIndex.loadLsmHinted(s, scratch)
     graft.CheckpointJanitor.evictAfterConsumption(
       Dedup.incrementalNearDupSegmented(segs2, dfE2, nearDupBatch2(s, dir),
         "doc_id", "text", k = 2, maxDf = 20, threshold = 0.2)
@@ -1398,14 +1394,9 @@ object NorthStar {
     import graft.ops.ShingleIndex
     val d = Tables.documents(s, dir).select("doc_id", "text")
     val base = ShingleIndex.tableFor("shlsmc", dir)
-    def hinted(root: String) = {
-      val (segs, dfE) = ShingleIndex.loadLsm(s, root)
-      (segs.map { case (sh, doc) => (sh.hint("merge"), doc.hint("merge")) },
-        dfE.hint("merge"))
-    }
     val scratch = buildOnceScratch(lsmCompactScratch, dir, "graft_shlsmc") { p =>
       ShingleIndex.saveLsm(s, d, "doc_id", "text", 2, p, base)
-      val (segs1, dfE1) = hinted(p)
+      val (segs1, dfE1) = ShingleIndex.loadLsmHinted(s, p)
       val b1 = nearDupBatch(s, dir)
       val v1 = Dedup.incrementalNearDupSegmented(segs1, dfE1, b1,
         "doc_id", "text", k = 2, maxDf = 20, threshold = 0.2)
@@ -1432,7 +1423,7 @@ object NorthStar {
         s"q41p must compact AT the derived trigger; segments=${m.segments.size}")
       ShingleIndex.compactLsm(s, p, base)
     }
-    val (segs2, dfE2) = hinted(scratch)
+    val (segs2, dfE2) = ShingleIndex.loadLsmHinted(s, scratch)
     graft.CheckpointJanitor.evictAfterConsumption(
       Dedup.incrementalNearDupSegmented(segs2, dfE2, nearDupBatch2(s, dir),
         "doc_id", "text", k = 2, maxDf = 20, threshold = 0.2)
@@ -1989,11 +1980,6 @@ object NorthStar {
     import s.implicits._
     val corpus = Tables.documents(s, dir).select("doc_id", "lang", "text")
     val base = ShingleIndex.tableFor("shcap", dir)
-    def hinted(root: String) = {
-      val (segs, dfE) = ShingleIndex.loadLsm(s, root)
-      (segs.map { case (sh, doc) => (sh.hint("merge"), doc.hint("merge")) },
-        dfE.hint("merge"))
-    }
     val scratch = buildOnceScratch(capScratch, dir, "graft_cap") { p =>
       val batch = capstoneBatch(s, dir)
       // 1. quality filter (q98's fused hashed-classifier kernel)
@@ -2012,7 +1998,7 @@ object NorthStar {
       // 4. near-dup probe against the corpus LSM artifact
       ShingleIndex.saveLsm(s, corpus.select("doc_id", "text"),
         "doc_id", "text", 2, s"$p/lsm", base)
-      val (segs, dfE) = hinted(s"$p/lsm")
+      val (segs, dfE) = ShingleIndex.loadLsmHinted(s, s"$p/lsm")
       val v1 = Dedup.incrementalNearDupSegmented(segs, dfE,
         ndocs.select("doc_id", "text"), "doc_id", "text",
         k = 2, maxDf = 20, threshold = 0.2)
@@ -2045,7 +2031,7 @@ object NorthStar {
     val acc = s.read.parquet(s"$scratch/accepted")
     val batch2 = acc.select(($"doc_id" + 1000000L).as("doc_id"), $"lang",
       concat(lit("copy "), $"text").as("text"))
-    val (segs2, dfE2) = hinted(s"$scratch/lsm")
+    val (segs2, dfE2) = ShingleIndex.loadLsmHinted(s, s"$scratch/lsm")
     val v2 = Dedup.incrementalNearDupSegmented(segs2, dfE2,
       batch2.select("doc_id", "text"), "doc_id", "text",
       k = 2, maxDf = 20, threshold = 0.2)

@@ -208,6 +208,31 @@ class IvfIndexSpec extends SparkSpec {
       .exists(_.startsWith("_PENDING_")), "pending marker survived the heal")
   }
 
+  test("appendAssignments keeps exactly one applied sentinel (the latest append's)") {
+    val emb = Tables.embeddings(spark, sf)
+    val cents = Similarity.ivfCentroids(emb.filter($"vec_id" % 10 < 6), cells = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfsen").toString
+    IvfIndex.saveAssignments(spark, emb.filter($"vec_id" % 10 < 6), cents,
+      s"$dir/idx")
+    IvfIndex.appendAssignments(spark, emb.filter($"vec_id" % 10 === 7),
+      cents, s"$dir/idx")
+    IvfIndex.appendAssignments(spark, emb.filter($"vec_id" % 10 === 8),
+      cents, s"$dir/idx")
+    val sentinels = new java.io.File(s"$dir/idx").listFiles()
+      .map(_.getName).filter(_.startsWith("_APPLIED_")).toSeq
+    assert(sentinels.size == 1,
+      s"sentinels must not accumulate across appends: $sentinels")
+    // the retry window follows the sentinel: the LAST append still
+    // no-ops, an OLDER one now fails loudly at the dup guard
+    IvfIndex.appendAssignments(spark, emb.filter($"vec_id" % 10 === 8),
+      cents, s"$dir/idx") // no-op
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.appendAssignments(spark, emb.filter($"vec_id" % 10 === 7),
+        cents, s"$dir/idx")
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
+
   test("needsRetrain: quiet under a natural append, fires under drift, quiesces after the retrain") {
     import org.apache.spark.sql.functions.{lit, pmod, transform => arrTransform, when}
     val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")

@@ -115,6 +115,49 @@ class ShingleIndexSpec extends SparkSpec {
       dfR.exceptAll(dfG.select("sh", "ce")).isEmpty)
   }
 
+  test("a colliding token never reuses an earlier append's file prefix (df stays exact)") {
+    // the 2^-64 case, fully simulated: an EARLIER append's spliced
+    // files AND sentinel carry exactly the token the NEW batch
+    // derives. The pre-fix protocol deleted the sentinel and
+    // proceeded under the same token — and the df merge's
+    // `<token>-*.parquet` glob then re-counted the OLD batch's files
+    // (silent corruption). The token walk must skip to a remixed
+    // token and leave both relations exactly equal to a rebuild.
+    val dir = java.nio.file.Files.createTempDirectory("graft_shcol2").toString
+    ShingleIndex.save(corpus, "doc_id", "text", 2, s"$dir/index")
+    val d1 = batch.filter($"doc_id" >= 3000000L && $"doc_id" % 20 < 10)
+    val d2 = batch.filter($"doc_id" >= 3000000L && $"doc_id" % 20 >= 10)
+    ShingleIndex.append(spark, d1, "doc_id", "text", 2, s"$dir/index")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val t1 = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/index/df"))
+      .map(_.getPath.getName).find(_.startsWith("_APPLIED_")).get
+      .stripPrefix("_APPLIED_")
+    val t2 = java.lang.Long.toHexString(
+      d2.select(xxhash64(col("doc_id")).as("h"))
+        .agg(bit_xor(col("h"))).head().getLong(0))
+    // rebrand d1's spliced files + sentinel with d2's base token
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/index/shingles"))
+      .map(_.getPath).filter(_.getName.startsWith(s"$t1-"))
+      .foreach { p =>
+        assert(fs.rename(p, new org.apache.hadoop.fs.Path(p.getParent,
+          s"$t2-${p.getName.stripPrefix(s"$t1-")}")))
+      }
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$dir/index/df/_APPLIED_$t1"),
+      new org.apache.hadoop.fs.Path(s"$dir/index/df/_APPLIED_$t2")))
+    ShingleIndex.append(spark, d2, "doc_id", "text", 2, s"$dir/index")
+    ShingleIndex.save(corpus.unionByName(d1).unionByName(d2),
+      "doc_id", "text", 2, s"$dir/rebuilt")
+    val (shG, dfG) = ShingleIndex.load(spark, s"$dir/index")
+    val (shR, dfR) = ShingleIndex.load(spark, s"$dir/rebuilt")
+    assert(shG.exceptAll(shR).isEmpty && shR.exceptAll(shG).isEmpty,
+      "collision walk lost or duplicated shingle rows")
+    assert(dfG.select("sh", "ce").exceptAll(dfR).isEmpty &&
+      dfR.exceptAll(dfG.select("sh", "ce")).isEmpty,
+      "collision walk double-counted the earlier batch in df")
+  }
+
   test("load heals an append crashed right after staging (delta + pending only)") {
     // the EARLIEST resumable crash point: delta_<T> committed,
     // pending_<T> marker down, nothing spliced or merged yet — load
