@@ -330,20 +330,32 @@ object ShingleIndex {
     * to the dedup artifact; SCALING.md records the fixed-batch
     * shuffle-volume law). Storage cost: 2× the 16-byte (doc, sh)
     * rows — the price of shuffle-free access on both keys. */
-  /** (Re)create catalog table `graft.$name` bucketed+sorted by `key`.
-    * DROP + an explicit location delete first: the in-memory catalog
-    * forgets tables across sessions but the warehouse directory
-    * persists (the Ingest.ensureBucketedTables pattern) — and a
-    * crashed LSM append's ORPHAN tables get overwritten the same way
-    * when the retry re-allocates their names. */
+  /** The directory every bucketed artifact table lives under —
+    * recorded in the LSM manifest so a catalog that lost its entries
+    * can be healed from the manifest alone ([[healCatalog]]). */
+  private def tableDir(spark: SparkSession): String =
+    new org.apache.hadoop.fs.Path(
+      spark.sessionState.conf.warehousePath, "graft.db").toString
+
+  /** (Re)create catalog table `graft.$name` bucketed+sorted by `key`,
+    * as an EXTERNAL table at the artifact-owned location (round-20:
+    * the manifest is the source of truth for WHICH tables exist, so
+    * the table DATA must not be coupled to the catalog entry's
+    * lifetime — a lost/dropped catalog entry re-registers over the
+    * surviving files instead of having deleted them). DROP + an
+    * explicit location delete first: the in-memory catalog forgets
+    * tables across sessions but the warehouse directory persists (the
+    * Ingest.ensureBucketedTables pattern) — and a crashed LSM
+    * append's ORPHAN tables get overwritten the same way when the
+    * retry re-allocates their names. */
   private def materialize(spark: SparkSession, name: String,
       df: DataFrame, key: String, buckets: Int): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS graft.$name")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.sessionState.conf.warehousePath, s"graft.db/$name")
+    val loc = new org.apache.hadoop.fs.Path(tableDir(spark), name)
     loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(loc, true)
     df.write.mode("overwrite").format("parquet")
+      .option("path", loc.toString)
       .bucketBy(buckets, key).sortBy(key).saveAsTable(s"graft.$name")
   }
 
@@ -434,10 +446,13 @@ object ShingleIndex {
       docs < 0L || (docs > 0L && minDoc <= hi && lo <= maxDoc)
   }
 
-  /** One LSM generation: bucket count, the df rollup table, and the
-    * immutable segments. */
+  /** One LSM generation: bucket count, the df rollup table, the
+    * immutable segments, and the directory the tables live under
+    * (recorded so [[healCatalog]] can re-register a lost catalog from
+    * the manifest alone; empty in pre-round-20 manifests — the
+    * current warehouse derives it). */
   final case class LsmManifest(gen: Long, buckets: Int, dfTable: String,
-      segments: Seq[LsmSegment])
+      segments: Seq[LsmSegment], tablesAt: String = "")
 
   private val LsmPointer = "CURRENT"
 
@@ -451,6 +466,7 @@ object ShingleIndex {
     fs.delete(dir, true) // clear a crashed prior attempt at this gen
     fs.mkdirs(dir)
     val text = (s"buckets=${m.buckets}" +: s"df=${m.dfTable}" +:
+      s"tabledir=${m.tablesAt}" +:
       m.segments.map(s =>
         s"seg=${s.prefix}:${s.docs}:${s.minDoc}:${s.maxDoc}")).mkString("\n")
     val out = fs.create(new org.apache.hadoop.fs.Path(dir, "MANIFEST"), true)
@@ -474,7 +490,9 @@ object ShingleIndex {
             LsmSegment(p, d.toLong, lo.toLong, hi.toLong)
           // pre-summary manifest line: no stats — guard scans it
           case Array(p) => LsmSegment(p, -1L, Long.MinValue, Long.MaxValue)
-        } })
+        } },
+      lines.collectFirst { case l if l.startsWith("tabledir=") =>
+        l.stripPrefix("tabledir=") }.getOrElse(""))
   }
 
   /** Distinct-doc count + id range of a staged (doc, sh) relation —
@@ -500,6 +518,7 @@ object ShingleIndex {
     val m = currentManifest(spark, root).getOrElse(
       throw new IllegalStateException(
         s"no committed LSM generation under $root (pointer absent)"))
+    healCatalog(spark, m, root)
     (m.segments.map(sg =>
         (spark.table(s"graft.${sg.prefix}_sh"),
           spark.table(s"graft.${sg.prefix}_doc"))),
@@ -534,7 +553,7 @@ object ShingleIndex {
     val (nDocs, lo, hi) = docSummary(shE)
     graft.CheckpointJanitor.dropNow(shE)
     val m = LsmManifest(1L, buckets, s"${base}_g1_df",
-      Seq(LsmSegment(prefix, nDocs, lo, hi)))
+      Seq(LsmSegment(prefix, nDocs, lo, hi)), tableDir(spark))
     writeManifest(spark, root, m)
     StagedRefresh.swapPointer(spark,
       new org.apache.hadoop.fs.Path(root), LsmPointer, "gen-1")
@@ -558,6 +577,7 @@ object ShingleIndex {
     val m = currentManifest(spark, root).getOrElse(
       throw new IllegalStateException(
         s"appendLsm needs a committed generation under $root"))
+    healCatalog(spark, m, root)
     val shA = Dedup.wordShingles(Dedup.spreadToCores(newDocs), idCol,
         textCol, k)
       .select(col("doc"), xxhash64(col("shingle")).as("sh"))
@@ -603,7 +623,7 @@ object ShingleIndex {
     materialize(spark, dfTable, merged, "sh", m.buckets)
     graft.CheckpointJanitor.dropNow(shA)
     val m2 = LsmManifest(gen, m.buckets, dfTable,
-      m.segments :+ LsmSegment(prefix, nDocs, bLo, bHi))
+      m.segments :+ LsmSegment(prefix, nDocs, bLo, bHi), tableDir(spark))
     writeManifest(spark, root, m2)
     hook("staged")
     StagedRefresh.swapPointer(spark,
@@ -653,6 +673,7 @@ object ShingleIndex {
     val m = currentManifest(spark, root).getOrElse(
       throw new IllegalStateException(
         s"compactLsm needs a committed generation under $root"))
+    healCatalog(spark, m, root)
     val all = m.segments.map(sg => spark.table(s"graft.${sg.prefix}_sh"))
       .reduce(_ unionByName _)
     val segId = m.segments.map(_.prefix.stripPrefix(s"${base}_s").toLong).max + 1
@@ -671,7 +692,8 @@ object ShingleIndex {
       else docSummary(spark.table(s"graft.${prefix}_doc"))
     val gen = m.gen + 1
     val m2 = LsmManifest(gen, m.buckets, m.dfTable,
-      Seq(LsmSegment(prefix, folded._1, folded._2, folded._3)))
+      Seq(LsmSegment(prefix, folded._1, folded._2, folded._3)),
+      tableDir(spark))
     writeManifest(spark, root, m2)
     hook("staged")
     StagedRefresh.swapPointer(spark,
@@ -685,16 +707,59 @@ object ShingleIndex {
     m.segments.flatMap(sg =>
       Seq(s"${sg.prefix}_sh", s"${sg.prefix}_doc")).toSet + m.dfTable
 
+  /** Re-register manifest-named tables missing from the session
+    * catalog over their recorded locations — the metastore-divergence
+    * heal (round-19 verdict item 5): the manifest/pointer live on the
+    * filesystem while the tables live in the session catalog, so the
+    * two stores CAN diverge (a fresh JVM over a persistent warehouse,
+    * a dropped database, a metastore restore). The manifest is the
+    * source of truth: tables are EXTERNAL at manifest-recorded
+    * locations, so a lost catalog entry never deleted data and one
+    * CREATE TABLE DDL per missing entry restores it — bucketing spec
+    * included, so healed probes keep their exchange-free plans
+    * (LsmShingleSpec pins plan + verdict equality after a full
+    * catalog drop). Files genuinely gone → a PRECISE error naming the
+    * generation and table, instead of a lazy mid-plan failure. */
+  private def healCatalog(spark: SparkSession, m: LsmManifest,
+      root: String): Unit = {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft")
+    val dir = if (m.tablesAt.nonEmpty) m.tablesAt else tableDir(spark)
+    def ensure(name: String, schema: String, key: String): Unit =
+      if (!spark.catalog.tableExists(s"graft.$name")) {
+        val loc = new org.apache.hadoop.fs.Path(dir, name)
+        if (!hadoopFs(spark, loc).exists(loc))
+          throw new IllegalStateException(
+            s"LSM manifest gen-${m.gen} under $root names table " +
+              s"graft.$name but neither the catalog nor $loc holds it — " +
+              "rebuild the artifact with saveLsm")
+        spark.sql(s"CREATE TABLE graft.$name ($schema) USING PARQUET " +
+          s"CLUSTERED BY ($key) SORTED BY ($key) INTO ${m.buckets} BUCKETS " +
+          s"LOCATION '$loc'")
+      }
+    m.segments.foreach { sg =>
+      ensure(s"${sg.prefix}_sh", "doc BIGINT, sh BIGINT", "sh")
+      ensure(s"${sg.prefix}_doc", "doc BIGINT, sh BIGINT", "doc")
+    }
+    ensure(m.dfTable, "sh BIGINT, ce BIGINT", "sh")
+  }
+
   /** Drop catalog tables under `base` that neither the new nor the
     * previous generation references (the predecessor survives one
     * cycle for readers that resolved the pointer just before the swap
-    * — the StagedRefresh GC contract), and prune old manifest dirs. */
+    * — the StagedRefresh GC contract), delete their EXTERNAL data
+    * dirs (DROP alone no longer does — see [[materialize]]), and
+    * prune old manifest dirs. */
   private def gcLsm(spark: SparkSession, root: String, base: String,
       keepTables: Set[String], keepGens: Set[String]): Unit = {
+    val dataDir = tableDir(spark)
     spark.catalog.listTables("graft").collect()
       .map(_.name)
       .filter(n => n.startsWith(base + "_") && !keepTables.contains(n))
-      .foreach(n => spark.sql(s"DROP TABLE IF EXISTS graft.$n"))
+      .foreach { n =>
+        spark.sql(s"DROP TABLE IF EXISTS graft.$n")
+        val loc = new org.apache.hadoop.fs.Path(dataDir, n)
+        hadoopFs(spark, loc).delete(loc, true)
+      }
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = hadoopFs(spark, rootPath)
     fs.listStatus(rootPath).foreach { st =>

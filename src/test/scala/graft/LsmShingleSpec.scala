@@ -199,6 +199,58 @@ class LsmShingleSpec extends SparkSpec {
       "retried compaction changed verdicts")
   }
 
+  test("a lost session catalog heals from the manifest alone (metastore divergence)") {
+    // the manifest/pointer live on the filesystem, tables in the
+    // session catalog — the round-19 verdict's divergence scenario: a
+    // fresh JVM / dropped database over a surviving warehouse. Tables
+    // are EXTERNAL, so dropping every catalog entry deletes no data,
+    // and loadLsm must re-register them from the manifest with the
+    // bucket spec intact.
+    val root = freshRoot("graft_lsm_heal")
+    ShingleIndex.saveLsm(spark, corpus, "doc_id", "text", 2, root, "lsmspec_hc")
+    val delta = batch.filter($"doc_id" >= 3000000L)
+    ShingleIndex.appendLsm(spark, delta, "doc_id", "text", 2, root, "lsmspec_hc")
+    val b2 = delta.select(($"doc_id" + 1000000L).as("doc_id"),
+      concat(lit("copy "), $"text").as("text"))
+    val before = probe(root, b2).collect().toSeq.sortBy(_.getLong(0))
+    // simulate the catalog loss
+    val m = ShingleIndex.currentManifest(spark, root).get
+    val names = m.segments.flatMap(sg =>
+      Seq(s"${sg.prefix}_sh", s"${sg.prefix}_doc")) :+ m.dfTable
+    names.foreach(n => spark.sql(s"DROP TABLE graft.$n"))
+    names.foreach(n => assert(!spark.catalog.tableExists(s"graft.$n")))
+    // loadLsm heals: identical verdicts, and the healed tables keep
+    // their bucketed layout (the exchange-free probe law survives)
+    assert(probe(root, b2).collect().toSeq.sortBy(_.getLong(0)) === before,
+      "healed catalog must reproduce the pre-loss verdicts")
+    val (segs, _) = ShingleIndex.loadLsm(spark, root)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (segSh, _) = segs.head
+      val someSh = segSh.limit(5).collect().map(_.getLong(1)).toSeq.toDF("sh")
+      val j = segSh.hint("merge").join(someSh, "sh")
+      j.collect()
+      val plan = j.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.toString
+        case other => other.toString
+      }
+      assert(plan.contains("Bucketed: true"),
+        s"healed table lost its bucket spec:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // files genuinely gone → a precise error naming generation + table
+    spark.sql(s"DROP TABLE graft.${names.head}")
+    val loc = new org.apache.hadoop.fs.Path(m.tablesAt, names.head)
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    val e = intercept[IllegalStateException] {
+      ShingleIndex.loadLsm(spark, root)
+    }
+    assert(e.getMessage.contains(names.head) &&
+      e.getMessage.contains(s"gen-${m.gen}"),
+      s"divergence error must name the table and generation: ${e.getMessage}")
+  }
+
   test("every LSM segment's corpus sides probe without a corpus-side exchange") {
     val root = freshRoot("graft_lsm_plan")
     ShingleIndex.saveLsm(spark, corpus, "doc_id", "text", 2, root, "lsmspec_pl")
