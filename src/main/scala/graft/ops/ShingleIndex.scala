@@ -349,9 +349,11 @@ object ShingleIndex {
     * append's ORPHAN tables get overwritten the same way when the
     * retry re-allocates their names. */
   private def materialize(spark: SparkSession, name: String,
-      df: DataFrame, key: String, buckets: Int): Unit = {
+      df: DataFrame, key: String, buckets: Int,
+      dir: String = ""): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS graft.$name")
-    val loc = new org.apache.hadoop.fs.Path(tableDir(spark), name)
+    val at = if (dir.nonEmpty) dir else tableDir(spark)
+    val loc = new org.apache.hadoop.fs.Path(at, name)
     loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(loc, true)
     df.write.mode("overwrite").format("parquet")
@@ -455,6 +457,17 @@ object ShingleIndex {
       segments: Seq[LsmSegment], tablesAt: String = "")
 
   private val LsmPointer = "CURRENT"
+
+  /** The directory an existing generation's tables live under — the
+    * manifest's record when present (the artifact-owned location that
+    * survives warehouse reconfiguration), else the current session's
+    * warehouse (pre-round-20 manifests). New tables of a maintained
+    * artifact MUST land here, not at the session warehouse: a
+    * maintenance session with a different `spark.sql.warehouse.dir`
+    * would otherwise split one generation across two directories and
+    * strand the inherited tables (round-20 review). */
+  private def artifactDir(spark: SparkSession, m: LsmManifest): String =
+    if (m.tablesAt.nonEmpty) m.tablesAt else tableDir(spark)
 
   private def hadoopFs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -611,8 +624,9 @@ object ShingleIndex {
     }
     val segId = m.segments.map(_.prefix.stripPrefix(s"${base}_s").toLong).max + 1
     val prefix = s"${base}_s$segId"
-    materialize(spark, s"${prefix}_sh", shA, "sh", m.buckets)
-    materialize(spark, s"${prefix}_doc", shA, "doc", m.buckets)
+    val dir = artifactDir(spark, m) // one generation, ONE directory
+    materialize(spark, s"${prefix}_sh", shA, "sh", m.buckets, dir)
+    materialize(spark, s"${prefix}_doc", shA, "doc", m.buckets, dir)
     val gen = m.gen + 1
     val dfTable = s"${base}_g${gen}_df"
     val merged = spark.table(s"graft.${m.dfTable}")
@@ -620,16 +634,17 @@ object ShingleIndex {
         Seq("sh"), "full_outer")
       .select(col("sh"),
         (coalesce(col("ce"), lit(0L)) + coalesce(col("ca"), lit(0L))).as("ce"))
-    materialize(spark, dfTable, merged, "sh", m.buckets)
+    materialize(spark, dfTable, merged, "sh", m.buckets, dir)
     graft.CheckpointJanitor.dropNow(shA)
     val m2 = LsmManifest(gen, m.buckets, dfTable,
-      m.segments :+ LsmSegment(prefix, nDocs, bLo, bHi), tableDir(spark))
+      m.segments :+ LsmSegment(prefix, nDocs, bLo, bHi), dir)
     writeManifest(spark, root, m2)
     hook("staged")
     StagedRefresh.swapPointer(spark,
       new org.apache.hadoop.fs.Path(root), LsmPointer, s"gen-$gen")
     hook("swapped")
-    gcLsm(spark, root, base, keepTables = lsmTables(m2) ++ lsmTables(m),
+    gcLsm(spark, root, base, dir,
+      keepTables = lsmTables(m2) ++ lsmTables(m),
       keepGens = Set(s"gen-$gen", s"gen-${m.gen}"))
   }
 
@@ -678,9 +693,10 @@ object ShingleIndex {
       .reduce(_ unionByName _)
     val segId = m.segments.map(_.prefix.stripPrefix(s"${base}_s").toLong).max + 1
     val prefix = s"${base}_s$segId"
-    materialize(spark, s"${prefix}_sh", all, "sh", m.buckets)
+    val dir = artifactDir(spark, m) // one generation, ONE directory
+    materialize(spark, s"${prefix}_sh", all, "sh", m.buckets, dir)
     materialize(spark, s"${prefix}_doc",
-      spark.table(s"graft.${prefix}_sh"), "doc", m.buckets)
+      spark.table(s"graft.${prefix}_sh"), "doc", m.buckets, dir)
     // folded summary: segments hold disjoint doc sets, so the merge is
     // exact arithmetic when every input carries stats; a pre-summary
     // segment forces one recount over the folded table
@@ -692,14 +708,14 @@ object ShingleIndex {
       else docSummary(spark.table(s"graft.${prefix}_doc"))
     val gen = m.gen + 1
     val m2 = LsmManifest(gen, m.buckets, m.dfTable,
-      Seq(LsmSegment(prefix, folded._1, folded._2, folded._3)),
-      tableDir(spark))
+      Seq(LsmSegment(prefix, folded._1, folded._2, folded._3)), dir)
     writeManifest(spark, root, m2)
     hook("staged")
     StagedRefresh.swapPointer(spark,
       new org.apache.hadoop.fs.Path(root), LsmPointer, s"gen-$gen")
     hook("swapped")
-    gcLsm(spark, root, base, keepTables = lsmTables(m2) ++ lsmTables(m),
+    gcLsm(spark, root, base, dir,
+      keepTables = lsmTables(m2) ++ lsmTables(m),
       keepGens = Set(s"gen-$gen", s"gen-${m.gen}"))
   }
 
@@ -718,24 +734,52 @@ object ShingleIndex {
     * CREATE TABLE DDL per missing entry restores it — bucketing spec
     * included, so healed probes keep their exchange-free plans
     * (LsmShingleSpec pins plan + verdict equality after a full
-    * catalog drop). Files genuinely gone → a PRECISE error naming the
-    * generation and table, instead of a lazy mid-plan failure. */
+    * catalog drop). An entry that EXISTS is validated against the
+    * manifest's bucket spec and location and re-registered on
+    * mismatch — a restored-from-backup metastore with a stale spec
+    * would otherwise let Spark skip exchanges it needs, silently.
+    * Files genuinely gone → a PRECISE error naming the generation and
+    * table, instead of a lazy mid-plan failure. Cost: 2·segments+1
+    * catalog lookups per call — noise on the in-memory catalog; a
+    * deployment on a remote metastore memoizes the healed (root, gen)
+    * pair per session to keep RPCs off the per-batch read path. */
   private def healCatalog(spark: SparkSession, m: LsmManifest,
       root: String): Unit = {
     spark.sql("CREATE DATABASE IF NOT EXISTS graft")
-    val dir = if (m.tablesAt.nonEmpty) m.tablesAt else tableDir(spark)
-    def ensure(name: String, schema: String, key: String): Unit =
-      if (!spark.catalog.tableExists(s"graft.$name")) {
-        val loc = new org.apache.hadoop.fs.Path(dir, name)
-        if (!hadoopFs(spark, loc).exists(loc))
-          throw new IllegalStateException(
-            s"LSM manifest gen-${m.gen} under $root names table " +
-              s"graft.$name but neither the catalog nor $loc holds it — " +
-              "rebuild the artifact with saveLsm")
-        spark.sql(s"CREATE TABLE graft.$name ($schema) USING PARQUET " +
-          s"CLUSTERED BY ($key) SORTED BY ($key) INTO ${m.buckets} BUCKETS " +
-          s"LOCATION '$loc'")
+    val dir = artifactDir(spark, m)
+    def qualified(p: org.apache.hadoop.fs.Path) =
+      hadoopFs(spark, p).makeQualified(p)
+    def ensure(name: String, schema: String, key: String): Unit = {
+      val loc = new org.apache.hadoop.fs.Path(dir, name)
+      if (spark.catalog.tableExists(s"graft.$name")) {
+        // the manifest is the source of truth: an EXISTING entry must
+        // match its bucket spec and location — a stale spec (e.g. a
+        // metastore restored from before a rebuild with different
+        // buckets) would make Spark trust wrong bucketing and skip
+        // exchanges it needs, silently corrupting verdicts (round-20
+        // review). Mismatch → drop the entry and re-register; the
+        // data is external, so the drop touches no files.
+        val meta = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(name, Some("graft")))
+        val specOk = meta.bucketSpec.exists(b =>
+          b.numBuckets == m.buckets && b.bucketColumnNames == Seq(key))
+        val locOk = qualified(new org.apache.hadoop.fs.Path(
+          meta.location)) == qualified(loc)
+        if (specOk && locOk) return
+        spark.sql(s"DROP TABLE graft.$name")
       }
+      if (!hadoopFs(spark, loc).exists(loc))
+        throw new IllegalStateException(
+          s"LSM manifest gen-${m.gen} under $root names table " +
+            s"graft.$name but neither the catalog nor $loc holds it — " +
+            "rebuild the artifact with saveLsm")
+      // IF NOT EXISTS: two concurrent readers may heal the same lost
+      // catalog — the loser must read the healthy artifact, not die
+      // on TableAlreadyExists (the finishAppend rename-race rule)
+      spark.sql(s"CREATE TABLE IF NOT EXISTS graft.$name ($schema) " +
+        s"USING PARQUET CLUSTERED BY ($key) SORTED BY ($key) " +
+        s"INTO ${m.buckets} BUCKETS LOCATION '$loc'")
+    }
     m.segments.foreach { sg =>
       ensure(s"${sg.prefix}_sh", "doc BIGINT, sh BIGINT", "sh")
       ensure(s"${sg.prefix}_doc", "doc BIGINT, sh BIGINT", "doc")
@@ -750,16 +794,40 @@ object ShingleIndex {
     * dirs (DROP alone no longer does — see [[materialize]]), and
     * prune old manifest dirs. */
   private def gcLsm(spark: SparkSession, root: String, base: String,
-      keepTables: Set[String], keepGens: Set[String]): Unit = {
-    val dataDir = tableDir(spark)
+      dataDir: String, keepTables: Set[String],
+      keepGens: Set[String]): Unit = {
+    // catalog sweep: drop stale entries and delete THEIR recorded
+    // locations (which may differ from dataDir if a session ever
+    // registered a table elsewhere — never this artifact's doing, but
+    // the entry's own location is the only one its drop may reclaim)
     spark.catalog.listTables("graft").collect()
       .map(_.name)
       .filter(n => n.startsWith(base + "_") && !keepTables.contains(n))
       .foreach { n =>
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.sessionState.catalog.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(n, Some("graft")))
+            .location)
         spark.sql(s"DROP TABLE IF EXISTS graft.$n")
-        val loc = new org.apache.hadoop.fs.Path(dataDir, n)
         hadoopFs(spark, loc).delete(loc, true)
       }
+    // filesystem sweep under the ARTIFACT's directory: a fresh JVM's
+    // catalog only ever healed the live generation, so predecessor
+    // tables from before the restart have no catalog entry — keyed on
+    // the catalog alone their corpus-sized dirs would strand forever
+    // (round-20 review). The manifest names what must survive;
+    // everything else under the artifact's base prefix goes.
+    val dataPath = new org.apache.hadoop.fs.Path(dataDir)
+    val dfs = hadoopFs(spark, dataPath)
+    if (dfs.exists(dataPath)) {
+      dfs.listStatus(dataPath).map(_.getPath)
+        .filter(p => p.getName.startsWith(base + "_") &&
+          !keepTables.contains(p.getName))
+        .foreach { p =>
+          spark.sql(s"DROP TABLE IF EXISTS graft.${p.getName}")
+          dfs.delete(p, true)
+        }
+    }
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = hadoopFs(spark, rootPath)
     fs.listStatus(rootPath).foreach { st =>

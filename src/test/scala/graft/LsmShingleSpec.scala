@@ -251,6 +251,33 @@ class LsmShingleSpec extends SparkSpec {
       s"divergence error must name the table and generation: ${e.getMessage}")
   }
 
+  test("healCatalog re-registers a catalog entry whose bucket spec diverges from the manifest") {
+    // the silent-corruption variant of metastore divergence: a
+    // restored/stale catalog entry with the WRONG bucket count over
+    // the right files would let Spark skip exchanges it needs — the
+    // manifest's spec must win
+    val root = freshRoot("graft_lsm_spec")
+    ShingleIndex.saveLsm(spark, corpus, "doc_id", "text", 2, root, "lsmspec_bs")
+    val delta = batch.filter($"doc_id" >= 3000000L)
+    val b2 = delta.select(($"doc_id" + 1000000L).as("doc_id"),
+      concat(lit("copy "), $"text").as("text"))
+    val before = probe(root, b2).collect().toSeq.sortBy(_.getLong(0))
+    val m = ShingleIndex.currentManifest(spark, root).get
+    val name = s"${m.segments.head.prefix}_sh"
+    val loc = new org.apache.hadoop.fs.Path(m.tablesAt, name)
+    spark.sql(s"DROP TABLE graft.$name")
+    spark.sql(s"CREATE TABLE graft.$name (doc BIGINT, sh BIGINT) " +
+      s"USING PARQUET CLUSTERED BY (sh) SORTED BY (sh) INTO 7 BUCKETS " +
+      s"LOCATION '$loc'")
+    ShingleIndex.loadLsm(spark, root) // must detect + re-register
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(name, Some("graft")))
+    assert(meta.bucketSpec.exists(_.numBuckets == m.buckets),
+      s"stale bucket spec survived the heal: ${meta.bucketSpec}")
+    assert(probe(root, b2).collect().toSeq.sortBy(_.getLong(0)) === before,
+      "verdicts diverged after the spec re-registration")
+  }
+
   test("every LSM segment's corpus sides probe without a corpus-side exchange") {
     val root = freshRoot("graft_lsm_plan")
     ShingleIndex.saveLsm(spark, corpus, "doc_id", "text", 2, root, "lsmspec_pl")
