@@ -85,9 +85,12 @@ object Explains {
     "q41p_dedup_incremental_neardup_compacted",
     "q42h_similarity_ivf_retrain",
     "q44e_multimodal_phash_neardup",
-    // round 20: audio near-dup + the composed curation capstone
+    // round 20: audio near-dup + the composed curation capstone +
+    // the streaming LSM accept lifecycle
     "q44f_multimodal_audio_neardup",
-    "q101_corpus_pipeline")
+    "q101_corpus_pipeline",
+    "q79b_stream_neardup_lsm_accept",
+    "q79c_stream_ivf_accept")
 
   /** Prose above a query's plan — the one- paragraph reading guide for
     * the plan properties SCALING.md leans on. Keyed by query name so a
@@ -158,6 +161,32 @@ object Explains {
         |oracle is q41n's text unchanged) — what compaction buys is the
         |PLAN: half the probe joins, half the candidate-fetch scans,
         |after arbitrarily many appends.""".stripMargin,
+    "q79b_stream_neardup_lsm_accept" ->
+      """The batch2 probe against an artifact maintained by a STREAM:
+        |q41o's per-segment probe family (MERGE-hinted bucketed scans,
+        |batch-side-only shuffle) over the generation the foreachBatch
+        |loop left behind — four micro-batch accepts, each a delta-sized
+        |append behind the atomic pointer swap, with compactLsm fired
+        |IN-LOOP the moment shouldCompact hit S* = 4 (segments
+        |1→2→3→4 → compact → 1→2). The plan below therefore reads TWO
+        |segments, not five: the derived maintenance rule, not the
+        |arrival count, dictates the probe fan-out — the property that
+        |bounds probe cost for an unbounded stream. Verdicts are
+        |pinned ≡ the single-batch lifecycle (StreamingLsmSpec; the
+        |oracle is q41n's text verbatim).""".stripMargin,
+    "q79c_stream_ivf_accept" ->
+      """The probe against an IVF index grown by a STREAM: q42e/q42g's
+        |plan family (centroid literals + cell-partition-pruned
+        |assignment scan) over an assignment artifact that four
+        |foreachBatch ticks appended under the frozen quantizer —
+        |each tick a delta-sized assignment map + crash-safe token
+        |splice, followed by the DERIVED retrain trigger evaluated
+        |in-loop (quiet on this natural fixture: the measured null
+        |result, driftRatio ~1 vs the 1.25 threshold). Per-vector
+        |assignment is order-independent, so the plan AND the answers
+        |are exactly the batch grow lifecycle's (StreamingIvfSpec pins
+        |it; the oracle is q42g's text verbatim) — PartitionFilters
+        |still prune to the probed cells.""".stripMargin,
     "q42h_similarity_ivf_retrain" ->
       """The post-retrain probe: identical plan family to q42e/q42g
         |(centroid literals + cell-partition-pruned assignment scan) —

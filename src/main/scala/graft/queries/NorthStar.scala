@@ -424,6 +424,85 @@ object NorthStar {
       .orderBy("qid", "rk")
   }
 
+  /** q79c: q42g's grow lifecycle run CONTINUOUSLY — the similarity
+    * family's twin of q79b: arriving vectors land as a STREAM and each
+    * `foreachBatch` tick folds them into the live generation's
+    * cell-partitioned assignment under the FROZEN quantizer
+    * ([[graft.ops.IvfIndex.appendAssignments]] — a delta-sized map +
+    * idempotent token splice, crash-safe per tick), then evaluates the
+    * DERIVED retrain trigger in-loop ([[graft.ops.IvfIndex
+    * .needsRetrain]]). The fixture is the NATURAL (undrifted) arrival,
+    * so the tick-by-tick pin is the measured null result: natural
+    * growth must NOT fire the occupancy trigger (SCALING.md: natural
+    * driftRatio 0.975–1.08 across the decade vs the 1.25 threshold) —
+    * the monitor that tells a 100 TB deployment retraining would buy
+    * nothing. Per-vector assignment is order-independent, so ANY
+    * micro-batching converges to q42g's index; the oracle is q42g's
+    * text VERBATIM (train on the slice, assign/verify over the union)
+    * and StreamingIvfSpec pins streamed ≡ q42g plus the quiet trigger
+    * and the single-generation layout. */
+  private val ivfStreamScratch =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Test hook: the memoized q79c generation root for `dir`, once
+    * built (StreamingIvfSpec reads drift/generation state through
+    * it). */
+  private[graft] def q79cArtifactRoot(dir: String): Option[String] =
+    Option(ivfStreamScratch.get(dir)).filter(p =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(p + "_BUILT")))
+
+  val q79c = QueryDef("q79c_stream_ivf_accept",
+    Similarity.ivfDeltaSql(cells = 16, nprobe = 4, k = 5)) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val scratch = buildOnceScratch(ivfStreamScratch, dir, "graft_ivfs") { p =>
+      val corpus0 = emb.filter($"vec_id" % 10 =!= 7)
+      val c0 = Similarity.ivfCentroids(corpus0, cells = 16)
+      graft.ops.IvfIndex.commitGeneration(s, corpus0, c0, p)
+      val assignDir = graft.ops.IvfIndex.currentGenDir(s, p).get + "/assign"
+      // q79b's staging discipline: tens-digit-mod-4 single-file slices
+      // (deterministic micro-batches, populated at all SFs), stale
+      // checkpoint wiped so a crashed build's re-run replays the feed
+      // against the artifact commitGeneration just reset
+      val ckpt = p + "_ckpt"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      val feed = p + "_feed"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(feed))
+      val arrivals = emb.filter($"vec_id" % 10 === 7)
+      val slice = pmod(floor($"vec_id" / 10), lit(4))
+      (0 until 4).foreach { i =>
+        val w = s"${feed}_w$i"
+        arrivals.filter(slice === i).coalesce(1)
+          .write.mode("overwrite").parquet(w)
+        val part = new java.io.File(w).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(feed, s"f$i.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      val sch = s.read.parquet(feed).schema
+      val ss = Streaming.streamSession(s)
+      val q = ss.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(feed)
+        .writeStream
+        .foreachBatch { (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          val bs = mb.sparkSession
+          graft.ops.IvfIndex.appendAssignments(bs, mb.toDF(), c0, assignDir)
+          require(!graft.ops.IvfIndex.needsRetrain(bs, p),
+            "natural arrival must keep the derived retrain trigger quiet")
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val (cents, assigned) = graft.ops.IvfIndex.loadCurrent(s, scratch)
+    Similarity.ivfTopKProbed(cents, assigned,
+      emb.filter($"vec_id" % 100 === 0), k = 5, nprobe = 4)
+      .orderBy("qid", "rk")
+  }
+
   /** q42h: the RETRAIN CADENCE — the step q42g's op doc promises
     * ("re-train on the rebuild cadence, re-check the recall SLA
     * then"), made real AND TRIGGERED (round-19 verdict item 3): the
@@ -1430,6 +1509,112 @@ object NorthStar {
         .orderBy("batch_id"))
   }
 
+  /** q79b: the LSM accept lifecycle run CONTINUOUSLY — q41o's
+    * probe → accept → append loop driven by Structured Streaming, the
+    * crawl-ingest deployment shape at 100 TB (documents arrive forever;
+    * the dedup artifact is maintained ONLINE, not rebuilt). Batch1
+    * arrives as a multi-file parquet feed with `maxFilesPerTrigger=1`
+    * (four micro-batches); each `foreachBatch` tick probes the LIVE
+    * generation ([[graft.ops.Dedup.incrementalNearDupSegmented]] under
+    * the same MERGE hints as q41o), appends the accepted docs as one
+    * delta segment behind the atomic pointer swap, and then runs the
+    * DERIVED maintenance rule in-loop: when [[graft.ops.ShingleIndex
+    * .shouldCompact]] fires (S* = 4, the measured amortization
+    * optimum), compaction folds the generation before the next tick —
+    * so the probe tax is bounded by construction for an UNBOUNDED
+    * arrival stream, which is the property that makes the lifecycle
+    * deployable. With four non-empty accept slices the trigger fires
+    * exactly once mid-stream (segments 1→2→3→4 → compact → 1→2;
+    * StreamingLsmSpec pins gen 6 / 2 live segments / fired-once).
+    * Batch2 then probes the maintained artifact batch-side. Shares
+    * q41n's oracle VERBATIM — the replay is ONE batch probe → accept,
+    * so the entry pins batch ≡ stream for the whole lifecycle (trigger
+    * count must not change the verdicts; batch1's accepted docs are
+    * mutually non-dup, so sequential accept converges to the batch
+    * accept) on top of q41o's layout-invariance pin. */
+  private val lsmStreamScratch =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Test hook: the memoized q79b artifact root for `dir`, once built
+    * (StreamingLsmSpec reads the final manifest through it). */
+  private[graft] def q79bArtifactRoot(dir: String): Option[String] =
+    Option(lsmStreamScratch.get(dir)).filter(p =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(p + "_BUILT")))
+
+  val q79b = QueryDef("q79b_stream_neardup_lsm_accept",
+    q41nSql) { (s, dir) =>
+    import graft.ops.ShingleIndex
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    val base = ShingleIndex.tableFor("shlsms", dir)
+    val scratch = buildOnceScratch(lsmStreamScratch, dir, "graft_shlsms") { p =>
+      ShingleIndex.saveLsm(s, d, "doc_id", "text", 2, p, base)
+      // stage batch1 as FOUR single-file arrivals split on the tens
+      // digit (q41p's split idiom — every slice carries accepted docs
+      // at all SFs), so maxFilesPerTrigger=1 yields four deterministic
+      // micro-batches whatever the source's file ordering.
+      // Crash-retry discipline (the buildOnceScratch contract): a
+      // re-run just reset the artifact to gen-1 via saveLsm, so the
+      // CHECKPOINT of a crashed stream must go too — resuming it would
+      // skip already-committed micro-batches against the fresh
+      // artifact and silently drop their accepts; feed files are
+      // overwritten in place (REPLACE_EXISTING).
+      val ckpt = p + "_ckpt"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      val feed = p + "_feed"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(feed))
+      val b1 = nearDupBatch(s, dir)
+      val slice = pmod(floor(col("doc_id") / 10), lit(4))
+      (0 until 4).foreach { i =>
+        val w = s"${feed}_w$i"
+        b1.filter(slice === i).coalesce(1).write.mode("overwrite").parquet(w)
+        val part = new java.io.File(w).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(feed, s"f$i.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      val sch = s.read.parquet(feed).schema
+      // the stream plans on the dedicated reduced-partition streaming
+      // session (stateless here, but ticks stay cheap); the foreachBatch
+      // body is plain batch work against the shared persistent catalog
+      val ss = Streaming.streamSession(s)
+      val q = ss.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(feed)
+        .writeStream
+        .foreachBatch { (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          val bs = mb.sparkSession
+          val (segs, dfE) = ShingleIndex.loadLsmHinted(bs, p)
+          val v = Dedup.incrementalNearDupSegmented(segs, dfE, mb.toDF(),
+            "doc_id", "text", k = 2, maxDf = 20, threshold = 0.2)
+          val accepted = mb.toDF().join(
+            v.filter(col("matched") === 0)
+              .select(col("batch_id").as("doc_id")),
+            Seq("doc_id"), "left_semi")
+          ShingleIndex.appendLsm(bs, accepted, "doc_id", "text", 2, p, base)
+          graft.CheckpointJanitor.dropNow(v)
+          if (ShingleIndex.shouldCompact(
+              ShingleIndex.currentManifest(bs, p).get))
+            ShingleIndex.compactLsm(bs, p, base)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val m = ShingleIndex.currentManifest(s, p).get
+      require(!ShingleIndex.shouldCompact(m),
+        s"in-loop maintenance must keep the probe tax below S*; " +
+          s"segments=${m.segments.size}")
+      require(m.gen > 1L,
+        "the stream accepted nothing — the feed never reached the artifact")
+    }
+    val (segs2, dfE2) = ShingleIndex.loadLsmHinted(s, scratch)
+    graft.CheckpointJanitor.evictAfterConsumption(
+      Dedup.incrementalNearDupSegmented(segs2, dfE2, nearDupBatch2(s, dir),
+        "doc_id", "text", k = 2, maxDf = 20, threshold = 0.2)
+        .orderBy("batch_id"))
+  }
+
   /** Corpus-trained unigram-LM quality scoring (q43h): P(w) from one
     * token pass, each doc scored by mean token log-prob + per-token
     * perplexity — the cheap stand-in for an LM quality filter, trained
@@ -2148,7 +2333,7 @@ object NorthStar {
   }
 
   val defs: Seq[QueryDef] = Seq(q41a, q41h, q41i, q41b, q41c, q41d, q41e, q41f, q41g,
-    q41j, q41k, q41l, q41m, q41n, q41o, q41p, q42, q42b, q42c, q42d, q42e, q42f, q42g, q42h, q74, q43a, q43b, q43c, q43d, q43e, q43f,
+    q41j, q41k, q41l, q41m, q41n, q41o, q41p, q79b, q42, q42b, q42c, q42d, q42e, q42f, q42g, q42h, q79c, q74, q43a, q43b, q43c, q43d, q43e, q43f,
     q43g, q43h, q43i, q43j, q44, q44b, q44c, q44d, q44e, q44f, q101, q81, q83, q88, q88b, q88c, q88d,
     q91, q92, q97, q97b, q100, q100b)
 }

@@ -1,0 +1,96 @@
+package graft
+
+import graft.ops.IvfIndex
+import graft.queries.NorthStar
+
+/** q79c — the streaming IVF grow lifecycle. Pins the claims the
+  * entry's shared oracle rests on:
+  *   1. batch ≡ stream: per-vector assignment under a frozen quantizer
+  *      is order-independent, so micro-batched appendAssignments
+  *      converges to exactly q42g's index and probe answers.
+  *   2. the derived retrain trigger was evaluated EVERY tick and
+  *      stayed quiet on the natural fixture (the measured null
+  *      result: growth alone must not fire retraining), leaving the
+  *      original generation live.
+  */
+class StreamingIvfSpec extends SparkSpec {
+
+  test("streaming IVF accept converges to the batch grow lifecycle") {
+    val streamed = NorthStar.q79c.fn(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = NorthStar.q42g.fn(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch,
+      "micro-batched assignment appends diverged from the batch grow lifecycle")
+    assert(streamed.nonEmpty)
+  }
+
+  test("under drift the in-loop trigger fires and the maintained index stays consistent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.ops.Similarity
+    // q42h's drifted fixture: 30% of arrivals shifted +3.0f on dim
+    // vec_id % 3 — the distribution the frozen quantizer never saw
+    val emb = Tables.embeddings(spark, sf)
+    val corpus2 = emb.select($"vec_id",
+      when($"vec_id" % 10 >= 7,
+        transform($"embedding", (x, i) =>
+          when(i === pmod($"vec_id", lit(3)).cast("int"), x + lit(3.0f))
+            .otherwise(x)))
+        .otherwise($"embedding").as("embedding"))
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfs_drift")
+      .toString + "/ivf"
+    val corpus0 = corpus2.filter($"vec_id" % 10 < 7)
+    IvfIndex.commitGeneration(spark, corpus0,
+      Similarity.ivfCentroids(corpus0, cells = 16), root)
+    // q79c's maintenance loop, tick by tick, over the DRIFTED arrivals:
+    // append under the LIVE quantizer, then run the derived rule —
+    // when it fires, retrain over everything seen and swap generations
+    val arrivals = corpus2.filter($"vec_id" % 10 >= 7)
+    val slice = pmod(floor($"vec_id" / 10), lit(4))
+    var seen = corpus0
+    var fired = 0
+    (0 until 4).foreach { i =>
+      val mb = arrivals.filter(slice === i)
+      val cents = IvfIndex.load(spark,
+        IvfIndex.currentGenDir(spark, root).get + "/quantizer")
+      IvfIndex.appendAssignments(spark, mb, cents,
+        IvfIndex.currentGenDir(spark, root).get + "/assign")
+      seen = seen.unionByName(mb)
+      if (IvfIndex.needsRetrain(spark, root)) {
+        fired += 1
+        IvfIndex.retrain(spark, seen, cells = 16, iters = 3, root)
+        assert(!IvfIndex.needsRetrain(spark, root),
+          "the retrain must quiesce the trigger")
+      }
+    }
+    assert(fired >= 1, "the drifted stream never fired the derived trigger")
+    // consistency: the maintained (append → retrain → append) artifact
+    // must hold exactly the from-scratch assignment of EVERYTHING under
+    // the final generation's quantizer — cell ids mean nothing unless
+    // the whole pair moved together
+    val (cf, af) = IvfIndex.loadCurrent(spark, root)
+    val maintained = af.select($"vid", $"cell".cast("int"))
+      .as[(Long, Int)].collect().toSet
+    val fresh = Similarity.assignedCorpus(corpus2, cf)
+      .select($"vid", $"cell".cast("int"))
+      .as[(Long, Int)].collect().toSet
+    assert(maintained == fresh,
+      "maintained assignment diverged from a from-scratch assignment under the final quantizer")
+  }
+
+  test("natural arrival keeps the derived retrain trigger quiet across the stream") {
+    NorthStar.q79c.fn(spark, sf).collect() // ensure the artifact is built
+    val root = NorthStar.q79cArtifactRoot(sf).getOrElse(
+      fail("q79c ran but left no memoized generation root"))
+    // the entry requires the trigger quiet per tick; pin the final
+    // state too: still the ORIGINAL generation, drift below threshold
+    val gen = IvfIndex.currentGenDir(spark, root).getOrElse(
+      fail(s"no committed IVF generation under $root"))
+    assert(gen.endsWith("gen-1"), s"natural growth must not retrain, but live gen is $gen")
+    val ratio = IvfIndex.driftRatio(spark, root)
+    assert(ratio < IvfIndex.RetrainOccupancyFactor,
+      s"driftRatio $ratio crossed the retrain threshold on the natural fixture")
+    assert(!IvfIndex.needsRetrain(spark, root))
+  }
+}
