@@ -168,12 +168,15 @@ object Explains {
         |loop left behind — four micro-batch accepts, each a delta-sized
         |append behind the atomic pointer swap, with compactLsm fired
         |IN-LOOP the moment shouldCompact hit S* = 4 (segments
-        |1→2→3→4 → compact → 1→2). The plan below therefore reads TWO
-        |segments, not five: the derived maintenance rule, not the
-        |arrival count, dictates the probe fan-out — the property that
-        |bounds probe cost for an unbounded stream. Verdicts are
-        |pinned ≡ the single-batch lifecycle (StreamingLsmSpec; the
-        |oracle is q41n's text verbatim).""".stripMargin,
+        |1→2→3→4 → compact → 1→2). The probe therefore fans out over
+        |TWO segments, not five: the derived maintenance rule, not the
+        |arrival count, dictates the fan-out — the property that bounds
+        |probe cost for an unbounded stream. As with q41o, the dump
+        |below is only the final verdict fragment (stage barriers split
+        |the per-segment probes into separate upstream jobs); the
+        |two-segment state is pinned by StreamingLsmSpec's manifest
+        |assertions, and verdicts are pinned ≡ the single-batch
+        |lifecycle (the oracle is q41n's text verbatim).""".stripMargin,
     "q79c_stream_ivf_accept" ->
       """The probe against an IVF index grown by a STREAM: q42e/q42g's
         |plan family (centroid literals + cell-partition-pruned

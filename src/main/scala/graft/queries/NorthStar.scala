@@ -462,24 +462,14 @@ object NorthStar {
       val assignDir = graft.ops.IvfIndex.currentGenDir(s, p).get + "/assign"
       // q79b's staging discipline: tens-digit-mod-4 single-file slices
       // (deterministic micro-batches, populated at all SFs), stale
-      // checkpoint wiped so a crashed build's re-run replays the feed
-      // against the artifact commitGeneration just reset
+      // checkpoint wiped — and PROVEN gone — so a crashed build's
+      // re-run replays the whole feed against the artifact
+      // commitGeneration just reset
       val ckpt = p + "_ckpt"
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      Streaming.wipeCheckpoint(ckpt)
       val feed = p + "_feed"
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(feed))
-      val arrivals = emb.filter($"vec_id" % 10 === 7)
-      val slice = pmod(floor($"vec_id" / 10), lit(4))
-      (0 until 4).foreach { i =>
-        val w = s"${feed}_w$i"
-        arrivals.filter(slice === i).coalesce(1)
-          .write.mode("overwrite").parquet(w)
-        val part = new java.io.File(w).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
-        java.nio.file.Files.move(part.toPath,
-          java.nio.file.Paths.get(feed, s"f$i.parquet"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
+      Streaming.stageSingleFileSlices(emb.filter($"vec_id" % 10 === 7),
+        pmod(floor($"vec_id" / 10), lit(4)), 4, feed)
       val sch = s.read.parquet(feed).schema
       val ss = Streaming.streamSession(s)
       val q = ss.readStream.schema(sch)
@@ -496,6 +486,15 @@ object NorthStar {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // landed guard (q79b's m.gen > 1 twin): every vector — original
+      // corpus AND every streamed arrival — must be in the assignment,
+      // or the build must fail here rather than commit a silently
+      // incomplete index (e.g. a stream that ran zero ticks)
+      val (_, totalAssigned) = graft.ops.IvfIndex.occupancy(s, assignDir)
+      val expected = emb.count()
+      require(totalAssigned == expected,
+        s"streamed grow left the assignment incomplete: " +
+          s"$totalAssigned of $expected vectors landed")
     }
     val (cents, assigned) = graft.ops.IvfIndex.loadCurrent(s, scratch)
     Similarity.ivfTopKProbed(cents, assigned,
@@ -1422,6 +1421,23 @@ object NorthStar {
     * the per-batch shuffle law survives the append (ShingleBucketProbe
     * post-append rung). Same oracle as q41n: layout and join strategy
     * change nothing about the verdicts. */
+  /** One probe → accept step over a live LSM generation: the verdicts
+    * for `batch` plus the accepted (unmatched) docs. This IS the
+    * accept rule — hoisted so q41o, q41p and q79b's foreachBatch tick
+    * share one definition and the lifecycles cannot silently diverge
+    * (the loadLsmHinted discipline applied to the accept side). */
+  private def lsmProbeAccept(
+      segs: Seq[(DataFrame, DataFrame)], dfE: DataFrame,
+      batch: DataFrame): (DataFrame, DataFrame) = {
+    val v = Dedup.incrementalNearDupSegmented(segs, dfE, batch,
+      "doc_id", "text", k = 2, maxDf = 20, threshold = 0.2)
+    val accepted = batch.join(
+      v.filter(col("matched") === 0)
+        .select(col("batch_id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    (v, accepted)
+  }
+
   private val lsmScratch =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   val q41o = QueryDef("q41o_dedup_incremental_neardup_lsm",
@@ -1432,13 +1448,7 @@ object NorthStar {
     val scratch = buildOnceScratch(lsmScratch, dir, "graft_shlsm") { p =>
       ShingleIndex.saveLsm(s, d, "doc_id", "text", 2, p, base)
       val (segs1, dfE1) = ShingleIndex.loadLsmHinted(s, p)
-      val b1 = nearDupBatch(s, dir)
-      val v1 = Dedup.incrementalNearDupSegmented(segs1, dfE1, b1,
-        "doc_id", "text", k = 2, maxDf = 20, threshold = 0.2)
-      val accepted = b1.join(
-        v1.filter(col("matched") === 0)
-          .select(col("batch_id").as("doc_id")),
-        Seq("doc_id"), "left_semi")
+      val (v1, accepted) = lsmProbeAccept(segs1, dfE1, nearDupBatch(s, dir))
       ShingleIndex.appendLsm(s, accepted, "doc_id", "text", 2, p, base)
       graft.CheckpointJanitor.dropNow(v1)
     }
@@ -1476,13 +1486,7 @@ object NorthStar {
     val scratch = buildOnceScratch(lsmCompactScratch, dir, "graft_shlsmc") { p =>
       ShingleIndex.saveLsm(s, d, "doc_id", "text", 2, p, base)
       val (segs1, dfE1) = ShingleIndex.loadLsmHinted(s, p)
-      val b1 = nearDupBatch(s, dir)
-      val v1 = Dedup.incrementalNearDupSegmented(segs1, dfE1, b1,
-        "doc_id", "text", k = 2, maxDf = 20, threshold = 0.2)
-      val accepted = b1.join(
-        v1.filter(col("matched") === 0)
-          .select(col("batch_id").as("doc_id")),
-        Seq("doc_id"), "left_semi")
+      val (v1, accepted) = lsmProbeAccept(segs1, dfE1, nearDupBatch(s, dir))
       // three delta appends (tens-digit-mod-3 split keeps every slice
       // populated at all SFs) drive the artifact to 4 segments — the
       // derived compaction point; the trigger must stay quiet at 3
@@ -1554,25 +1558,16 @@ object NorthStar {
       // micro-batches whatever the source's file ordering.
       // Crash-retry discipline (the buildOnceScratch contract): a
       // re-run just reset the artifact to gen-1 via saveLsm, so the
-      // CHECKPOINT of a crashed stream must go too — resuming it would
-      // skip already-committed micro-batches against the fresh
-      // artifact and silently drop their accepts; feed files are
-      // overwritten in place (REPLACE_EXISTING).
+      // CHECKPOINT of a crashed stream must go too — a survivor would
+      // make the restarted stream skip already-committed micro-batches
+      // against the fresh artifact and silently drop their accepts
+      // (wipeCheckpoint PROVES the deletion); feed files are
+      // overwritten in place by the shared stager.
       val ckpt = p + "_ckpt"
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      Streaming.wipeCheckpoint(ckpt)
       val feed = p + "_feed"
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(feed))
-      val b1 = nearDupBatch(s, dir)
-      val slice = pmod(floor(col("doc_id") / 10), lit(4))
-      (0 until 4).foreach { i =>
-        val w = s"${feed}_w$i"
-        b1.filter(slice === i).coalesce(1).write.mode("overwrite").parquet(w)
-        val part = new java.io.File(w).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
-        java.nio.file.Files.move(part.toPath,
-          java.nio.file.Paths.get(feed, s"f$i.parquet"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
+      Streaming.stageSingleFileSlices(nearDupBatch(s, dir),
+        pmod(floor(col("doc_id") / 10), lit(4)), 4, feed)
       val sch = s.read.parquet(feed).schema
       // the stream plans on the dedicated reduced-partition streaming
       // session (stateless here, but ticks stay cheap); the foreachBatch
@@ -1585,12 +1580,7 @@ object NorthStar {
             _: Long) =>
           val bs = mb.sparkSession
           val (segs, dfE) = ShingleIndex.loadLsmHinted(bs, p)
-          val v = Dedup.incrementalNearDupSegmented(segs, dfE, mb.toDF(),
-            "doc_id", "text", k = 2, maxDf = 20, threshold = 0.2)
-          val accepted = mb.toDF().join(
-            v.filter(col("matched") === 0)
-              .select(col("batch_id").as("doc_id")),
-            Seq("doc_id"), "left_semi")
+          val (v, accepted) = lsmProbeAccept(segs, dfE, mb.toDF())
           ShingleIndex.appendLsm(bs, accepted, "doc_id", "text", 2, p, base)
           graft.CheckpointJanitor.dropNow(v)
           if (ShingleIndex.shouldCompact(

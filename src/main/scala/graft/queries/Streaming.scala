@@ -132,6 +132,49 @@ object Streaming {
     graft.Tables.normalizeTs(raw)
   }
 
+  /** Stage `df` as `n` single-file parquet arrivals under `feed`,
+    * split on `slice` (a 0..n-1 column the caller derives, e.g. the
+    * tens-digit-mod idiom): ONE staged pass over the producer (the
+    * per-slice writes reuse it instead of recomputing the pipeline),
+    * each slice coalesced to a single file named f<i>.parquet so
+    * `maxFilesPerTrigger=1` yields deterministic micro-batches
+    * whatever the source's file ordering. Files are overwritten in
+    * place (REPLACE_EXISTING) so a crashed build's re-run restages
+    * cleanly, and the per-slice write-staging dirs are removed after
+    * the move. Shared by the streaming maintenance entries
+    * (q79b/q79c) so their arrival mechanics cannot diverge. */
+  private[graft] def stageSingleFileSlices(df: DataFrame,
+      slice: org.apache.spark.sql.Column, n: Int, feed: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(feed))
+    val staged = graft.Staging.stage(df)
+    (0 until n).foreach { i =>
+      val w = s"${feed}_w$i"
+      staged.filter(slice === i).coalesce(1)
+        .write.mode("overwrite").parquet(w)
+      val part = new java.io.File(w).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(feed, s"f$i.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(w))
+    }
+    graft.CheckpointJanitor.dropNow(staged)
+  }
+
+  /** Remove a (possibly stale) streaming checkpoint and PROVE it is
+    * gone: a silently-surviving checkpoint would make a restarted
+    * AvailableNow stream resume past already-committed micro-batches
+    * against an artifact the retry just reset — the accepts of the
+    * skipped ticks would vanish without an error (the q79b/q79c
+    * crash-retry hazard). deleteQuietly alone swallows exactly that
+    * failure, so the survival check is load-bearing. */
+  private[graft] def wipeCheckpoint(ckpt: String): Unit = {
+    val f = new java.io.File(ckpt)
+    org.apache.commons.io.FileUtils.deleteQuietly(f)
+    require(!f.exists(),
+      s"stale streaming checkpoint survived deletion: $ckpt")
+  }
+
   /** Run a streaming DF to a memory sink, return the final table. */
   private def runToTable(s: SparkSession, df: DataFrame, mode: String): DataFrame = {
     val qn = s"graft_sink_${counter.incrementAndGet()}"

@@ -80,14 +80,26 @@ class StreamingIvfSpec extends SparkSpec {
   }
 
   test("natural arrival keeps the derived retrain trigger quiet across the stream") {
+    import org.apache.spark.sql.functions.col
     NorthStar.q79c.fn(spark, sf).collect() // ensure the artifact is built
     val root = NorthStar.q79cArtifactRoot(sf).getOrElse(
       fail("q79c ran but left no memoized generation root"))
     // the entry requires the trigger quiet per tick; pin the final
-    // state too: still the ORIGINAL generation, drift below threshold
+    // state too: the quantizer is still the one TRAINED ON THE
+    // ORIGINAL SLICE (no retrain ran), drift below threshold. The pin
+    // is quantizer identity, not the generation NAME — a crashed-and-
+    // retried build legitimately commits gen-2 with the same frozen
+    // quantizer (commitGeneration allocates past orphans).
     val gen = IvfIndex.currentGenDir(spark, root).getOrElse(
       fail(s"no committed IVF generation under $root"))
-    assert(gen.endsWith("gen-1"), s"natural growth must not retrain, but live gen is $gen")
+    def canon(cs: Seq[(Int, Array[Double], Double)]) =
+      cs.map { case (c, a, r) => (c, a.toVector, r) }.sortBy(_._1)
+    val live = canon(IvfIndex.load(spark, gen + "/quantizer"))
+    val corpus0 = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 10 =!= 7)
+    val trained = canon(graft.ops.Similarity.ivfCentroids(corpus0, cells = 16))
+    assert(live == trained,
+      "the frozen quantizer changed — natural growth must not retrain")
     val ratio = IvfIndex.driftRatio(spark, root)
     assert(ratio < IvfIndex.RetrainOccupancyFactor,
       s"driftRatio $ratio crossed the retrain threshold on the natural fixture")
