@@ -188,13 +188,13 @@ object Bench {
     // Taken before the session exists / after the suite ends so no
     // executor threads compete with it.
     val probePar0 = cpuProbeParSec()
-    val spark = SparkSession.builder()
+    val spark = SessionTuning(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       // The generated-code cache defaults to 100 entries; a 122-query
       // suite cycles it completely between a query's warmup pass and
       // its timed runs, so every first timed run pays full Janino
@@ -204,6 +204,7 @@ object Bench {
       // conf, so it must be set before the session exists.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
+    // (session-tuning confs documented at graft.SessionTuning)
     spark.sparkContext.setLogLevel("WARN")
     // session warmup: JIT/codegen/file-listing paths out of the timings
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())

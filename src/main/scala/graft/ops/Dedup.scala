@@ -226,9 +226,16 @@ object Dedup {
     val rareSh = dfreq.filter(col("c") <= maxDf).select("sh")
     val shBr = shB.join(rareSh, "sh").select(col("doc").as("da"), col("sh"))
       .transform(stagePerSegment)
+    // NOTE (round-21): the corpus side used to be pre-filtered with an
+    // extra `segSh ⋈ rareSh` before meeting shBr — redundant, because
+    // shBr's sh values are BY CONSTRUCTION a subset of rareSh (shBr =
+    // shB ⋈ rareSh) and rareSh is unique per sh, so the inner join on
+    // sh already restricts segSh to exactly those rows with identical
+    // multiplicity. Dropping it removes one join + one rareSh shuffle
+    // per segment per probe (guide §2.4: remove shuffles outright);
+    // verdicts are row-identical (oracle unchanged, LsmShingleSpec).
     val cand1 = segments.map { case (segSh, _) =>
-        shBr.join(segSh.join(rareSh, "sh")
-          .select(col("doc").as("db"), col("sh")), "sh")
+        shBr.join(segSh.select(col("doc").as("db"), col("sh")), "sh")
           .select("da", "db")
       }.reduce(_ unionByName _)
       .transform(graft.Staging.stage) // consumed twice: the union below + generator 2's unpaired set
@@ -333,11 +340,27 @@ object Dedup {
   /** The signature maps are CPU-dense, not byte-dense: a compact
     * corpus arrives as one input split (sf0.1 documents.parquet is
     * <1 MB), which would run the tokenize+hash pass serially on one
-    * core — widen to the core count first (never shrinks an
-    * already-wide scan). Same rationale as ngramJaccardStages. */
+    * core — widen first (never shrinks an already-wide scan). Same
+    * rationale as ngramJaccardStages.
+    *
+    * The width is SCALE-ADAPTIVE (round-21, guide §2: derive
+    * partitioning from input size, don't pin a constant): one task per
+    * [[SpreadTargetBytes]] of estimated input, capped at the core
+    * count. A flat `cores` pinned EVERY downstream batch-side stage of
+    * the dedup pipelines at 32 tasks regardless of data — at sf0.1
+    * that is 32 near-empty tasks per stage barrier, each paying task
+    * launch, shuffle-file and parquet-reader-init fixed costs that
+    * profiling showed dominate the q41 family's wall (the data is KB;
+    * the overhead is per-task). At corpus scale the estimate exceeds
+    * cores × target and the width stays the full core count —
+    * unchanged behavior where it matters. */
+  private[ops] val SpreadTargetBytes = 64L * 1024
   private[ops] def spreadToCores(df: DataFrame): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val want = (bytes / SpreadTargetBytes)
+      .min(BigInt(cores)).max(BigInt(2)).toInt
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
   }
 
   /** LSH banding: split the signature into `bands` bands of `rowsPer`
