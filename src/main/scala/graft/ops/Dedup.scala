@@ -75,9 +75,21 @@ object Dedup {
     * q41h's oracle). */
   def incrementalKeepIdsBloom(existing: DataFrame, batch: DataFrame,
       idCol: String, textCol: String): DataFrame = {
+    // SIZE the bloom from the corpus row count (round-22). The 1-arg
+    // aggregate defaults to 1M expected items ≈ a 1.1 MB filter —
+    // which then rides the plan as a BINARY LITERAL through every
+    // analyzer/optimizer/codegen pass of the downstream query
+    // (measured: q41i spent ~2 s of a 2.6 s wall in DRIVER plan
+    // processing, jobs only 0.5 s). Sizing to the measured count keeps
+    // the literal KB-scale here AND stops the fixed default
+    // UNDERSIZING the filter at corpus scale (an under-provisioned
+    // bloom degrades toward fpp→1, sending every batch row down the
+    // exact anti-join — the opposite of the operator's point). One
+    // extra count job over the fingerprint projection, metadata-cheap.
+    val nExisting = math.max(existing.count(), 1L)
     val bloom = existing
       .select(call_function("graft_bloom_agg",
-        xxhash64(md5(col(textCol)))).as("bf"))
+        xxhash64(md5(col(textCol))), lit(nExisting)).as("bf"))
       .head().getAs[Array[Byte]]("bf")
     // bloom_filter_agg over ZERO rows aggregates to NULL, and
     // might_contain(NULL, h) is NULL — both the !_maybe and _maybe
@@ -358,8 +370,16 @@ object Dedup {
   private[ops] def spreadToCores(df: DataFrame): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // Floor at cores/4, not 2 (round-22, verdict/advice adjudication):
+    // these stages are CPU-dense — compressed-parquet size estimates
+    // understate tokenize+hash cost, so a byte-only width serialized
+    // mid-scale corpora onto a couple of cores. cores/4 keeps a small
+    // input parallel enough to hide per-row CPU while still avoiding
+    // the 32-near-empty-tasks-per-barrier overhead a flat `cores`
+    // paid; at corpus scale the byte term saturates to full cores
+    // exactly as before.
     val want = (bytes / SpreadTargetBytes)
-      .min(BigInt(cores)).max(BigInt(2)).toInt
+      .min(BigInt(cores)).max(BigInt(math.max(cores / 4, 2))).toInt
     if (df.rdd.getNumPartitions < want) df.repartition(want) else df
   }
 

@@ -372,11 +372,13 @@ object Similarity {
     * members' components (unnormalized — cosine is scale-invariant,
     * see [[ivfCentroids]]). Cells that lose all members are dropped,
     * exactly as the oracle's per-round `sums` CTE drops them. */
-  private def lloydStep(corpus: DataFrame,
+  private def lloydStep(prep: DataFrame,
       cents: Seq[(Int, Array[Double], Double)]): Seq[(Int, Array[Double], Double)] = {
     import org.apache.spark.sql.types.DecimalType
-    val assigned = corpus.select(col("embedding").as("ce"))
-      .withColumn("cnorm", normSqDecimal(col("ce")))
+    // `prep` is the staged (ce, cnorm) relation — see ivfCentroidsIter:
+    // the loop re-reads it every round, so the norm computation and the
+    // source scan run once per TRAINING, not once per iteration
+    val assigned = prep
       .withColumn("cell",
         -element_at(bestCells(cents)(col("ce"), col("cnorm"), 1), 1).getField("nc"))
     val sumRows = assigned
@@ -420,7 +422,19 @@ object Similarity {
         val v = emb.map(_.asInstanceOf[Float].toDouble).toArray
         (cell, v, arrNormSq(v))
     }.toSeq
-    (1 to iters).foldLeft(seeds)((c, _) => lloydStep(corpus, c))
+    // Stage the loop's input ONCE (round-22, guide §5 "cache what
+    // loops read" — the MLlib KMeans discipline): every Lloyd round
+    // re-reads the same (embedding, normSq) relation, and without a
+    // barrier each of the `iters` rounds re-ran the source scan plus
+    // the decimal norm computation. Each round still collects its
+    // (cell, dim, sum) rows eagerly, so after the fold no consumer
+    // remains and the blocks drop immediately.
+    val prep = graft.Staging.stage(Dedup.spreadToCores(corpus)
+      .select(col("embedding").as("ce"))
+      .withColumn("cnorm", normSqDecimal(col("ce"))))
+    val out = (1 to iters).foldLeft(seeds)((c, _) => lloydStep(prep, c))
+    graft.CheckpointJanitor.dropNow(prep)
+    out
   }
 
   /** (vid, cell) assignment of `corpus` under literal centroids — the
@@ -476,7 +490,13 @@ object Similarity {
     * .saveAssignments]] persists partitioned by cell. */
   private[graft] def assignedCorpus(corpus: DataFrame,
       cents: Seq[(Int, Array[Double], Double)]): DataFrame =
-    corpus.select(col("vec_id").as("vid"), col("embedding").as("ce"))
+    // spreadToCores (round-22): the per-row decimal argmax against
+    // `cells` centroid literals is CPU-dense, and a compact corpus
+    // arrives as ONE input split — the assignment ran serially
+    // (measured: ~0.4 s single-task stages in q42f). Never shrinks an
+    // already-wide scan.
+    Dedup.spreadToCores(corpus)
+      .select(col("vec_id").as("vid"), col("embedding").as("ce"))
       .withColumn("cnorm", normSqDecimal(col("ce")))
       .withColumn("cell", -element_at(bestCells(cents)(col("ce"), col("cnorm"), 1), 1)
         .getField("nc"))

@@ -309,7 +309,16 @@ object TextAnalysis {
     val toks = docs.select(col(idCol).as("doc"),
         explode(split(lower(col(textCol)), "\\s+")).as("term"))
       .filter(col("term") =!= "")
-    val tf = toks.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+    // ONE materialization of the tokenize→explode→(doc, term) count
+    // pass (round-22, guide §2.4 — share one exchange across the tf,
+    // df and norm aggregations): every downstream relation (dfreq, w,
+    // norms, BOTH sides of the inverted-index join) derives from tf,
+    // and without a stage barrier Catalyst re-executes the corpus
+    // explode+agg subtree once per consumer that ReuseExchange cannot
+    // dedup across AQE replanning. The staged relation is
+    // (doc, term, tf) — vocabulary-sized, never the text.
+    val tf = graft.Staging.stage(
+      toks.groupBy("doc", "term").agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).cast("double").as("n"))
     // Weights in exact int64 MICRO-units (round-16: was decimal(18,6)
@@ -322,19 +331,46 @@ object TextAnalysis {
     // generous for tf-bounded corpora (fixture max ≈ 9e3); a web-scale
     // deployment with pathological tf rescales to MILLI-units (3-dp
     // weights, bound ×1e6) — the q93 documented-rescale discipline.
-    val w = tf.join(dfreq, "term").crossJoin(broadcast(n))
+    // The weighted index is consumed by norms AND both sides of the
+    // candidate join — stage it once too, then release tf (its last
+    // consumer just materialized).
+    val w = graft.Staging.stage(tf.join(dfreq, "term").crossJoin(broadcast(n))
       .withColumn("w",
         round(col("tf") * (log((col("n") + 1.0) / (col("df") + 1.0)) + 1.0)
           * 1000000.0).cast("long"))
-      .select("doc", "term", "w", "df")
+      .select("doc", "term", "w", "df"))
+    graft.CheckpointJanitor.dropNow(tf)
     // norms keep EVERY term (a doc's length is what it is); only the
     // INVERTED INDEX drops stop-terms — the standard ceiling semantics
     val norms = w.groupBy("doc").agg(sum(col("w") * col("w")).as("nsq"))
-    val idx = (if (maxDf > 0) w.filter(col("df") <= maxDf) else w)
+    // The pair enumeration below is CPU-DENSE, not byte-dense (each
+    // shared term of a (query, candidate) pair emits a row into the
+    // partial dot-product aggregate): the staged w arrives with the
+    // byte-derived partitioning AQE gave it — 1-2 partitions at KB-MB
+    // index sizes — which serializes the join+agg on one core
+    // (measured round-22: one 2.0 s single-task stage = 55% of the
+    // query). Spread the streamed index side to the core count first
+    // (the cosineNearDups discipline); at corpus scale the index
+    // already exceeds the core count and the conditional is a no-op.
+    val cores = docs.sparkSession.sparkContext.defaultParallelism
+    val idx0 = (if (maxDf > 0) w.filter(col("df") <= maxDf) else w)
       .select("doc", "term", "w")
+    val idx = if (idx0.rdd.getNumPartitions < cores) idx0.repartition(cores)
+      else idx0
     val q = idx.filter(col("doc") % queryModulo === 0)
       .select(col("doc").as("qid"), col("term"), col("w").as("wq"))
-    val cand = q
+    // PIN the query batch as the build side (guide §3.1). Both sides
+    // fit under the broadcast threshold here, and AQE's side choice
+    // then depends on which exchange materializes first — measured
+    // round-22: the flip to build=INDEX made the streamed side the
+    // KB-sized query batch (1 post-coalesce task) probing a broadcast
+    // index, i.e. the whole 4.5M-row pair explosion ran serially
+    // (4-5 s single-task stage); build=QUERY-BATCH streams the index
+    // wide and costs 1.5 s of TASK time across cores. The query batch
+    // is the broadcast-class side by the op's own scale story (fixed
+    // batch, corpus-sized index), so the pin is also the 100 TB plan:
+    // the corpus side is never shuffled OR broadcast.
+    val cand = broadcast(q)
       .join(idx.select(col("doc").as("did"), col("term"), col("w").as("wd")),
         Seq("term"))
       .filter(col("qid") =!= col("did"))

@@ -1103,6 +1103,12 @@ object NorthStar {
       |    PARTITION BY qid ORDER BY score DESC, did) AS rk
       |  FROM scored) WHERE rk <= 5
       |ORDER BY qid, rk""".stripMargin) { (s, dir) =>
+    // NO janitor registration here (unlike q41b): q81 is a SQL dual
+    // pair, and SqlDualEntrySpec legitimately executes one invocation's
+    // result several times — the janitor's single-consumption contract
+    // would kill the staged w blocks after the first count. The staged
+    // relations are MB-scale; the ContextCleaner's GC path reclaims
+    // them promptly enough.
     TextAnalysis.moreLikeThis(Tables.documents(s, dir), "doc_id", "text", k = 5)
       .orderBy("qid", "rk")
   }

@@ -506,10 +506,19 @@ object SqlQueries {
       (Sampling.q77, Sampling.q77.oracle.get
         .replace("CAST(doc_id AS VARCHAR)", "CAST(doc_id AS STRING)")),
       verbatim(Curation5x.q78),
-      // batch 13: q81 swaps only the tokenizer spelling
+      // batch 13: q81 swaps only the tokenizer spelling, plus a
+      // BROADCAST hint pinning the pairs join's build side to the
+      // query batch (round-22: with both sides broadcastable, AQE's
+      // side choice followed exchange-completion order — build=index
+      // runs the 4.5M-row pair explosion as ONE post-coalesce task,
+      // a measured 4-5 s serial stage; build=query-batch streams the
+      // index wide. Same rows either way — the DSL twin pins the same
+      // side, see TextAnalysis.moreLikeThisStages)
       (NorthStar.q81, NorthStar.q81.oracle.get
         .replace("unnest(string_split_regex(lower(text), '\\s+'))",
-          "explode(split(lower(text), '\\\\s+'))")),
+          "explode(split(lower(text), '\\\\s+'))")
+        .replace("pairs AS (SELECT q.qid",
+          "pairs AS (SELECT /*+ BROADCAST(q) */ q.qid")),
       // batch 14: q82 swaps to_days→timestampadd and strftime→
       // date_format; NOTE the SQL text keeps the INTERVAL-join
       // formulation, so this dual pins interval ≡ as-of a second time,

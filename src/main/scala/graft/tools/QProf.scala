@@ -107,8 +107,15 @@ object QProf {
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         val wall = (System.nanoTime() - t0) / 1e9
-        // listener bus is async — give it a beat to drain before reading
-        Thread.sleep(200)
+        // listener bus is async — poll until the job list stops
+        // growing (round-22 advice fix: a fixed sleep undercounted
+        // jobs on loaded runs), bounded at 2 s
+        var lastN = -1; var stable = 0; var waited = 0
+        while (stable < 3 && waited < 2000) {
+          Thread.sleep(50); waited += 50
+          val n = col.synchronized(col.done.size)
+          if (n == lastN) stable += 1 else { stable = 0; lastN = n }
+        }
         val recs = col.synchronized { col.done.toVector }
         println(f"== $name run=$r wall=$wall%.3f s jobs=${recs.size} " +
           f"jobWallSum=${recs.map(_.wallMs).sum / 1e3}%.3f s")

@@ -20,4 +20,10 @@ object GraftBridge {
   /** Recover the Catalyst Expression behind a Column. */
   def expression(c: Column): catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Unload every loaded streaming state-store provider
+    * (`StateStore.unloadAll` is private[sql]) — see
+    * graft.queries.Streaming.unloadStateStores for the rationale. */
+  def unloadStateStores(): Unit =
+    execution.streaming.state.StateStore.unloadAll()
 }
